@@ -41,6 +41,10 @@ def normalize_binance(
     if market not in ("usdt", "coin"):
         raise ValueError(f"Unknown Binance market: {market}")
 
+    # wire keys are case-significant ("s" symbol vs "S" side) — resolution
+    # must be case-sensitive even on a caller-provided vanilla session
+    frames.sparkSession.conf.set("spark.sql.caseSensitive", "true")
+
     if "ts_ingest_ms" not in frames.columns:
         frames = frames.withColumn("ts_ingest_ms", now_ms())
 

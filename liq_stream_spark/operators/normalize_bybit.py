@@ -41,6 +41,9 @@ def normalize_bybit(frames: DataFrame, market: str = "usdt") -> DataFrame:
     else:
         raise ValueError(f"Unknown Bybit market: {market}")
 
+    # "s"/"S" and "T" wire keys need case-sensitive resolution
+    frames.sparkSession.conf.set("spark.sql.caseSensitive", "true")
+
     if "ts_ingest_ms" not in frames.columns:
         frames = frames.withColumn("ts_ingest_ms", now_ms())
 

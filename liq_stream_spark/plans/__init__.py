@@ -1,0 +1,42 @@
+"""The analytics query library — the driver-facing operator surface.
+
+Each entry pairs a Spark DataFrame builder ``(spark, sf_dir) -> DataFrame``
+with the equivalent ANSI SQL for the DuckDB oracle (None for operators whose
+semantics aren't SQL-expressible; the driver then records a rows-only check).
+
+Registry keys are stable public names; ``__spark_entry__.queries()`` and
+``oracle_sql()`` are thin views over this registry.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: Optional[str], doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = Query(name=name, build=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+# importing the modules populates REGISTRY
+from liq_stream_spark.plans import relational  # noqa: E402,F401
+from liq_stream_spark.plans import events  # noqa: E402,F401
+from liq_stream_spark.plans import liquidations  # noqa: E402,F401
+from liq_stream_spark.plans import llm_ops  # noqa: E402,F401
