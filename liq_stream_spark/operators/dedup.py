@@ -1,0 +1,252 @@
+"""Deduplication operator family for LLM-data pipelines (SURVEY.md §2.8).
+
+Five strategies, all DataFrame-native:
+
+- exact           : hash-groupBy on the content column (one shuffle)
+- minhash + LSH   : shingle -> k minhashes -> banded bucket join; candidate
+                    pairs come from equal band keys, never a cross join
+- simhash         : 32-bit signature per doc (see operators/text.py); near
+                    dups = small Hamming distance within signature buckets
+- n-gram Jaccard  : exact set similarity via a shingle self-join (the
+                    verifier for what MinHash approximates)
+- embedding cosine: see operators/similarity.py
+
+Determinism: MinHash permutations are fixed (a_j, b_j) pairs over the
+base-131 shingle hash, mod the Mersenne prime 2^31-1 — pure int64
+arithmetic reproduced exactly by the DuckDB oracle. Hash collisions (2^32
+shingle space) affect both engines identically, so oracle equality is
+unaffected.
+
+Scale notes (100 TB): the LSH pipeline is shuffle-bound on the band-key
+groupBy. Band keys are short strings; skew (a degenerate band bucket, e.g.
+all-empty docs) is bounded by ``max_bucket`` — buckets above it are dropped
+exactly like data-sketches dedup pipelines cap posting lists. Pair
+generation is per-bucket quadratic, hence the cap. Everything stays
+JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from liq_stream_spark.operators.text import MASK32, char_ngram_hash_sql
+
+MERSENNE31 = 2147483647  # 2^31 - 1
+
+# fixed, deterministic permutation constants (k = 16); generated once from
+# a fixed seed and hardcoded so Spark and the SQL oracle agree forever
+MINHASH_PERMS: list[tuple[int, int]] = [
+    (1203077387, 528734109),
+    (686579303, 1353872483),
+    (1843712703, 81952327),
+    (406174895, 1984913477),
+    (1521263233, 912837461),
+    (233009141, 1759218405),
+    (1098237587, 354671209),
+    (871263405, 1620394817),
+    (1932748531, 205917683),
+    (556203947, 1431086329),
+    (1287465809, 759302117),
+    (93284657, 1873645231),
+    (1654098731, 482917365),
+    (745612903, 1102938475),
+    (2045731861, 633018527),
+    (318264179, 1548370291),
+]
+
+
+def dedup_exact(
+    df: DataFrame, on: list[str] | str, id_col: str
+) -> DataFrame:
+    """Exact dedup: one row per distinct ``on`` value, the minimum ``id_col``
+    as the canonical representative, plus the duplicate count.
+
+    At scale this is a single hash-shuffle on the content key; for long
+    text keys, group on a hash of the content instead (same plan shape)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    return df.groupBy(*keys).agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    ngram: int = 3,
+) -> DataFrame:
+    """Long-form MinHash signatures: (id, perm_id, minhash).
+
+    minhash_j = min over shingles s of (a_j * h(s) + b_j) mod (2^31-1),
+    computed with higher-order functions per row then posexploded — the
+    shingle array never leaves the row, so this is a narrow projection.
+    Docs shorter than the shingle width get minhash = 2^31-1 (empty-set
+    sentinel, same in the oracle)."""
+    if k > len(MINHASH_PERMS):
+        raise ValueError(f"k <= {len(MINHASH_PERMS)} supported")
+    h = char_ngram_hash_sql(text_col, ngram)
+    sig_exprs = []
+    for j, (a, b) in enumerate(MINHASH_PERMS[:k]):
+        sig_exprs.append(
+            f"aggregate({h}, {MERSENNE31}L, "
+            f"(acc, x) -> least(acc, ({a}L * x + {b}L) % {MERSENNE31}))"
+        )
+    arr = "array(" + ", ".join(sig_exprs) + ")"
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.expr(arr)).alias("perm_id", "minhash"),
+    ).select(
+        F.col(id_col),
+        F.col("perm_id").cast("long").alias("perm_id"),
+        F.col("minhash").cast("long").alias("minhash"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Banded LSH: docs sharing ALL minhashes within any band are candidate
+    duplicates. Input is the long-form signature table; output is distinct
+    (id_a < id_b) pairs.
+
+    Plan shape: groupBy(id, band) packs each band's minhashes into one
+    string key -> self-join on (band, key) -> distinct pairs. The join is
+    equi (band bucket), never a cross join; oversized buckets (degenerate
+    content) are capped at ``max_bucket`` docs."""
+    banded = (
+        signatures.withColumn("band", (F.col("perm_id") / rows_per_band).cast("int"))
+        .filter(F.col("band") < bands)
+        .groupBy(id_col, "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("perm_id", "minhash"))
+                    ).getField("minhash"),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("band_key")
+        )
+    )
+    sized = banded.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(W.partitionBy("band", "band_key"))
+    ).filter(F.col("bucket_n") <= max_bucket)
+    a = sized.select(
+        F.col("band"), F.col("band_key"), F.col(id_col).alias("id_a")
+    )
+    b = sized.select(
+        F.col("band"), F.col("band_key"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (>= threshold).
+
+    Distinct shingle hashes per doc -> self-join on shingle -> pair
+    intersection counts -> |A ∪ B| = |A| + |B| - |A ∩ B|. The shingle join
+    shuffles on the shingle hash (analogous to an inverted index); document
+    set sizes ride along via a broadcast-joined per-doc count."""
+    h = char_ngram_hash_sql(text_col, ngram)
+    shingles = df.select(
+        F.col(id_col), F.explode(F.array_distinct(F.expr(h))).alias("sh")
+    )
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingles.select(F.col(id_col).alias("id_a"), "sh")
+    b = shingles.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "n_common", "jaccard")
+
+
+def simhash_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash) — 32-bit SimHash signatures (operators/text.simhash32)."""
+    from liq_stream_spark.operators.text import simhash32
+
+    return df.select(F.col(id_col), simhash32(text_col).alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance.
+
+    Scale path: block on the four 8-bit bytes of the signature — two docs
+    within Hamming distance 3 of a 32-bit signature share at least one
+    exact byte (pigeonhole) — so the join is equi on (byte_idx, byte),
+    never a cross join."""
+    sig = simhash_table(df, id_col, text_col)
+    bytes_ = sig.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3), "
+                "i -> (simhash div shiftleft(1L, i * 8)) % 256)"
+            )
+        ).alias("byte_idx", "byte"),
+    )
+    a = bytes_.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),
+        "byte_idx", "byte",
+    )
+    b = bytes_.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
+        "byte_idx", "byte",
+    )
+    cand = (
+        a.join(b, ["byte_idx", "byte"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.expr(
+        "size(filter(sequence(0, 31), "
+        "i -> (sig_a div shiftleft(1L, i)) % 2 != (sig_b div shiftleft(1L, i)) % 2))"
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

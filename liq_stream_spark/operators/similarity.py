@@ -1,0 +1,211 @@
+"""Similarity search over embedding columns (SURVEY.md §2.8).
+
+- brute-force cosine top-k: the exact baseline. Query set × corpus via a
+  broadcast of the (small) query side; the dot product is a higher-order
+  ``aggregate`` over ``zip_with`` — JVM-side, no Python, no UDF.
+- LSH-bucketed variant (random hyperplane signs): the scale path. Sign
+  bits against fixed hyperplanes bucket the corpus; only same-bucket (or
+  neighboring-probe) candidates are scored. At 100 TB the corpus never
+  cross-joins: the bucket key is an equi-join key, and multi-probe widens
+  recall without widening the shuffle.
+- embedding-cosine near-dup pairs: dedup by cosine >= threshold.
+
+Determinism: scores are compared engine-to-engine only through integer
+outputs (ranks, ids, votes) — float cosine ties at 1e-16 granularity are
+the only hazard and do not occur with real-valued embeddings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def _dot(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate({a}, CAST(0.0 AS DOUBLE), "
+            f"(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+    )
+
+
+def cosine(a: str, b: str) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector (excluding self).
+
+    Output: (query_id, neighbor_id, rank) — integers only, rank 1..k by
+    cosine desc with neighbor_id as the deterministic tiebreak. The query
+    side is broadcast (queries are few); the corpus streams through one
+    projection + one top-k window per query partition."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine("qv", "cv"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
+def knn_label_vote(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN classification: majority label among the top-k neighbors.
+
+    Output: (query_id, pred_label) — ties broken toward the smaller label
+    value for engine-agnostic determinism."""
+    topk = cosine_topk(queries, corpus, k, id_col, vec_col)
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nb_label")
+    )
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("query_id", "nb_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("nb_label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("nb_label").cast("long").alias("pred_label"))
+    )
+
+
+# fixed pseudo-random hyperplanes for sign-LSH, derived from the same
+# deterministic integer hash family used by MinHash: component j of
+# hyperplane p = ((a * (j*97 + p*131 + 1) + b) mod 2^31-1) / (2^31-1) - 0.5
+_LSH_PLANES = 6
+_LSH_TABLES = 4
+
+
+def _plane_component(p: int, j: str) -> str:
+    from liq_stream_spark.operators.dedup import MERSENNE31, MINHASH_PERMS
+
+    a, b = MINHASH_PERMS[p % len(MINHASH_PERMS)]
+    return (
+        f"((({a}L * ({j} * 97 + {p * 131 + 1}) + {b}L) % {MERSENNE31}) "
+        f"/ CAST({MERSENNE31} AS DOUBLE) - 0.5)"
+    )
+
+
+def lsh_bucket(vec_col: str, n_planes: int, table: int = 0) -> Column:
+    """Sign-LSH bucket id for one hash table: bit p = 1 iff
+    dot(vec, plane_{table,p}) > 0."""
+    bits = []
+    for p in range(n_planes):
+        comp = _plane_component(table * n_planes + p, "i")
+        dot = (
+            f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
+            f"(x, i) -> CAST(x AS DOUBLE) * {comp}), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bits.append(f"CASE WHEN {dot} > 0 THEN shiftleft(1L, {p}) ELSE 0L END")
+    return F.expr(" + ".join(bits)).cast("long")
+
+
+def _with_buckets(
+    df: DataFrame, id_alias: str, vec_alias: str,
+    id_col: str, vec_col: str, n_planes: int, n_tables: int,
+) -> DataFrame:
+    buckets = F.array(
+        *[lsh_bucket(vec_col, n_planes, t) for t in range(n_tables)]
+    )
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).alias(vec_alias),
+        F.posexplode(buckets).alias("table", "bucket"),
+    )
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = _LSH_PLANES,
+    n_tables: int = _LSH_TABLES,
+) -> DataFrame:
+    """Approximate top-k with multi-table sign-LSH: a candidate is scored
+    iff it shares a bucket with the query in ANY of the ``n_tables`` hash
+    tables (union of tables = higher recall at linear candidate cost).
+    Same output shape as cosine_topk; recall < 1 by design. The equi-join
+    on (table, bucket) replaces the cross join — the shape that survives a
+    1000-executor corpus; more tables / fewer planes trades shuffle volume
+    for recall without ever going quadratic."""
+    q = _with_buckets(queries, "query_id", "qv", id_col, vec_col, n_planes, n_tables)
+    c = _with_buckets(corpus, "neighbor_id", "cv", id_col, vec_col, n_planes, n_tables)
+    cand = (
+        q.join(c, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("cos", cosine("qv", "cv"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
+
+    Exact variant: full pair scoring — quadratic, used as the oracle-checked
+    baseline. The scale path buckets with sign-LSH first (see
+    cosine_topk_lsh) and scores within buckets only."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine("va", "vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )

@@ -1,0 +1,222 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY.md §2.8).
+
+All pure Column expressions (JVM-side, no UDFs), so they run identically in
+batch and streaming and push through whole-stage codegen. Everything here is
+designed to be *oracle-checkable*: the hash primitives are simple integer
+polynomials that DuckDB SQL reproduces exactly (unlike Spark's murmur3
+``hash()`` or DuckDB's internal ``hash()``), so dedup/fingerprint queries
+can hash-match the DuckDB oracle bit-for-bit.
+
+Scale notes (100 TB): every operator is a narrow per-row projection — no
+shuffle, no Python. Token arrays stay inside codegen via higher-order
+functions (transform/filter/aggregate). SimHash folds 32 bit-sums per doc
+without exploding tokens into rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+MASK32 = 4294967296  # 2^32; polynomial hashes are taken mod this
+_WS = r"\s+"          # for the F.split() Python API (no SQL parsing)
+_WS_SQL = r"\\s+"  # for patterns embedded in F.expr strings (SQL unescapes once)
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text (empty text -> empty array)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, _WS)
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def poly_hash_expr(s: str) -> str:
+    """SQL-expression string: polynomial rolling hash of string ``s``:
+    fold chars: acc = (acc*131 + ascii(char)) mod 2^32.
+
+    Equivalent DuckDB SQL:
+      list_reduce(list_prepend(0, [ascii(c) for c in string_split(s,'')]),
+                  (a, x) -> (a*131 + x) % 4294967296)
+    """
+    return (
+        f"aggregate(split({s}, ''), 0L, "
+        f"(acc, ch) -> (acc * 131 + ascii(ch)) % {MASK32})"
+    )
+
+
+def char_ngram_hash_sql(name: str, n: int = 3) -> str:
+    """SQL-expression string for the array of n-gram shingle hashes.
+
+    Shingle hash is the same base-131 polynomial; for fixed small n this is
+    a handful of ascii() calls per shingle — no inner fold needed. Shingles
+    are positions 1..len-n+1 (empty array if text shorter than n).
+    """
+    terms = " + ".join(
+        f"ascii(substring({name}, i + {j}, 1)) * {131 ** (n - 1 - j)}"
+        for j in range(n)
+    )
+    return (
+        f"transform(sequence(1, greatest(length({name}) - {n - 1}, 0)), "
+        f"i -> ({terms}) % {MASK32})"
+    )
+
+
+def char_ngram_hashes(col: str, n: int = 3) -> Column:
+    return F.expr(char_ngram_hash_sql(col, n)).cast("array<long>")
+
+
+def token_hashes(col: Column | str) -> Column:
+    """Array of polynomial hashes of whitespace tokens."""
+    name = col if isinstance(col, str) else None
+    if name is None:
+        raise ValueError("token_hashes needs a column name")
+    return F.expr(
+        f"transform(split(trim({name}), '{_WS_SQL}'), "
+        f"w -> aggregate(split(w, ''), 0L, "
+        f"(acc, ch) -> (acc * 131 + ascii(ch)) % {MASK32}))"
+    ).cast("array<long>")
+
+
+# ---------------------------------------------------------------------------
+# document statistics / quality scoring
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
+_PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}-]"
+
+
+def punct_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(_PUNCT_CLASS)).cast("long")
+
+
+def stopword_count(col: Column | str) -> Column:
+    name = col if isinstance(col, str) else None
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return F.expr(
+        f"size(filter(split(trim({name}), '{_WS_SQL}'), w -> lower(w) IN ({sw})))"
+    ).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punct/stopword quality features + a composite score — the
+    classic cheap pre-filter stage of a training-data pipeline."""
+    n_tok = token_count(text_col)
+    n_chr = F.length(text_col).cast("long")
+    n_punct = punct_count(text_col)
+    n_stop = stopword_count(text_col)
+    avg_tok = F.when(n_tok > 0, n_chr.cast("double") / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chr > 0, n_punct.cast("double") / n_chr).otherwise(
+        F.lit(0.0)
+    )
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(
+        F.lit(0.0)
+    )
+    score = (
+        F.when((n_tok >= 10) & (n_tok <= 10000), F.lit(1)).otherwise(F.lit(0))
+        + F.when((avg_tok >= 3) & (avg_tok <= 12), F.lit(1)).otherwise(F.lit(0))
+        + F.when(punct_ratio <= 0.2, F.lit(1)).otherwise(F.lit(0))
+        + F.when(stop_ratio >= 0.05, F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_chr.alias("n_chars_measured"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stopwords"),
+        avg_tok.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID (n-gram/stopword heuristic)
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "to"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "les", "des", "est"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "zh": ("de5", "le5", "shi4", "zai4", "he2"),  # romanized placeholder
+}
+
+
+def lang_scores(text_col: str) -> list[Column]:
+    cols = []
+    for lang, markers in LANG_MARKERS.items():
+        mk = ", ".join(f"'{m}'" for m in markers)
+        cols.append(
+            F.expr(
+                f"size(filter(split(trim({text_col}), '{_WS_SQL}'), "
+                f"w -> lower(w) IN ({mk})))"
+            )
+            .cast("long")
+            .alias(f"score_{lang}")
+        )
+    return cols
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: argmax score, 'und' when all zero,
+    lexicographically-first language as the deterministic tiebreak."""
+    scored = df.select("doc_id", *lang_scores(text_col))
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.when(best == 0, F.lit("und"))
+    for l in langs:
+        pred = pred.when(F.col(f"score_{l}") == best, F.lit(l))
+    return scored.select(
+        "doc_id", *[F.col(f"score_{l}") for l in langs], pred.alias("pred_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# fingerprint + simhash
+# ---------------------------------------------------------------------------
+
+
+def fingerprint(col_name: str, n: int = 3) -> Column:
+    """Position-weighted document fingerprint: (sum_i i * h(shingle_i))
+    mod 2^32. Captures content AND order (an anagram document fingerprints
+    differently); the integer sum is order-of-evaluation-independent, so
+    the DuckDB oracle reproduces it exactly."""
+    h = char_ngram_hash_sql(col_name, n)
+    return F.expr(
+        f"CASE WHEN length({col_name}) < {n} THEN 0L ELSE "
+        f"aggregate(zip_with({h}, sequence(1, size({h})), "
+        f"(x, i) -> x * i), 0L, (acc, v) -> acc + v) % {MASK32} END"
+    ).cast("long")
+
+
+def simhash32(col_name: str) -> Column:
+    """32-bit SimHash over whitespace-token polynomial hashes.
+
+    bit_i(sig) = 1 iff sum over tokens of (2*bit_i(h_tok) - 1) > 0.
+    Computed entirely with higher-order functions: one hash array per doc,
+    32 folds over it, no row explosion, no shuffle.
+    """
+    hs = (
+        f"transform(split(trim({col_name}), '{_WS_SQL}'), "
+        f"w -> aggregate(split(w, ''), 0L, "
+        f"(acc, ch) -> (acc * 131 + ascii(ch)) % {MASK32}))"
+    )
+    return F.expr(
+        f"aggregate(transform(sequence(0, 31), "
+        f"i -> CASE WHEN aggregate({hs}, 0L, "
+        f"(acc, h) -> acc + (CASE WHEN (h div shiftleft(1L, i)) % 2 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 "
+        f"THEN shiftleft(1L, i) ELSE 0L END), 0L, (acc, b) -> acc + b)"
+    ).cast("long")

@@ -1,5 +1,356 @@
-"""LLM-data-pipeline operator queries (dedup / similarity / text analysis)
-over the documents and embeddings tables — populated alongside
-liq_stream_spark.operators.{dedup,similarity,text}."""
+"""LLM-data-pipeline operator queries over documents/embeddings.
+
+Oracle strategy: the text operators are built on a deterministic base-131
+polynomial hash (operators/text.py) that the DuckDB SQL below reproduces
+with list_transform/list_reduce — so MinHash signatures, LSH pairs, SimHash
+values and fingerprints hash-match the oracle EXACTLY, not approximately.
+Embedding similarity compares integer outputs (ranks, ids, votes) so float
+summation order can't flip a comparison.
+
+The oracle SQL strings are generated from the same constants the Spark
+operators use (MINHASH_PERMS, STOPWORDS, LANG_MARKERS) — one source of
+truth, two engines.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from liq_stream_spark.operators import dedup as D
+from liq_stream_spark.operators import similarity as S
+from liq_stream_spark.operators import text as X
+from liq_stream_spark.plans import register
+from liq_stream_spark.plans.tables import load
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragments mirroring operators/text.py primitives
+# ---------------------------------------------------------------------------
+
+M32 = X.MASK32
+M31 = D.MERSENNE31
+
+# n=3 char shingle hashes of `text`
+DUCK_SHINGLES = (
+    "list_transform(range(1, greatest(length(text)-2, 0)+1), "
+    "i -> (ascii(substr(text, i::INT, 1))*17161 + ascii(substr(text, i::INT+1, 1))*131 "
+    f"+ ascii(substr(text, i::INT+2, 1))) % {M32})"
+)
+
+# whitespace-token polynomial hashes of `text`
+DUCK_TOKEN_HASHES = (
+    "list_transform(regexp_split_to_array(trim(text), '\\s+'), "
+    "w -> list_reduce(list_prepend(0::BIGINT, "
+    "list_transform(string_split(w, ''), c -> ascii(c)::BIGINT)), "
+    f"(a, x) -> (a*131 + x) % {M32}))"
+)
+
+DUCK_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+_PUNCT_SQL = "'[.,;:!?''\"()\\[\\]{}-]'"
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_sw = ", ".join(f"'{w}'" for w in X.STOPWORDS)
+
+
+@register(
+    "t01_doc_stats",
+    f"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len({DUCK_TOKENS}) END::BIGINT AS n_tokens,
+           length(text)::BIGINT AS n_chars_measured,
+           len(regexp_extract_all(text, {_PUNCT_SQL}))::BIGINT AS n_punct,
+           len(list_filter({DUCK_TOKENS}, w -> lower(w) IN ({_sw})))::BIGINT AS n_stopwords,
+           CASE WHEN trim(text) = '' THEN 0.0
+                ELSE length(text)::DOUBLE / len({DUCK_TOKENS}) END AS avg_token_len,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE len(regexp_extract_all(text, {_PUNCT_SQL}))::DOUBLE / length(text) END AS punct_ratio,
+           CASE WHEN trim(text) = '' THEN 0.0
+                ELSE len(list_filter({DUCK_TOKENS}, w -> lower(w) IN ({_sw})))::DOUBLE
+                     / len({DUCK_TOKENS}) END AS stopword_ratio,
+           ((CASE WHEN len({DUCK_TOKENS}) BETWEEN 10 AND 10000 THEN 1 ELSE 0 END)
+          + (CASE WHEN length(text)::DOUBLE / len({DUCK_TOKENS}) BETWEEN 3 AND 12 THEN 1 ELSE 0 END)
+          + (CASE WHEN len(regexp_extract_all(text, {_PUNCT_SQL}))::DOUBLE / length(text) <= 0.2 THEN 1 ELSE 0 END)
+          + (CASE WHEN len(list_filter({DUCK_TOKENS}, w -> lower(w) IN ({_sw})))::DOUBLE
+                       / len({DUCK_TOKENS}) >= 0.05 THEN 1 ELSE 0 END))::BIGINT AS quality_score
+    FROM documents
+    """,
+    doc="token/char/punct/stopword stats + composite quality score "
+    "(operators/text.quality_features) — the cheap pre-filter stage.",
+)
+def t01_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.quality_features(load(spark, sf_dir, "documents"))
+
+
+def _duck_lang_sql() -> str:
+    score_cols = []
+    for lang, markers in X.LANG_MARKERS.items():
+        mk = ", ".join(f"'{m}'" for m in markers)
+        score_cols.append(
+            f"len(list_filter({DUCK_TOKENS}, w -> lower(w) IN ({mk})))::BIGINT AS score_{lang}"
+        )
+    langs = sorted(X.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    pred = f"CASE WHEN {best} = 0 THEN 'und' " + " ".join(
+        f"WHEN score_{l} = {best} THEN '{l}'" for l in langs
+    ) + " END"
+    return f"""
+    WITH scored AS (SELECT doc_id, {', '.join(score_cols)} FROM documents)
+    SELECT doc_id, {', '.join('score_' + l for l in langs)},
+           {pred} AS pred_lang
+    FROM scored
+    """
+
+
+@register(
+    "t02_lang_id",
+    _duck_lang_sql(),
+    doc="marker-word language ID heuristic (operators/text.lang_id).",
+)
+def t02_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.lang_id(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "t03_fingerprint",
+    f"""
+    SELECT doc_id,
+           (CASE WHEN length(text) < 3 THEN 0
+                 ELSE list_sum(list_transform(range(1, greatest(length(text)-2, 0)+1),
+                      i -> i * ((ascii(substr(text, i::INT, 1))*17161
+                               + ascii(substr(text, i::INT+1, 1))*131
+                               + ascii(substr(text, i::INT+2, 1))) % {M32}))) % {M32}
+            END)::BIGINT AS fp
+    FROM documents
+    """,
+    doc="position-weighted rolling-hash document fingerprint "
+    "(operators/text.fingerprint) — exact integer match vs oracle.",
+)
+def t03_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint("text").alias("fp"))
+
+
+@register(
+    "t04_simhash",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({DUCK_TOKEN_HASHES}) AS h FROM documents
+    ), bits AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN (h >> i::INT) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM toks, range(0, 32) t(i)
+      GROUP BY doc_id, i
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN s > 0 THEN (1::BIGINT << i::INT) ELSE 0 END)::BIGINT AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    doc="32-bit SimHash signatures (operators/text.simhash32; no row "
+    "explosion on the Spark side — 32 in-row folds).",
+)
+def t04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_table(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d01_dedup_exact",
+    """
+    SELECT text, CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM documents GROUP BY text
+    """,
+    doc="exact dedup: hash-groupBy on content, min id as canonical "
+    "(operators/dedup.dedup_exact).",
+)
+def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_exact(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _duck_minhash_cte() -> str:
+    """CTE 'sigs(doc_id, perm_id, minhash)' mirroring minhash_signatures."""
+    perms = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(D.MINHASH_PERMS)
+    )
+    return f"""
+    perms(perm_id, a, b) AS (VALUES {perms}),
+    sigs AS (
+      SELECT d.doc_id, p.perm_id::BIGINT AS perm_id,
+             coalesce(list_min(list_transform({DUCK_SHINGLES},
+                      x -> (p.a * x + p.b) % {M31})), {M31})::BIGINT AS minhash
+      FROM documents d, perms p
+    )
+    """
+
+
+@register(
+    "d02_minhash_signatures",
+    f"WITH {_duck_minhash_cte()} SELECT doc_id, perm_id, minhash FROM sigs",
+    doc="k=16 MinHash signatures over 3-gram shingles with fixed integer "
+    "permutations (operators/dedup.minhash_signatures) — exact oracle match.",
+)
+def d02_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_signatures(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "d03_minhash_lsh_pairs",
+    f"""
+    WITH {_duck_minhash_cte()},
+    bands AS (
+      SELECT doc_id, (perm_id // 4) AS band,
+             string_agg(minhash::VARCHAR, ',' ORDER BY perm_id) AS band_key
+      FROM sigs GROUP BY doc_id, (perm_id // 4)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b USING (band, band_key)
+    WHERE a.doc_id < b.doc_id
+    """,
+    doc="banded MinHash-LSH candidate pairs (b=4, r=4): equi-join on band "
+    "key, no cross join (operators/dedup.lsh_candidate_pairs).",
+)
+def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = D.minhash_signatures(load(spark, sf_dir, "documents"))
+    return D.lsh_candidate_pairs(sigs, max_bucket=1_000_000)
+
+
+@register(
+    "d04_ngram_jaccard_pairs",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({DUCK_SHINGLES})) AS sh FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+           n_common::DOUBLE / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.7
+    """,
+    doc="exact n-gram Jaccard pairs >= 0.7 via shingle inverted-index join "
+    "(operators/dedup.ngram_jaccard_pairs).",
+)
+def d04_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.7
+    )
+
+
+@register(
+    "d05_simhash_near_pairs",
+    None,  # byte-blocked candidate generation is an implementation detail;
+    # rows-only here, exactness covered by t04 (signatures match oracle)
+    doc="SimHash near-dup pairs (Hamming <= 3) with byte-block candidate "
+    "generation (operators/dedup.simhash_near_pairs).",
+)
+def d05_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_pairs(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_DUCK_COS = "list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
+
+
+@register(
+    "s01_cosine_topk",
+    f"""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_DUCK_COS} AS cos
+      FROM q, embeddings c WHERE q.vec_id != c.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+    doc="brute-force cosine top-10 for 20 query vectors; integer outputs "
+    "(operators/similarity.cosine_topk).",
+)
+def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb.filter(F.col("vec_id") < 20), emb, k=10)
+
+
+@register(
+    "s02_knn_label_vote",
+    f"""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS nb_label,
+             {_DUCK_COS} AS cos
+      FROM q, embeddings c WHERE q.vec_id != c.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, nb_label,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ), votes AS (
+      SELECT query_id, nb_label, COUNT(*) AS v
+      FROM ranked WHERE rank <= 10 GROUP BY query_id, nb_label
+    ), best AS (
+      SELECT query_id, nb_label,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY v DESC, nb_label) AS rn
+      FROM votes
+    )
+    SELECT query_id, CAST(nb_label AS BIGINT) AS pred_label
+    FROM best WHERE rn = 1
+    """,
+    doc="k-NN majority-label classification over the top-10 neighbors "
+    "(operators/similarity.knn_label_vote).",
+)
+def s02_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.knn_label_vote(emb.filter(F.col("vec_id") < 20), emb, k=10)
+
+
+@register(
+    "s03_cosine_near_dup_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    """,
+    doc="embedding-cosine near-duplicate pairs (threshold 0.4 — the fixture "
+    "embeddings are near-orthogonal; real dedup would use ~0.95) "
+    "(operators/similarity.cosine_near_dup_pairs).",
+)
+def s03_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@register(
+    "s04_cosine_topk_lsh",
+    None,  # approximate by design: bucket recall differs from exact top-k
+    doc="sign-LSH bucketed approximate top-k (operators/similarity."
+    "cosine_topk_lsh) — the equi-join shape that scales; rows-only check, "
+    "recall measured in tests/test_llm_ops.py.",
+)
+def s04_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.cosine_topk_lsh(emb.filter(F.col("vec_id") < 20), emb, k=10)

@@ -1,0 +1,108 @@
+"""Semantic tests for the LLM-pipeline operators: planted near-duplicates
+must be found, unrelated text must not be; LSH recall is measured against
+the exact baseline."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from liq_stream_spark.operators import dedup as D
+from liq_stream_spark.operators import similarity as S
+from liq_stream_spark.operators import text as X
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep green forest to find food and water for the winter"
+    )
+    near = base.replace("quick", "swift").replace("winter", "summer")
+    rows = [
+        (0, base),
+        (1, near),                          # near-dup of 0
+        (2, base),                          # exact dup of 0
+        (3, "completely different content about spark query engines and "
+            "distributed columnar execution with shuffles and codegen"),
+        (4, "short text"),
+        (5, ""),                            # empty edge case
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_groups(docs):
+    out = D.dedup_exact(docs, "text", "doc_id").collect()
+    by_text = {r["text"]: r for r in out}
+    base = next(t for t in by_text if t.startswith("the quick"))
+    assert by_text[base]["n_dups"] == 2 and by_text[base]["canonical_id"] == 0
+    assert len(out) == 5  # 6 docs, one exact-dup pair
+
+
+def test_minhash_lsh_finds_planted_dups(docs):
+    sigs = D.minhash_signatures(docs)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(sigs).collect()
+    }
+    assert (0, 2) in pairs          # exact dup always collides
+    assert (0, 1) in pairs          # near-dup should collide in >=1 band
+    assert not any(3 in p for p in pairs)  # unrelated never pairs
+
+
+def test_ngram_jaccard_exact_values(docs):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert out[(0, 2)] == 1.0
+    assert 0.8 < out[(0, 1)] < 1.0
+    assert (0, 3) not in out
+
+
+def test_simhash_hamming_close_for_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_near_pairs(docs, max_hamming=32).collect()
+    }
+    assert pairs[(0, 2)] == 0
+    assert pairs[(0, 1)] <= 6
+    if (0, 3) in pairs:
+        assert pairs[(0, 3)] > pairs[(0, 1)]
+
+
+def test_quality_and_langid_edges(docs, spark):
+    q = {r["doc_id"]: r for r in X.quality_features(docs).collect()}
+    assert q[5]["n_tokens"] == 0 and q[5]["avg_token_len"] == 0.0
+    assert q[0]["n_stopwords"] > 0
+    lang = {r["doc_id"]: r["pred_lang"] for r in X.lang_id(docs).collect()}
+    assert lang[0] == "en"      # 'the'/'and'/'to' markers
+    assert lang[5] == "und"     # empty text scores zero everywhere
+
+
+def test_lsh_topk_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(queries, emb, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk_lsh(queries, emb, k=10).collect()
+    }
+    # near-orthogonal random embeddings are LSH's worst case; require the
+    # machinery to produce candidates and overlap nontrivially
+    assert len(approx) > 0
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.05, f"recall {recall}"
+
+
+def test_fingerprint_order_sensitivity(spark):
+    df = spark.createDataFrame(
+        [(0, "abcdef"), (1, "fedcba"), (2, "abcdef"), (3, "ab")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fp"] for r in
+           df.select("doc_id", X.fingerprint("text").alias("fp")).collect()}
+    assert fps[0] == fps[2]
+    assert fps[0] != fps[1]     # same chars, different order
+    assert fps[3] == 0          # shorter than the shingle width
