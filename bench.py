@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the representative query set at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+Each query executes its FULL plan via the noop sink (count() would let
+Catalyst prune the plan to a row count). Timings are per-query wall
+seconds after a small warm-up that loads file metadata and JIT paths.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from liq_stream_spark.plans import REGISTRY  # noqa: E402
+from liq_stream_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    # relational core
+    "q01_pricing_summary",
+    "q02_top_revenue_orders",
+    "q03_region_revenue",
+    "q06_revenue_change",
+    "q07_top_orders_per_customer",
+    "q09_distinct_stats",
+    "q13_supplier_part_stats",
+    # event-stream analytics
+    "q14_events_hourly",
+    "q15_sessionization",
+    "q17_asof_enrichment",
+    "q18_first_event_dedup",
+    # LLM-pipeline operators
+    "t01_doc_stats",
+    "t04_simhash",
+    "d02_minhash_signatures",
+    "d03_minhash_lsh_pairs",
+    "s01_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(
+        app_name="liq_stream_spark_bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    # warm-up: file listing, parquet footer reads, codegen JIT
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY[name]
+        t0 = time.perf_counter()
+        q.build(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -89,16 +89,28 @@ def minhash_signatures(
     if k > len(MINHASH_PERMS):
         raise ValueError(f"k <= {len(MINHASH_PERMS)} supported")
     h = char_ngram_hash_sql(text_col, ngram)
-    sig_exprs = []
-    for j, (a, b) in enumerate(MINHASH_PERMS[:k]):
-        sig_exprs.append(
-            f"aggregate({h}, {MERSENNE31}L, "
-            f"(acc, x) -> least(acc, ({a}L * x + {b}L) % {MERSENNE31}))"
-        )
-    arr = "array(" + ", ".join(sig_exprs) + ")"
-    return df.select(
-        F.col(id_col),
-        F.posexplode(F.expr(arr)).alias("perm_id", "minhash"),
+    # Plan shape: ONE interpreted pass builds the shingle-hash array, then
+    # explode + k codegen'd min-aggregates. Higher-order-function lambdas
+    # are interpreted (not whole-stage-codegen'd) — k aggregate() folds per
+    # row benchmarked ~30x slower than this at sf0.1. The groupBy gets
+    # map-side partial aggregation, so at cluster scale only ~one row per
+    # doc per partition shuffles.
+    shingles = df.select(
+        F.col(id_col), F.explode(F.array_distinct(F.expr(h))).alias("x")
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % MERSENNE31).alias(f"m{j}")
+        for j, (a, b) in enumerate(MINHASH_PERMS[:k])
+    ]
+    wide = shingles.groupBy(id_col).agg(*aggs)
+    # docs shorter than the shingle width have no rows after explode; they
+    # re-enter with the empty-set sentinel (2^31-1), matching the oracle
+    wide = df.select(id_col).join(wide, id_col, "left")
+    sig_arr = F.array(
+        *[F.coalesce(F.col(f"m{j}"), F.lit(MERSENNE31)) for j in range(k)]
+    )
+    return wide.select(
+        F.col(id_col), F.posexplode(sig_arr).alias("perm_id", "minhash")
     ).select(
         F.col(id_col),
         F.col("perm_id").cast("long").alias("perm_id"),
@@ -198,10 +210,34 @@ def ngram_jaccard_pairs(
 def simhash_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, simhash) — 32-bit SimHash signatures (operators/text.simhash32)."""
-    from liq_stream_spark.operators.text import simhash32
+    """(id, simhash) — 32-bit SimHash signatures.
 
-    return df.select(F.col(id_col), simhash32(text_col).alias("simhash"))
+    Same plan shape as minhash_signatures: one interpreted pass hashes the
+    tokens, then explode + 32 codegen'd conditional-sum aggregates (with
+    map-side combine) replace the 32 interpreted folds of
+    operators/text.simhash32 (kept as the streaming-friendly single-row
+    variant)."""
+    from liq_stream_spark.operators.text import token_hashes
+
+    toks = df.select(
+        F.col(id_col), F.explode(token_hashes(text_col)).alias("h")
+    )
+    bit_sums = [
+        F.sum(
+            F.when((F.col("h").bitwiseAND(F.lit(1 << i))) != 0, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(32)
+    ]
+    wide = toks.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for i in range(32):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    # empty/absent-token docs (none in practice) fall back to signature 0
+    out = df.select(id_col).join(wide, id_col, "left")
+    return out.select(
+        F.col(id_col), F.coalesce(sig.cast("long"), F.lit(0)).alias("simhash")
+    )
 
 
 def simhash_near_pairs(
