@@ -1,0 +1,109 @@
+"""CLI mirroring the reference's argparse surface (stream.py:15-44).
+
+Live mode consumes the websocket Python Data Sources; replay mode
+(--replay-root) streams JSONL frame files dropped into per-venue dirs —
+the dev path that works without network and exercises the identical
+normalize/dedup/sink plan.
+
+  python -m liq_stream_spark.cli --all --sink csv --outdir ./out \\
+      --replay-root ./replay
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from liq_stream_spark.session import get_spark
+from liq_stream_spark.sinks import FanOutConfig
+from liq_stream_spark.streaming.pipeline import resolve_streams, run_pipeline
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("liq-stream-spark")
+    # stream selection (S9)
+    p.add_argument("--all", action="store_true")
+    p.add_argument("--streams", help="ex:mk,ex:mk,…")
+    p.add_argument("--exchange")
+    p.add_argument("--market", default="usdt")
+    # sinks (K1)
+    p.add_argument("--sink", choices=["csv", "pg", "both", "parquet"],
+                   default="parquet")
+    p.add_argument("--no-write", action="store_true")
+    p.add_argument("--no-color", action="store_true")
+    p.add_argument("--outdir", default="./out")
+    # Postgres (K4) — env fallbacks as in the reference (stream.py:31-37)
+    p.add_argument("--pg-dsn", default=os.environ.get("PG_DSN"))
+    p.add_argument("--pg-table", default=os.environ.get("PG_TABLE", "liquidations"))
+    p.add_argument("--pg-batch", type=int,
+                   default=int(os.environ.get("PG_BATCH", "500")))
+    p.add_argument("--pg-interval", type=float,
+                   default=float(os.environ.get("PG_INTERVAL", "1.0")))
+    # bybit (S3/S4)
+    p.add_argument("--subscribe-chunk", type=int, default=100)
+    p.add_argument("--bybit-legacy", action="store_true",
+                   help="subscribe legacy liquidation.<SYM> channels")
+    # hyperliquid (S7/S8)
+    p.add_argument("--hl-root",
+                   default=os.environ.get("HL_HOURLY_ROOT",
+                                          "~/hl/data/node_fills_streaming/hourly"))
+    p.add_argument("--hl-min-sz", type=float, default=0.0)
+    p.add_argument("--hl-no-catchup", action="store_true",
+                   help="skip backfill: only files created after start")
+    # dev replay
+    p.add_argument("--replay-root",
+                   help="dir with per-venue JSONL frame subdirs — dev source")
+    p.add_argument("--checkpoint", default="./checkpoint")
+    p.add_argument("--dedup-watermark", default="10 minutes")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    pairs = resolve_streams(args.all, args.streams, args.exchange, args.market)
+    spark = get_spark(app_name="liq_stream_spark_cli")
+
+    sink = FanOutConfig(console=True, console_color=not args.no_color)
+    if not args.no_write:
+        if args.sink in ("csv", "both"):
+            sink.csv_path = os.path.join(args.outdir, "csv")
+        if args.sink == "parquet":
+            sink.parquet_path = os.path.join(args.outdir, "parquet")
+        if args.sink in ("pg", "both"):
+            if not args.pg_dsn:
+                raise SystemExit("--sink pg requires --pg-dsn / PG_DSN")
+            sink.jdbc_url = args.pg_dsn
+            sink.jdbc_table = args.pg_table
+
+    if args.replay_root:
+        source_dirs = {
+            ex: (os.path.expanduser(args.hl_root)
+                 if ex == "hyperliquid"
+                 else os.path.join(args.replay_root, ex))
+            for ex, _ in pairs
+        }
+    else:
+        # live websocket mode: register the Python Data Source and point
+        # each venue at it (raw frames; normalizers run downstream)
+        from liq_stream_spark.sources.ws_datasource import register
+
+        register(spark)
+        raise SystemExit(
+            "live websocket mode requires the 'websockets' package; "
+            "use --replay-root for the file-replay source in this environment"
+        )
+
+    query = run_pipeline(
+        spark,
+        pairs,
+        source_dirs,
+        sink,
+        checkpoint_dir=args.checkpoint,
+        trigger_seconds=args.pg_interval,
+        dedup_watermark=args.dedup_watermark or None,
+    )
+    query.awaitTermination()
+
+
+if __name__ == "__main__":
+    main()

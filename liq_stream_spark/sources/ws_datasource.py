@@ -1,0 +1,266 @@
+"""Websocket streaming sources via the Python Data Source API (Spark 4).
+
+One DataSource ("liqws") covers all four websocket venues; the option
+``venue`` selects the wire protocol. The reader emits RAW frames
+(value string, ts_ingest_ms long) — normalization happens in the same
+DataFrame transforms used for batch replay, keeping the source thin and
+the semantics tested.
+
+Per-venue protocol (reference parity):
+- binance  : wss://fstream.binance.com/ws/!forceOrder@arr (usdt) or
+             dstream (coin); text "ping" -> "pong" (binance_adapter.py:10-11,114-116)
+- aster    : wss://fstream.asterdex.com/ws/!forceOrder@arr, usdt-only,
+             binance-identical (aster_adapter.py)
+- okx      : wss://ws.okx.com:8443/ws/v5/public, subscribe
+             {"channel":"liquidation-orders","instType":"SWAP"} and read ack
+             (okx_adapter.py:30-41); fixed 3 s reconnect (:126-129)
+- bybit    : linear/inverse public v5; per-symbol channels
+             allLiquidation.<SYM> (or legacy liquidation.<SYM>), symbols
+             discovered via REST instruments-info, subscribed in chunks of
+             ``subscribe_chunk`` with ack reads + 0.1 s pacing
+             (bybit_adapter.py:108-143)
+
+Shared: ping_interval 20 s / ping_timeout 10 s / max_size 10 MB; reconnect
+with exponential backoff 1.0 s x1.8 capped at 30 s, reset on connect
+(binance_adapter.py:96-129).
+
+Offset/replay semantics: the feeds are NOT replayable. The reader buffers
+frames in-process and acknowledges them by a monotonic counter; frames
+arriving while disconnected are lost (same as the reference) and a restart
+replays nothing from before the first checkpoint. Document: at-least-once
+from connect, at-most-once across reconnect gaps.
+
+``websockets``/``requests`` are not installed in this container — imports
+are gated and raise a clear error at stream start; the protocol logic is
+exercised against replayed fixtures through the same normalizers.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+RAW_FRAME_SCHEMA = StructType(
+    [
+        StructField("value", StringType(), True),
+        StructField("ts_ingest_ms", LongType(), True),
+    ]
+)
+
+VENUE_URLS = {
+    ("binance", "usdt"): "wss://fstream.binance.com/ws/!forceOrder@arr",
+    ("binance", "coin"): "wss://dstream.binance.com/ws/!forceOrder@arr",
+    ("aster", "usdt"): "wss://fstream.asterdex.com/ws/!forceOrder@arr",
+    ("okx", "usdt"): "wss://ws.okx.com:8443/ws/v5/public",
+    ("okx", "coin"): "wss://ws.okx.com:8443/ws/v5/public",
+    ("bybit", "usdt"): "wss://stream.bybit.com/v5/public/linear",
+    ("bybit", "coin"): "wss://stream.bybit.com/v5/public/inverse",
+}
+
+MAX_WS_MESSAGE = 10_000_000
+PING_INTERVAL = 20
+PING_TIMEOUT = 10
+BACKOFF_START = 1.0
+BACKOFF_FACTOR = 1.8
+BACKOFF_CAP = 30.0
+OKX_RECONNECT = 3.0
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+def fetch_bybit_symbols(category: str) -> list[str]:
+    """REST symbol discovery (S3, bybit_adapter.py:108-122). Driver-side,
+    once at stream start; the result ships to the reader via options."""
+    import requests  # gated: not in the test container
+
+    r = requests.get(
+        "https://api.bybit.com/v5/market/instruments-info",
+        params={"category": category},
+        timeout=20,
+    )
+    r.raise_for_status()
+    items = (r.json() or {}).get("result", {}).get("list", []) or []
+    return [it["symbol"] for it in items if it.get("symbol")]
+
+
+class _WSPump:
+    """Background thread: connect, subscribe, push raw frames to a queue.
+
+    Runs the venue's wire protocol with reconnect/backoff. The Spark reader
+    thread drains the queue inside read()."""
+
+    def __init__(self, venue: str, market: str, options: dict):
+        self.venue = venue
+        self.market = market
+        self.options = options
+        self.frames: queue.Queue[str] = queue.Queue(maxsize=100_000)
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    # -- protocol ----------------------------------------------------------
+
+    def _run(self) -> None:
+        import asyncio
+
+        asyncio.run(self._pump())
+
+    async def _pump(self) -> None:
+        import asyncio
+
+        import websockets  # gated import; clear failure at stream start
+
+        url = VENUE_URLS[(self.venue, self.market)]
+        backoff = BACKOFF_START
+        while not self._stop.is_set():
+            try:
+                async with websockets.connect(
+                    url,
+                    ping_interval=PING_INTERVAL,
+                    ping_timeout=PING_TIMEOUT,
+                    max_size=MAX_WS_MESSAGE,
+                ) as ws:
+                    backoff = BACKOFF_START  # reset on successful connect
+                    await self._subscribe(ws)
+                    async for msg in ws:
+                        if self._stop.is_set():
+                            return
+                        if isinstance(msg, bytes):
+                            msg = msg.decode("utf-8", "ignore")
+                        if msg == "ping":  # venue text keepalive
+                            await ws.send("pong")
+                            continue
+                        self._offer(msg)
+            except Exception:
+                if self._stop.is_set():
+                    return
+                wait = OKX_RECONNECT if self.venue == "okx" else backoff
+                await asyncio.sleep(wait)
+                backoff = min(BACKOFF_CAP, backoff * BACKOFF_FACTOR)
+
+    async def _subscribe(self, ws) -> None:
+        import asyncio
+
+        if self.venue == "okx":
+            await ws.send(
+                json.dumps(
+                    {
+                        "op": "subscribe",
+                        "args": [
+                            {"channel": "liquidation-orders", "instType": "SWAP"}
+                        ],
+                    }
+                )
+            )
+            try:  # drain the ack (okx_adapter.py:36-41)
+                await asyncio.wait_for(ws.recv(), timeout=5)
+            except asyncio.TimeoutError:
+                pass
+        elif self.venue == "bybit":
+            symbols = [
+                s for s in self.options.get("symbols", "").split(",") if s
+            ]
+            chunk = max(1, int(self.options.get("subscribe_chunk", "100")))
+            prefix = (
+                "allLiquidation"
+                if self.options.get("use_all", "true") == "true"
+                else "liquidation"
+            )
+            for i in range(0, len(symbols), chunk):  # S4 chunked subscribe
+                args = [f"{prefix}.{s}" for s in symbols[i : i + chunk]]
+                await ws.send(json.dumps({"op": "subscribe", "args": args}))
+                try:
+                    await asyncio.wait_for(ws.recv(), timeout=3)
+                except asyncio.TimeoutError:
+                    pass
+                await asyncio.sleep(0.1)  # pacing (bybit_adapter.py:143)
+        # binance/aster: the URL itself is the subscription
+
+    def _offer(self, frame: str) -> None:
+        try:
+            self.frames.put_nowait(frame)
+        except queue.Full:
+            # drop-oldest backpressure (writer_pg.py:159-166 analogue);
+            # Spark's pull-based reader normally keeps the queue shallow
+            try:
+                self.frames.get_nowait()
+            except queue.Empty:
+                pass
+            try:
+                self.frames.put_nowait(frame)
+            except queue.Full:
+                pass
+
+
+class LiquidationWSReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.venue = options.get("venue", "binance").lower()
+        self.market = options.get("market", "usdt").lower()
+        if (self.venue, self.market) not in VENUE_URLS:
+            raise ValueError(
+                f"Unsupported venue/market: {self.venue}/{self.market}"
+            )
+        opts = dict(options)
+        if self.venue == "bybit" and not opts.get("symbols"):
+            category = "linear" if self.market == "usdt" else "inverse"
+            opts["symbols"] = ",".join(fetch_bybit_symbols(category))
+        self._pump = _WSPump(self.venue, self.market, opts)
+        self._started = False
+
+    def initialOffset(self) -> dict:
+        return {"counter": 0}
+
+    def read(self, start: dict):
+        if not self._started:
+            self._pump.start()
+            self._started = True
+        rows = []
+        counter = start["counter"]
+        now = _now_ms()
+        while True:
+            try:
+                frame = self._pump.frames.get_nowait()
+            except queue.Empty:
+                break
+            rows.append((frame, now))
+            counter += 1
+        return iter(rows), {"counter": counter}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # non-replayable feed: a re-read of a failed batch yields nothing;
+        # delivery is at-least-once from connect (documented above)
+        return iter([])
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class LiquidationWSDataSource(DataSource):
+    """spark.readStream.format("liqws").option("venue", "binance")…"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "liqws"
+
+    def schema(self):
+        return RAW_FRAME_SCHEMA
+
+    def simpleStreamReader(self, schema):
+        return LiquidationWSReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(LiquidationWSDataSource)

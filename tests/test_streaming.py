@@ -1,0 +1,182 @@
+"""Streaming semantics tests (SURVEY.md §5.3): the SAME normalizers under
+Structured Streaming — file-drop micro-batches, watermarked dedup across
+batches, checkpoint restart idempotence, and the partitioned sink layout."""
+
+import json
+import shutil
+import time
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from liq_stream_spark.sinks import FanOutConfig
+from liq_stream_spark.streaming.pipeline import (
+    dedup_within_watermark,
+    resolve_streams,
+    run_pipeline,
+    stream_venue,
+)
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+
+def _drain(query):
+    query.processAllAvailable()
+
+
+def test_resolve_streams_guards():
+    assert ("aster", "usdt") in resolve_streams(all_=True)
+    assert resolve_streams(streams="aster:coin") == [("aster", "usdt")]
+    assert resolve_streams(streams="hyperliquid:usdt") == [("hyperliquid", "usdc")]
+    assert resolve_streams(exchange="binance", market="coin") == [("binance", "coin")]
+    with pytest.raises(ValueError):
+        resolve_streams(streams="kraken:usdt")
+    with pytest.raises(ValueError):
+        resolve_streams()
+
+
+def test_stream_normalize_memory_sink(spark, tmp_path):
+    src = tmp_path / "binance"
+    src.mkdir()
+    shutil.copy(FIXTURES / "binance_force_order.jsonl", src / "b1.jsonl")
+
+    liq = stream_venue(spark, "binance", "usdt", str(src))
+    q = (
+        liq.writeStream.format("memory")
+        .queryName("liq_stream_t1")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        _drain(q)
+        got = spark.sql("SELECT * FROM liq_stream_t1").collect()
+        assert len(got) == 5  # same rows as the batch golden test
+
+        # drop a second file -> next micro-batch picks it up (S7/S8 shape)
+        extra = {
+            "e": "forceOrder", "E": 1710000100000,
+            "o": {"s": "OPUSDT", "S": "SELL", "q": "7", "p": "2.5",
+                  "ap": "2.6", "l": "7", "z": "7", "T": 1710000100123},
+        }
+        (src / "b2.jsonl").write_text(json.dumps(extra) + "\n")
+        _drain(q)
+        got2 = spark.sql("SELECT symbol FROM liq_stream_t1").collect()
+        assert len(got2) == 6
+        assert any(r["symbol"] == "OPUSDT" for r in got2)
+    finally:
+        q.stop()
+
+
+def test_watermark_dedup_across_microbatches(spark, tmp_path):
+    src = tmp_path / "hl" / "20250923"
+    src.mkdir(parents=True)
+    line = (FIXTURES / "hyperliquid_fills.jsonl").read_text().splitlines()[0]
+    (src / "0").write_text(line + "\n")
+
+    liq = stream_venue(spark, "hyperliquid", "usdc", str(tmp_path / "hl"))
+    deduped = dedup_within_watermark(liq, "10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("liq_stream_t2")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        _drain(q)
+        assert spark.sql("SELECT * FROM liq_stream_t2").count() == 1
+        # same fill arrives again in a LATER hour file (tail/backfill overlap,
+        # the exact scenario the reference's ring handles at :268-272)
+        (src / "1").write_text(line + "\n")
+        _drain(q)
+        assert spark.sql("SELECT * FROM liq_stream_t2").count() == 1  # deduped
+    finally:
+        q.stop()
+
+
+def test_checkpoint_restart_no_duplicates(spark, tmp_path):
+    src = tmp_path / "okx"
+    src.mkdir()
+    shutil.copy(FIXTURES / "okx_liquidation_orders.jsonl", src / "f1.jsonl")
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    sink = FanOutConfig(parquet_path=str(out / "parquet"))
+
+    q = run_pipeline(
+        spark, [("okx", "usdt")], {"okx": str(src)}, sink,
+        checkpoint_dir=ckpt, dedup_watermark=None,
+    )
+    try:
+        _drain(q)
+    finally:
+        q.stop()
+    first = spark.read.parquet(str(out / "parquet")).count()
+    assert first == 4
+
+    # restart from the same checkpoint: already-committed files must not
+    # be reprocessed (exactly-once upgrade over the reference, §2.7)
+    q2 = run_pipeline(
+        spark, [("okx", "usdt")], {"okx": str(src)}, sink,
+        checkpoint_dir=ckpt, dedup_watermark=None,
+    )
+    try:
+        _drain(q2)
+        # and new data after restart flows through
+        extra = {
+            "arg": {"channel": "liquidation-orders", "instType": "SWAP"},
+            "data": [{"instType": "SWAP", "instId": "DOGE-USDT-SWAP",
+                      "details": [{"posSide": "long", "side": "sell",
+                                   "bkPx": "0.2", "fillPx": "0.21",
+                                   "sz": "50", "ts": "1710000009123"}]}],
+        }
+        (src / "f2.jsonl").write_text(json.dumps(extra) + "\n")
+        _drain(q2)
+    finally:
+        q2.stop()
+    df = spark.read.parquet(str(out / "parquet"))
+    assert df.count() == 5
+    assert df.filter(F.col("symbol") == "DOGE-USDT-SWAP").count() == 1
+    # K3/K5 layout: partition dirs by exchange/market/date
+    parts = {p.name for p in (out / "parquet").iterdir() if p.is_dir()}
+    assert parts == {"exchange=okx"}
+
+
+def test_fanout_multi_sink(spark, tmp_path):
+    src = tmp_path / "bybit"
+    src.mkdir()
+    shutil.copy(FIXTURES / "bybit_liquidation.jsonl", src / "f1.jsonl")
+    out = tmp_path / "out2"
+    sink = FanOutConfig(
+        parquet_path=str(out / "parquet"), csv_path=str(out / "csv")
+    )
+    q = run_pipeline(
+        spark, [("bybit", "usdt")], {"bybit": str(src)}, sink,
+        checkpoint_dir=str(tmp_path / "ckpt2"), dedup_watermark=None,
+    )
+    try:
+        _drain(q)
+    finally:
+        q.stop()
+    pq = spark.read.parquet(str(out / "parquet"))
+    assert pq.count() == 8
+    csv_files = list((out / "csv").rglob("*.csv"))
+    assert csv_files, "csv partition files written"
+    # daily-rotation analogue: a date= partition level exists (ST3/K3)
+    assert any("date=" in str(p) for p in csv_files)
+
+
+def test_ws_datasource_registers(spark):
+    from liq_stream_spark.sources.ws_datasource import (
+        LiquidationWSDataSource,
+        VENUE_URLS,
+        register,
+    )
+
+    register(spark)  # must not raise; format resolution happens lazily
+    assert ("binance", "usdt") in VENUE_URLS
+    assert LiquidationWSDataSource.name() == "liqws"
+    # reader construction validates venue/market
+    from liq_stream_spark.sources.ws_datasource import LiquidationWSReader
+
+    with pytest.raises(ValueError):
+        LiquidationWSReader({"venue": "kraken", "market": "usdt"})
