@@ -1,0 +1,191 @@
+"""Property-based tests (hypothesis) for the subtle per-row semantics
+(SURVEY.md §5.4, §7.4): truthiness coalescing, the seconds/ms/ISO
+timestamp heuristic, and normalization never throwing on arbitrary
+venue-shaped payloads.
+
+Strategy: generate values in PYTHON, compute the reference semantics in
+Python (the spec), and run the Spark expression over the same values in
+one batch — one Spark job per property, not per example.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from liq_stream_spark.functions import to_ms, truthy_double
+from liq_stream_spark.operators import normalize_binance
+
+# ---------------------------------------------------------------------------
+# reference implementations (the spec, transcribed from the survey)
+# ---------------------------------------------------------------------------
+
+
+def ref_truthy_float(*vals):
+    """float(a or b or ... or 0.0) with float() failure -> None (skip)."""
+    chosen = None
+    for v in vals:
+        if v:
+            chosen = v
+            break
+    if chosen is None:
+        chosen = 0.0
+    try:
+        return float(chosen)
+    except (TypeError, ValueError):
+        return None
+
+
+def ref_to_ms(ts):
+    if ts is None:
+        return None
+    try:
+        v = float(ts)
+        if math.isnan(v) or math.isinf(v):
+            return None
+        return int(v * 1000) if v < 1e12 else int(v)
+    except (TypeError, ValueError):
+        pass
+    try:
+        from datetime import datetime, timezone
+
+        s = str(ts).rstrip("Z")
+        dt = datetime.fromisoformat(s)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)  # container TZ is UTC
+        return int(dt.timestamp() * 1000)
+    except (TypeError, ValueError):
+        return None
+
+
+# ---------------------------------------------------------------------------
+
+wire_numbers = st.one_of(
+    st.none(),
+    st.just(""),
+    st.sampled_from(["0", "0.0", "-0", "00.5"]),
+    st.floats(
+        min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+    ).map(lambda f: f"{f!r}"),
+    st.integers(min_value=0, max_value=10**15).map(str),
+    st.sampled_from(["abc", " 1", "1_0", "1e3", "NaN", "inf"]),
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(wire_numbers, wire_numbers), min_size=1, max_size=40))
+def test_truthy_double_matches_python_or_chain(spark, pairs):
+    expected = [ref_truthy_float(a, b) for a, b in pairs]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in pairs], "a string, b string"
+    )
+    from pyspark.sql import functions as F
+
+    got = [
+        r["x"]
+        for r in df.select(
+            # bare strings are column names; literals must be F.lit
+            truthy_double("a", "b", F.lit("0.0")).alias("x")
+        ).collect()
+    ]
+    def chosen(a, b):
+        return a if a else (b if b else "0.0")
+
+    for (a, b), e, g in zip(pairs, expected, got):
+        c = chosen(a, b)
+        if e is None:
+            # Python float() raised -> reference skips the row; Spark
+            # signals the same with NULL (callers drop or default)
+            assert g is None, (a, b, g)
+        elif "_" in c or c.lower() in ("nan", "inf", "-inf", "infinity"):
+            # documented deviations: Python parses underscore literals and
+            # nan/inf words; SQL try_cast doesn't (wire feeds never send
+            # these). Spark yields NULL -> row skipped instead of kept.
+            assert g is None or g == e or math.isnan(e), (a, b, e, g)
+        else:
+            assert g == e, (a, b, e, g)
+
+
+ts_values = st.one_of(
+    st.none(),
+    st.just(""),
+    st.integers(min_value=0, max_value=3 * 10**12).map(str),
+    st.integers(min_value=0, max_value=2 * 10**9).map(str),   # seconds range
+    st.floats(min_value=0, max_value=2e12, allow_nan=False,
+              allow_infinity=False).map(lambda f: f"{f:.3f}"),
+    st.datetimes(
+        min_value=__import__("datetime").datetime(1990, 1, 1),
+        max_value=__import__("datetime").datetime(2100, 1, 1),
+    ).map(lambda d: d.isoformat() + "Z"),
+    st.sampled_from(["not a ts", "2025-13-45T99:99:99"]),
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(ts_values, min_size=1, max_size=40))
+def test_to_ms_matches_reference_heuristic(spark, values):
+    expected = [ref_to_ms(v) for v in values]
+    df = spark.createDataFrame([(v,) for v in values], "ts string")
+    got = [r["ms"] for r in df.select(to_ms("ts").alias("ms")).collect()]
+    for v, e, g in zip(values, expected, got):
+        assert g == e, (v, e, g)
+
+
+order_fields = st.fixed_dictionaries(
+    {},
+    optional={
+        "s": st.sampled_from(["BTCUSDT", "", "X"]),
+        "S": st.sampled_from(["BUY", "SELL", "buy", "HOLD", ""]),
+        "q": wire_numbers,
+        "p": wire_numbers,
+        "ap": wire_numbers,
+        "l": wire_numbers,
+        "z": wire_numbers,
+        "T": st.integers(min_value=0, max_value=2**40),
+    },
+)
+
+frames = st.one_of(
+    st.fixed_dictionaries(
+        {}, optional={
+            "e": st.just("forceOrder"),
+            "E": st.integers(min_value=0, max_value=2**40),
+            "o": order_fields,
+        }
+    ),
+    st.lists(
+        st.fixed_dictionaries(
+            {}, optional={
+                "E": st.integers(min_value=0, max_value=2**40),
+                "o": order_fields,
+            }
+        ),
+        max_size=3,
+    ),
+    st.just("ping"),
+    st.just("{not json"),
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(frames, min_size=1, max_size=10))
+def test_normalize_binance_never_throws_and_invariants(spark, frame_list):
+    lines = [
+        (f if isinstance(f, str) else json.dumps(f),) for f in frame_list
+    ]
+    df = spark.createDataFrame(lines, "value string").withColumn(
+        "ts_ingest_ms", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(1)
+    )
+    rows = normalize_binance(df).collect()
+    for r in rows:
+        assert r["side"] in ("long", "short", None)
+        assert r["exchange"] == "binance" and r["market"] == "usdt"
+        # notional invariant (N16): price*qty when both truthy, else NULL
+        if r["notional"] is not None:
+            assert r["price"] and r["qty"]
+            assert r["notional"] == r["price"] * r["qty"]
+        else:
+            assert not r["price"] or not r["qty"]
+        assert r["qty"] is not None and r["price"] is not None
