@@ -31,7 +31,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from liq_stream_spark.operators.text import MASK32, char_ngram_hash_sql
+from liq_stream_spark.operators.text import (
+    MASK32,
+    char_ngram_hash_sql,  # noqa: F401 — re-exported for oracle builders
+    char_ngram_hashes_fast,
+)
 
 MERSENNE31 = 2147483647  # 2^31 - 1
 
@@ -88,15 +92,15 @@ def minhash_signatures(
     sentinel, same in the oracle)."""
     if k > len(MINHASH_PERMS):
         raise ValueError(f"k <= {len(MINHASH_PERMS)} supported")
-    h = char_ngram_hash_sql(text_col, ngram)
-    # Plan shape: ONE interpreted pass builds the shingle-hash array, then
+    # Plan shape: ONE vectorized pass builds the shingle-hash array, then
     # explode + k codegen'd min-aggregates. Higher-order-function lambdas
     # are interpreted (not whole-stage-codegen'd) — k aggregate() folds per
     # row benchmarked ~30x slower than this at sf0.1. The groupBy gets
     # map-side partial aggregation, so at cluster scale only ~one row per
     # doc per partition shuffles.
     shingles = df.select(
-        F.col(id_col), F.explode(F.array_distinct(F.expr(h))).alias("x")
+        F.col(id_col),
+        F.explode(F.array_distinct(char_ngram_hashes_fast(text_col, ngram))).alias("x"),
     )
     aggs = [
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % MERSENNE31).alias(f"m{j}")
@@ -179,9 +183,9 @@ def ngram_jaccard_pairs(
     intersection counts -> |A ∪ B| = |A| + |B| - |A ∩ B|. The shingle join
     shuffles on the shingle hash (analogous to an inverted index); document
     set sizes ride along via a broadcast-joined per-doc count."""
-    h = char_ngram_hash_sql(text_col, ngram)
     shingles = df.select(
-        F.col(id_col), F.explode(F.array_distinct(F.expr(h))).alias("sh")
+        F.col(id_col),
+        F.explode(F.array_distinct(char_ngram_hashes_fast(text_col, ngram))).alias("sh"),
     )
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = shingles.select(F.col(id_col).alias("id_a"), "sh")

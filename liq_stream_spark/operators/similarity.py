@@ -42,6 +42,33 @@ def cosine(a: str, b: str) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+try:  # Arrow fast path; expression fallback keeps the operator dependency-free
+    import numpy as np
+    import pandas as pd
+except ImportError:  # pragma: no cover
+    np = None
+    pd = None
+
+
+def cosine_fast(a: str, b: str) -> Column:
+    """Arrow-vectorized cosine. CAVEAT: numpy sums pairwise, so the result
+    can differ from the sequential-fold ``cosine`` in the last ULP — use it
+    where scores feed rankings/thresholds (integer or set outputs), not
+    where the raw double itself is compared against an engine oracle."""
+    if pd is None or np is None:
+        return cosine(a, b)
+
+    @F.pandas_udf("double")
+    def _cos(av: pd.Series, bv: pd.Series) -> pd.Series:
+        am = np.stack(av.to_numpy()).astype(np.float64)
+        bm = np.stack(bv.to_numpy()).astype(np.float64)
+        num = (am * bm).sum(axis=1)
+        den = np.sqrt((am * am).sum(axis=1)) * np.sqrt((bm * bm).sum(axis=1))
+        return pd.Series(num / den)
+
+    return _cos(a, b)
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -65,7 +92,7 @@ def cosine_topk(
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine("qv", "cv"))
+        .withColumn("cos", cosine_fast("qv", "cv"))
     )
     w = W.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id")
@@ -178,7 +205,7 @@ def cosine_topk_lsh(
         .select("query_id", "qv", "neighbor_id", "cv")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn("cos", cosine("qv", "cv"))
+    scored = cand.withColumn("cos", cosine_fast("qv", "cv"))
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -205,7 +232,7 @@ def cosine_near_dup_pairs(
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine("va", "vb"))
+        .withColumn("cos", cosine_fast("va", "vb"))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b")
     )

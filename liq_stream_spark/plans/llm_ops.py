@@ -33,8 +33,9 @@ M31 = D.MERSENNE31
 # n=3 char shingle hashes of `text`
 DUCK_SHINGLES = (
     "list_transform(range(1, greatest(length(text)-2, 0)+1), "
-    "i -> (ascii(substr(text, i::INT, 1))*17161 + ascii(substr(text, i::INT+1, 1))*131 "
-    f"+ ascii(substr(text, i::INT+2, 1))) % {M32})"
+    "i -> (ascii(substr(text, i::INT, 1))::BIGINT*17161 "
+    "+ ascii(substr(text, i::INT+1, 1))::BIGINT*131 "
+    f"+ ascii(substr(text, i::INT+2, 1))::BIGINT) % {M32})"
 )
 
 # whitespace-token polynomial hashes of `text`
@@ -121,9 +122,9 @@ def t02_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            (CASE WHEN length(text) < 3 THEN 0
                  ELSE list_sum(list_transform(range(1, greatest(length(text)-2, 0)+1),
-                      i -> i * ((ascii(substr(text, i::INT, 1))*17161
-                               + ascii(substr(text, i::INT+1, 1))*131
-                               + ascii(substr(text, i::INT+2, 1))) % {M32}))) % {M32}
+                      i -> i * ((ascii(substr(text, i::INT, 1))::BIGINT*17161
+                               + ascii(substr(text, i::INT+1, 1))::BIGINT*131
+                               + ascii(substr(text, i::INT+2, 1))::BIGINT) % {M32}))) % {M32}
             END)::BIGINT AS fp
     FROM documents
     """,
