@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Streaming throughput micro-bench (BASELINE.md self-imposed target:
+sustain >= the reference's implied sink ceiling, 500 rows/s/stream at
+batch=500 / 1 s flush).
+
+Replays N synthetic Binance forceOrder frames (array frames of 10 events)
+through the full pipeline — file source -> normalizer -> watermark dedup ->
+checkpointed parquet fan-out — and reports end-to-end rows/sec. Prints one
+JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from liq_stream_spark.session import get_spark  # noqa: E402
+from liq_stream_spark.sinks import FanOutConfig  # noqa: E402
+from liq_stream_spark.streaming.pipeline import run_pipeline  # noqa: E402
+
+N_EVENTS = int(os.environ.get("STREAM_BENCH_EVENTS", "100000"))
+EVENTS_PER_FRAME = 10
+FRAMES_PER_FILE = 500
+
+
+def gen_frames(root: str) -> int:
+    os.makedirs(root, exist_ok=True)
+    n = 0
+    fidx = 0
+    while n < N_EVENTS:
+        lines = []
+        for _ in range(FRAMES_PER_FILE):
+            events = []
+            for _ in range(EVENTS_PER_FRAME):
+                ts = 1710000000000 + n
+                events.append(
+                    {
+                        "e": "forceOrder",
+                        "E": ts,
+                        "o": {
+                            "s": f"SYM{n % 200}USDT",
+                            "S": "SELL" if n % 2 else "BUY",
+                            "q": "1.5",
+                            "p": f"{100 + (n % 1000)}.25",
+                            "ap": f"{100 + (n % 1000)}.50",
+                            "l": "1.5",
+                            "z": "1.5",
+                            "T": ts,
+                        },
+                    }
+                )
+                n += 1
+            lines.append(json.dumps(events, separators=(",", ":")))
+            if n >= N_EVENTS:
+                break
+        with open(os.path.join(root, f"frames_{fidx:05d}.jsonl"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        fidx += 1
+    return n
+
+
+def main() -> None:
+    work = tempfile.mkdtemp(prefix="liq_stream_bench_")
+    src = os.path.join(work, "binance")
+    out = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    total = gen_frames(src)
+
+    spark = get_spark(
+        app_name="liq_stream_spark_stream_bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    sink = FanOutConfig(parquet_path=out)
+    t0 = time.perf_counter()
+    q = run_pipeline(
+        spark,
+        [("binance", "usdt")],
+        {"binance": src},
+        sink,
+        checkpoint_dir=ckpt,
+        trigger_seconds=1.0,
+        dedup_watermark="10 minutes",
+    )
+    q.processAllAvailable()
+    q.stop()
+    elapsed = time.perf_counter() - t0
+    written = spark.read.parquet(out).count()
+    print(
+        json.dumps(
+            {
+                "metric": "streaming_rows_per_sec",
+                "value": round(written / elapsed, 1),
+                "unit": "rows/sec",
+                "rows": written,
+                "generated": total,
+                "elapsed_sec": round(elapsed, 2),
+            }
+        )
+    )
+    spark.stop()
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

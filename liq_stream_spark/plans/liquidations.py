@@ -82,3 +82,48 @@ def liq_venue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_notional"),
         )
     )
+
+
+@register(
+    "liq_top_by_notional",
+    None,
+    doc="largest liquidations per venue (window top-k over the union) — "
+    "the CHANGELOG's awk-dashboard analogue as a first-class query.",
+)
+def liq_top_by_notional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    liq = unified_liquidations(spark)
+    w = W.partitionBy("exchange").orderBy(
+        F.desc_nulls_last("notional"), F.asc("symbol"), F.asc("ts_exch_ms")
+    )
+    return (
+        liq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "exchange", "symbol", "side", "qty", "price", "notional",
+            "ts_exch_ms", F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+@register(
+    "liq_hourly_by_symbol",
+    None,
+    doc="tumbling 1h event-time windows per symbol over the union — the "
+    "streaming windowed-agg shape (q14) applied to the liquidation domain.",
+)
+def liq_hourly_by_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    liq = unified_liquidations(spark)
+    hour = F.date_trunc("hour", F.timestamp_millis(F.col("ts_exch_ms")))
+    return (
+        liq.filter(F.col("ts_exch_ms").isNotNull())
+        .groupBy(hour.alias("hour"), "exchange", "symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_liqs"),
+            F.sum(F.col("notional").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("hourly_notional"),
+            F.max("qty").alias("max_qty"),
+        )
+    )

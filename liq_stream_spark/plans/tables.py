@@ -7,6 +7,9 @@ from pyspark.sql import functions as F
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # timestamp semantics must match the UTC-naive DuckDB oracle even on a
+    # caller session pinned to another zone (runtime-settable conf)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is TIMESTAMP(NANOS) parquet — unreadable without this
         # (runtime-settable); get_spark sets it too, but the driver may hand

@@ -1,0 +1,59 @@
+"""Canonical-store layout management.
+
+The reference creates two Postgres indexes — (ts_exch_ms) and
+(exchange, market, symbol, ts_exch_ms) (writer_pg.py:38-57). In a parquet
+lake the same query intent is served by LAYOUT, not indexes:
+
+- partition dirs on (exchange, market, date)  -> partition pruning for the
+  index's leading columns and all time-range scans at day granularity
+- within each partition, files sorted by (symbol, ts_exch_ms) -> parquet
+  row-group min/max statistics prune symbol and intra-day time predicates
+  (the poor man's Z-order; real clustering would use Delta/Iceberg, whose
+  jars aren't in this container)
+
+``compact_store`` rewrites a streaming-append directory (many tiny
+micro-batch files) into that layout — the standard small-files compaction
+job every streaming lake needs. At 100 TB this runs per partition
+(WHERE date = ...), embarrassingly parallel across days.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from liq_stream_spark.sinks import with_date
+
+
+def compact_store(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    files_per_partition: int = 1,
+) -> None:
+    df = spark.read.parquet(src_path)
+    if "date" not in df.columns:
+        df = with_date(df)
+    (
+        df.repartition(files_per_partition, "exchange", "market", "date")
+        .sortWithinPartitions("symbol", "ts_exch_ms")
+        .write.mode("overwrite")
+        .partitionBy("exchange", "market", "date")
+        .parquet(dst_path)
+    )
+
+
+def read_store(
+    spark: SparkSession,
+    path: str,
+    exchange: str | None = None,
+    market: str | None = None,
+    date: str | None = None,
+) -> DataFrame:
+    """Partition-pruned read; predicates on the partition columns never
+    touch non-matching files."""
+    df = spark.read.parquet(path)
+    for col, val in (("exchange", exchange), ("market", market), ("date", date)):
+        if val is not None:
+            df = df.filter(F.col(col) == val)
+    return df
