@@ -38,6 +38,7 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # importing the modules populates REGISTRY
 from liq_stream_spark.plans import relational  # noqa: E402,F401
 from liq_stream_spark.plans import relational2  # noqa: E402,F401
+from liq_stream_spark.plans import relational3  # noqa: E402,F401
 from liq_stream_spark.plans import events  # noqa: E402,F401
 from liq_stream_spark.plans import liquidations  # noqa: E402,F401
 from liq_stream_spark.plans import llm_ops  # noqa: E402,F401

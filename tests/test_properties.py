@@ -183,9 +183,14 @@ def test_normalize_binance_never_throws_and_invariants(spark, frame_list):
         assert r["side"] in ("long", "short", None)
         assert r["exchange"] == "binance" and r["market"] == "usdt"
         # notional invariant (N16): price*qty when both truthy, else NULL
+        # (NaN wire values propagate — float('NaN') is truthy in the
+        # reference too, so a NaN notional is faithful behavior)
         if r["notional"] is not None:
             assert r["price"] and r["qty"]
-            assert r["notional"] == r["price"] * r["qty"]
+            prod = r["price"] * r["qty"]
+            assert r["notional"] == prod or (
+                math.isnan(r["notional"]) and math.isnan(prod)
+            )
         else:
             assert not r["price"] or not r["qty"]
         assert r["qty"] is not None and r["price"] is not None
