@@ -1,9 +1,14 @@
 """CLI mirroring the reference's argparse surface (stream.py:15-44).
 
-Live mode consumes the websocket Python Data Sources; replay mode
-(--replay-root) streams JSONL frame files dropped into per-venue dirs —
-the dev path that works without network and exercises the identical
-normalize/dedup/sink plan.
+Live mode consumes the websocket Python Data Sources (requires the
+``websockets`` package); replay mode (--replay-root) streams JSONL frame
+files dropped into per-venue dirs — the dev path that works without
+network and exercises the identical normalize/dedup/sink plan.
+
+Replay layout: ``{replay_root}/{exchange}`` for single-market venues, or
+``{replay_root}/{exchange}_{market}`` when one venue streams under two
+markets (each stream needs its own frame directory — the wire frames
+don't carry which endpoint they came from).
 
   python -m liq_stream_spark.cli --all --sink csv --outdir ./out \\
       --replay-root ./replay
@@ -39,7 +44,7 @@ def parse_args(argv=None):
                    default=int(os.environ.get("PG_BATCH", "500")))
     p.add_argument("--pg-interval", type=float,
                    default=float(os.environ.get("PG_INTERVAL", "1.0")))
-    # bybit (S3/S4)
+    # bybit (S3/S4) — live websocket mode only
     p.add_argument("--subscribe-chunk", type=int, default=100)
     p.add_argument("--bybit-legacy", action="store_true",
                    help="subscribe legacy liquidation.<SYM> channels")
@@ -48,13 +53,15 @@ def parse_args(argv=None):
                    default=os.environ.get("HL_HOURLY_ROOT",
                                           "~/hl/data/node_fills_streaming/hourly"))
     p.add_argument("--hl-min-sz", type=float, default=0.0)
-    p.add_argument("--hl-no-catchup", action="store_true",
-                   help="skip backfill: only files created after start")
+    # (--hl-no-catchup is intentionally absent: Spark's file source always
+    # reads pre-existing files on the first trigger; skip-backfill would
+    # need a relay dir — documented in sources/hl_files.py)
     # dev replay
     p.add_argument("--replay-root",
                    help="dir with per-venue JSONL frame subdirs — dev source")
     p.add_argument("--checkpoint", default="./checkpoint")
-    p.add_argument("--dedup-watermark", default="10 minutes")
+    p.add_argument("--hl-dedup-watermark", default="10 minutes",
+                   help="state bound for the Hyperliquid tid dedup (ST1)")
     return p.parse_args(argv)
 
 
@@ -74,24 +81,48 @@ def main(argv=None) -> None:
                 raise SystemExit("--sink pg requires --pg-dsn / PG_DSN")
             sink.jdbc_url = args.pg_dsn
             sink.jdbc_table = args.pg_table
+            sink.jdbc_batch_size = args.pg_batch
 
-    if args.replay_root:
-        source_dirs = {
-            ex: (os.path.expanduser(args.hl_root)
-                 if ex == "hyperliquid"
-                 else os.path.join(args.replay_root, ex))
-            for ex, _ in pairs
+    normalizer_kwargs: dict[str, dict] = {
+        "hyperliquid": {"min_abs_sz": args.hl_min_sz},
+    }
+
+    live = not args.replay_root
+    source_dirs: dict[tuple[str, str], str] = {}
+    if live:
+        try:
+            import websockets  # noqa: F401
+        except ImportError:
+            raise SystemExit(
+                "live websocket mode requires the 'websockets' package; "
+                "use --replay-root for the file-replay source instead"
+            )
+        normalizer_kwargs["bybit"] = {
+            "ws_options": {
+                "subscribe_chunk": str(args.subscribe_chunk),
+                "use_all": "false" if args.bybit_legacy else "true",
+            }
         }
+        # Hyperliquid has no websocket feed — it still reads hour files
+        if any(ex == "hyperliquid" for ex, _ in pairs):
+            raise SystemExit(
+                "hyperliquid streams from node log files; run it with "
+                "--replay-root (or point --hl-root at the node's hourly dir)"
+            )
     else:
-        # live websocket mode: register the Python Data Source and point
-        # each venue at it (raw frames; normalizers run downstream)
-        from liq_stream_spark.sources.ws_datasource import register
-
-        register(spark)
-        raise SystemExit(
-            "live websocket mode requires the 'websockets' package; "
-            "use --replay-root for the file-replay source in this environment"
-        )
+        multi_market = {
+            ex for ex, _ in pairs
+            if sum(1 for e, _ in pairs if e == ex) > 1
+        }
+        for ex, mk in pairs:
+            if ex == "hyperliquid":
+                source_dirs[(ex, mk)] = os.path.expanduser(args.hl_root)
+            elif ex in multi_market:
+                source_dirs[(ex, mk)] = os.path.join(
+                    args.replay_root, f"{ex}_{mk}"
+                )
+            else:
+                source_dirs[(ex, mk)] = os.path.join(args.replay_root, ex)
 
     query = run_pipeline(
         spark,
@@ -100,7 +131,9 @@ def main(argv=None) -> None:
         sink,
         checkpoint_dir=args.checkpoint,
         trigger_seconds=args.pg_interval,
-        dedup_watermark=args.dedup_watermark or None,
+        live=live,
+        hl_dedup_watermark=args.hl_dedup_watermark or None,
+        normalizer_kwargs=normalizer_kwargs,
     )
     query.awaitTermination()
 

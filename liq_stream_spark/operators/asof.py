@@ -49,7 +49,7 @@ def asof_join(
         raise ValueError(f"asof_join: unsupported how={how!r}")
 
     lcols = [c for c in left.columns]
-    rpayload = [c for c in right.columns if c not in keys]
+    rpayload = [c for c in right.columns if c not in keys and c != right_time]
     out_names = {
         c: (c + suffix if c in lcols else c) for c in rpayload
     }
@@ -71,10 +71,12 @@ def asof_join(
     r = r.withColumn("__lp", F.lit(None).cast(l.schema["__lp"].dataType))
 
     unioned = l.unionByName(r)
-    # right rows sort before left rows at equal time -> inclusive (<=) match
+    # right rows sort before left rows at equal time -> inclusive (<=) match;
+    # the payload struct is the final sort key so ties between right rows at
+    # the same (key, time) resolve deterministically (largest payload wins)
     w = (
         W.partitionBy(*keys)
-        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__rp").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     matched = unioned.withColumn("__match", F.last("__rp", ignorenulls=True).over(w))

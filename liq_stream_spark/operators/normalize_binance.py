@@ -38,11 +38,20 @@ def normalize_binance(
 ) -> DataFrame:
     """frames: ``value string`` (one wire frame per row), optional
     ``ts_ingest_ms long``. Returns the unified liquidation schema."""
-    if market not in ("usdt", "coin"):
+    # market aliases as the reference's _market_label (binance_adapter.py:25-31)
+    m = (market or "").lower()
+    if m == "usdt":
+        market = "usdt"
+    elif m in ("coin", "coinm", "inverse"):
+        market = "coin"
+    else:
         raise ValueError(f"Unknown Binance market: {market}")
 
     # wire keys are case-significant ("s" symbol vs "S" side) — resolution
-    # must be case-sensitive even on a caller-provided vanilla session
+    # must be case-sensitive even on a caller-provided vanilla session.
+    # Deliberate session-wide side effect (get_spark already sets it; this
+    # covers driver-owned sessions) — callers mixing case-insensitive
+    # workloads in the same session should set it back.
     frames.sparkSession.conf.set("spark.sql.caseSensitive", "true")
 
     if "ts_ingest_ms" not in frames.columns:

@@ -18,6 +18,11 @@ Reference semantics (hyperliquid_adapter.py:166-257):
 
 The events array is parsed as array<string> because [taker, fill] is a
 mixed-type JSON tuple; element 0/1 are re-extracted per pair.
+
+Documented deviation: the enriched struct types block_time as long, so a
+(rare) ISO-string block_time is omitted from ``raw``'s JSON while still
+feeding ts_exch_ms via the string heuristic — the reference's raw would
+keep the ISO string (a struct field cannot be number-or-string).
 """
 
 from __future__ import annotations
@@ -34,7 +39,12 @@ def normalize_hyperliquid(
     market: str = "usdc",
     min_abs_sz: float = 0.0,
     dedup: bool = True,
+    keep_dedup_key: bool = False,
 ) -> DataFrame:
+    """``keep_dedup_key`` appends a ``_dedup_key`` column (tid|user|coin)
+    so the streaming pipeline can run the watermark-bounded ST1 dedup on
+    the reference's actual key (streaming/pipeline.py); batch callers leave
+    it off and get the unified schema exactly."""
     if "ts_ingest_ms" not in frames.columns:
         frames = frames.withColumn("ts_ingest_ms", now_ms())
 
@@ -103,23 +113,31 @@ def normalize_hyperliquid(
     )
     fills = fills.withColumn("e", enriched)
 
+    dedup_key = F.concat_ws(
+        "|",
+        F.coalesce(F.col("e.tid").cast("string"), F.lit("None")),
+        F.coalesce(F.col("e.liq_user"), F.lit("None")),
+        F.coalesce(F.col("e.coin"), F.lit("None")),
+    )
     if dedup:
-        # ST1 batch variant: first occurrence per tid|liq_user|coin.
-        # The reference's 50k LRU ring is a memory bound, not a semantic —
-        # at batch scope "seen before" means "any earlier row".
-        w_cols = ["_k"]
+        # ST1 batch variant per tid|liq_user|coin. A batch DataFrame has no
+        # arrival order, so "first occurrence" is made deterministic by
+        # block order (block_number, local_time) — the closest observable
+        # proxy for the ring's file order; duplicate wrappers of the same
+        # fill differ only in those fields. (Streaming uses the watermark
+        # variant keyed on the same key — streaming/pipeline.py.)
+        from pyspark.sql.window import Window as W
+
+        w = W.partitionBy("_k").orderBy(
+            F.col("block_number").asc_nulls_last(),
+            F.col("local_time").asc_nulls_last(),
+            F.col("ev_idx").asc(),
+        )
         fills = (
-            fills.withColumn(
-                "_k",
-                F.concat_ws(
-                    "|",
-                    F.coalesce(F.col("e.tid").cast("string"), F.lit("None")),
-                    F.coalesce(F.col("e.liq_user"), F.lit("None")),
-                    F.coalesce(F.col("e.coin"), F.lit("None")),
-                ),
-            )
-            .dropDuplicates(w_cols)
-            .drop("_k")
+            fills.withColumn("_k", dedup_key)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_k", "_rn")
         )
 
     # computed from the original wire strings (not the struct's long cast)
@@ -139,6 +157,7 @@ def normalize_hyperliquid(
     # notional: price and qty truthy (non-NULL, non-zero) else NULL
     good = price.isNotNull() & (price != 0.0) & qty.isNotNull() & (qty != 0.0)
 
+    extra = [dedup_key.alias("_dedup_key")] if keep_dedup_key else []
     return fills.select(
         F.lit("hyperliquid").alias("exchange"),
         F.lit(market).alias("market"),
@@ -152,6 +171,7 @@ def normalize_hyperliquid(
         ts_exch.alias("ts_exch_ms"),
         F.col("ts_ingest_ms"),
         F.to_json(F.col("e")).alias("raw"),
+        *extra,
     )
 
 

@@ -154,6 +154,7 @@ class FanOutConfig:
     csv_path: str | None = None
     jdbc_url: str | None = None
     jdbc_table: str = "liquidations"
+    jdbc_batch_size: int = 500  # reference default (writer_pg.py:79)
     jdbc_properties: dict[str, str] = field(default_factory=dict)
     console: bool = False
     console_color: bool = True
@@ -183,6 +184,7 @@ def fan_out(config: FanOutConfig):
                     batch_df,
                     config.jdbc_url,
                     config.jdbc_table,
+                    batch_size=config.jdbc_batch_size,
                     properties=config.jdbc_properties,
                 )
         finally:

@@ -31,11 +31,23 @@ def compact_store(
     dst_path: str,
     files_per_partition: int = 1,
 ) -> None:
+    """``files_per_partition`` bounds the file count per output directory:
+    rows are shuffled on (partition cols, hash(symbol) % n) so each
+    (exchange, market, date) dir receives at most n groups, each written
+    sorted. Shuffle parallelism is the session's shuffle.partitions —
+    many (dir, group) cells spread across tasks, so days compact in
+    parallel."""
     df = spark.read.parquet(src_path)
     if "date" not in df.columns:
         df = with_date(df)
+    n = max(1, int(files_per_partition))
     (
-        df.repartition(files_per_partition, "exchange", "market", "date")
+        df.repartition(
+            F.col("exchange"),
+            F.col("market"),
+            F.col("date"),
+            F.pmod(F.xxhash64("symbol"), F.lit(n)),
+        )
         .sortWithinPartitions("symbol", "ts_exch_ms")
         .write.mode("overwrite")
         .partitionBy("exchange", "market", "date")

@@ -3,6 +3,7 @@ from liq_stream_spark.streaming.pipeline import (
     stream_venue,
     run_pipeline,
     dedup_within_watermark,
+    hl_dedup_within_watermark,
 )
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "stream_venue",
     "run_pipeline",
     "dedup_within_watermark",
+    "hl_dedup_within_watermark",
 ]

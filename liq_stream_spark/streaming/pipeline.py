@@ -4,18 +4,25 @@ The reference runs one asyncio task per (exchange, market) pair feeding a
 shared writer (stream.py:129-188). Here each venue is a streaming DataFrame
 (file-replay source in dev, websocket Python Data Source live), normalized
 by the SAME batch transform used in tests/oracles (batch/stream unification),
-unioned, optionally deduped within a watermark (ST1), and written through
-one checkpointed foreachBatch fan-out (K1).
+unioned, and written through one checkpointed foreachBatch fan-out (K1).
 
-Delivery semantics: checkpointing makes the union at-least-once into every
-sink and exactly-once into idempotent ones — a strict upgrade over the
-reference's at-most-once (SURVEY.md §2.7), with identical observable row
-contents.
+Dedup parity (ST1): the reference dedups ONLY Hyperliquid, keyed on
+tid|liq_user|coin (hyperliquid_adapter.py:149-164) — node logs re-emit the
+same fill in a new line wrapper after restarts/rollovers, so the key must
+ignore the wrapper (local_time/block_*). The streaming variant is
+``dropDuplicatesWithinWatermark`` on that exact key, applied to the HL
+stream BEFORE the union; other venues are never deduped (two byte-identical
+Binance events are two real liquidations). The watermark runs on INGEST
+time: arrival-ordered like the ring, and nothing is ever dropped as late
+(the reference never drops late data, SURVEY.md §2.7).
 
-State at scale: dropDuplicatesWithinWatermark bounds dedup state by TIME
-(watermark horizon) instead of the reference's 50k-row LRU ring — on a
-cluster, use the RocksDB state store
+State at scale: watermark-bounded keyed state instead of the 50k LRU ring;
+on a cluster use the RocksDB state store
 (spark.sql.streaming.stateStore.providerClass) so state spills off-heap.
+
+Delivery: checkpointing makes the pipeline at-least-once into every sink
+and exactly-once into idempotent ones — a strict upgrade over the
+reference's at-most-once, with identical observable row contents.
 """
 
 from __future__ import annotations
@@ -92,44 +99,29 @@ def resolve_streams(
     return out
 
 
-def stream_venue(
-    spark: SparkSession,
-    exchange: str,
-    market: str,
-    source_dir: str,
-    max_files_per_trigger: int | None = None,
-    **normalizer_kwargs,
+def hl_dedup_within_watermark(
+    liq_with_key: DataFrame, watermark: str = "10 minutes"
 ) -> DataFrame:
-    """One venue's streaming DataFrame over a replay/live-relay directory.
-    The SAME normalizer used in batch runs inside the stream — Structured
-    Streaming's incrementalization handles the rest."""
-    if exchange == "hyperliquid":
-        frames = read_hl_hourly_stream(spark, source_dir, max_files_per_trigger)
-        # batch-mode dedup is a global operator; in streaming it must be
-        # the watermark-bounded stateful variant (applied on the union)
-        return normalize_hyperliquid(
-            frames, market=market, dedup=False, **normalizer_kwargs
-        )
-    frames = read_jsonl_frames_stream(spark, source_dir, max_files_per_trigger)
-    return NORMALIZERS[exchange](frames, market=market, **normalizer_kwargs)
+    """ST1 streaming variant: drop re-emitted Hyperliquid fills by the
+    reference's key (tid|liq_user|coin, carried in ``_dedup_key``),
+    bounded by an ingest-time watermark instead of the 50k ring."""
+    withevent = liq_with_key.withColumn(
+        "arrival_time", F.timestamp_millis(F.col("ts_ingest_ms"))
+    )
+    return (
+        withevent.withWatermark("arrival_time", watermark)
+        .dropDuplicatesWithinWatermark(["_dedup_key"])
+        .drop("arrival_time", "_dedup_key")
+    )
 
 
 def dedup_within_watermark(
     liq: DataFrame, watermark: str = "10 minutes"
 ) -> DataFrame:
-    """ST1 as a streaming operator: the reference's 50k-key LRU ring
-    becomes time-bounded keyed state. Key = the raw identity available in
-    the unified schema — for Hyperliquid this subsumes tid|user|coin
-    because raw carries tid; semantic difference (count-bound vs
-    time-bound) documented in SURVEY.md §7.4.
-
-    The watermark runs on INGEST time, not event time, deliberately: the
-    reference's ring is arrival-ordered (a dup is "seen recently", not
-    "same event timestamp"), and an event-time watermark over the
-    multi-venue union would let one venue's clock advance the global
-    watermark and silently discard other venues' rows as late — the
-    reference never drops late data (§2.7). Ingest time always moves
-    forward, so nothing is ever late; the watermark solely bounds state."""
+    """Opt-in whole-union dedup on the full row identity (NOT reference
+    parity — the reference only dedups Hyperliquid; this exists for
+    deployments that want idempotence against upstream replays of any
+    venue). Ingest-time watermark for the same no-late-loss reason."""
     withevent = liq.withColumn(
         "arrival_time", F.timestamp_millis(F.col("ts_ingest_ms"))
     )
@@ -142,30 +134,109 @@ def dedup_within_watermark(
     )
 
 
+def stream_venue(
+    spark: SparkSession,
+    exchange: str,
+    market: str,
+    source_dir: str | None = None,
+    live: bool = False,
+    max_files_per_trigger: int | None = None,
+    hl_dedup_watermark: str | None = "10 minutes",
+    **normalizer_kwargs,
+) -> DataFrame:
+    """One venue's streaming DataFrame: file replay (``source_dir``) or the
+    live websocket data source (``live=True``). The SAME normalizer used in
+    batch runs inside the stream; Hyperliquid additionally gets the
+    watermark-bounded ST1 dedup on tid|liq_user|coin."""
+    ws_options = normalizer_kwargs.get("ws_options", {})
+    normalizer_kwargs = {
+        k: v for k, v in normalizer_kwargs.items() if k != "ws_options"
+    }
+    if live:
+        from liq_stream_spark.sources import ws_datasource
+
+        ws_datasource.register(spark)
+        reader = (
+            spark.readStream.format(ws_datasource.LiquidationWSDataSource.name())
+            .option("venue", exchange)
+            .option("market", market)
+        )
+        for k, v in ws_options.items():
+            reader = reader.option(k, v)
+        frames = reader.load()
+    elif exchange == "hyperliquid":
+        frames = read_hl_hourly_stream(spark, source_dir, max_files_per_trigger)
+    else:
+        frames = read_jsonl_frames_stream(spark, source_dir, max_files_per_trigger)
+
+    if exchange == "hyperliquid":
+        liq = normalize_hyperliquid(
+            frames,
+            market=market,
+            dedup=False,  # batch dedup is global; streaming uses keyed state
+            keep_dedup_key=bool(hl_dedup_watermark),
+            **normalizer_kwargs,
+        )
+        if hl_dedup_watermark:
+            liq = hl_dedup_within_watermark(liq, hl_dedup_watermark)
+        return liq
+    return NORMALIZERS[exchange](frames, market=market, **normalizer_kwargs)
+
+
 def run_pipeline(
     spark: SparkSession,
     pairs: list[tuple[str, str]],
-    source_dirs: dict[str, str],
+    source_dirs: dict[tuple[str, str], str] | dict[str, str],
     sink_config: FanOutConfig,
     checkpoint_dir: str,
     trigger_seconds: float = 1.0,
-    dedup_watermark: str | None = "10 minutes",
+    live: bool = False,
+    hl_dedup_watermark: str | None = "10 minutes",
+    union_dedup_watermark: str | None = None,
     max_files_per_trigger: int | None = None,
+    normalizer_kwargs: dict[str, dict] | None = None,
 ):
     """Build the unioned multi-venue stream and start ONE StreamingQuery
     (the reference's asyncio.gather of tasks -> one incrementalized plan;
-    trigger interval ≙ the PG flush interval, ST4)."""
+    trigger interval ≙ the PG flush interval, ST4).
+
+    ``source_dirs`` is keyed by (exchange, market) pair — a venue streamed
+    under two markets needs two directories (exchange-only keys are
+    accepted for single-market setups and venues whose dir is shared)."""
+
+    def dir_for(ex: str, mk: str) -> str | None:
+        if live:
+            return None
+        if (ex, mk) in source_dirs:
+            return source_dirs[(ex, mk)]
+        if ex in source_dirs:
+            if sum(1 for e, _ in pairs if e == ex) > 1:
+                raise ValueError(
+                    f"{ex} streams under multiple markets; key source_dirs "
+                    f"by (exchange, market) to avoid double-reading one dir"
+                )
+            return source_dirs[ex]
+        raise KeyError(f"no source dir for {(ex, mk)}")
+
+    kwargs = normalizer_kwargs or {}
     streams = [
         stream_venue(
-            spark, ex, mk, source_dirs[ex], max_files_per_trigger
+            spark,
+            ex,
+            mk,
+            source_dir=dir_for(ex, mk),
+            live=live,
+            max_files_per_trigger=max_files_per_trigger,
+            hl_dedup_watermark=hl_dedup_watermark,
+            **kwargs.get(ex, {}),
         )
         for ex, mk in pairs
     ]
     unioned = streams[0]
     for s in streams[1:]:
         unioned = unioned.unionByName(s)
-    if dedup_watermark:
-        unioned = dedup_within_watermark(unioned, dedup_watermark)
+    if union_dedup_watermark:
+        unioned = dedup_within_watermark(unioned, union_dedup_watermark)
 
     return (
         unioned.writeStream.foreachBatch(fan_out(sink_config))

@@ -12,7 +12,6 @@ from pyspark.sql import functions as F
 
 from liq_stream_spark.sinks import FanOutConfig
 from liq_stream_spark.streaming.pipeline import (
-    dedup_within_watermark,
     resolve_streams,
     run_pipeline,
     stream_venue,
@@ -74,8 +73,9 @@ def test_watermark_dedup_across_microbatches(spark, tmp_path):
     line = (FIXTURES / "hyperliquid_fills.jsonl").read_text().splitlines()[0]
     (src / "0").write_text(line + "\n")
 
-    liq = stream_venue(spark, "hyperliquid", "usdc", str(tmp_path / "hl"))
-    deduped = dedup_within_watermark(liq, "10 minutes")
+    # stream_venue applies the watermark-bounded ST1 dedup on
+    # tid|liq_user|coin for hyperliquid automatically
+    deduped = stream_venue(spark, "hyperliquid", "usdc", str(tmp_path / "hl"))
     q = (
         deduped.writeStream.format("memory")
         .queryName("liq_stream_t2")
@@ -104,7 +104,7 @@ def test_checkpoint_restart_no_duplicates(spark, tmp_path):
 
     q = run_pipeline(
         spark, [("okx", "usdt")], {"okx": str(src)}, sink,
-        checkpoint_dir=ckpt, dedup_watermark=None,
+        checkpoint_dir=ckpt,
     )
     try:
         _drain(q)
@@ -117,7 +117,7 @@ def test_checkpoint_restart_no_duplicates(spark, tmp_path):
     # be reprocessed (exactly-once upgrade over the reference, §2.7)
     q2 = run_pipeline(
         spark, [("okx", "usdt")], {"okx": str(src)}, sink,
-        checkpoint_dir=ckpt, dedup_watermark=None,
+        checkpoint_dir=ckpt,
     )
     try:
         _drain(q2)
@@ -151,7 +151,7 @@ def test_fanout_multi_sink(spark, tmp_path):
     )
     q = run_pipeline(
         spark, [("bybit", "usdt")], {"bybit": str(src)}, sink,
-        checkpoint_dir=str(tmp_path / "ckpt2"), dedup_watermark=None,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
     )
     try:
         _drain(q)
@@ -163,6 +163,20 @@ def test_fanout_multi_sink(spark, tmp_path):
     assert csv_files, "csv partition files written"
     # daily-rotation analogue: a date= partition level exists (ST3/K3)
     assert any("date=" in str(p) for p in csv_files)
+
+
+def test_multi_market_requires_per_pair_dirs(spark, tmp_path):
+    src = tmp_path / "binance"
+    src.mkdir()
+    sink = FanOutConfig(parquet_path=str(tmp_path / "p"))
+    with pytest.raises(ValueError, match="multiple markets"):
+        run_pipeline(
+            spark,
+            [("binance", "usdt"), ("binance", "coin")],
+            {"binance": str(src)},  # exchange-keyed dir is ambiguous here
+            sink,
+            checkpoint_dir=str(tmp_path / "c"),
+        )
 
 
 def test_ws_datasource_registers(spark):
