@@ -127,7 +127,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 4,
-    max_bucket: int = 1000,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Banded LSH: docs sharing ALL minhashes within any band are candidate
     duplicates. Input is the long-form signature table; output is distinct
@@ -153,9 +153,13 @@ def lsh_candidate_pairs(
             ).alias("band_key")
         )
     )
-    sized = banded.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(W.partitionBy("band", "band_key"))
-    ).filter(F.col("bucket_n") <= max_bucket)
+    if max_bucket is None:
+        sized = banded  # no cap -> skip the bucket-size window (one less shuffle)
+    else:
+        sized = banded.withColumn(
+            "bucket_n",
+            F.count(F.lit(1)).over(W.partitionBy("band", "band_key")),
+        ).filter(F.col("bucket_n") <= max_bucket)
     a = sized.select(
         F.col("band"), F.col("band_key"), F.col(id_col).alias("id_a")
     )

@@ -221,7 +221,7 @@ def d02_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = D.minhash_signatures(load(spark, sf_dir, "documents"))
-    return D.lsh_candidate_pairs(sigs, max_bucket=1_000_000)
+    return D.lsh_candidate_pairs(sigs, max_bucket=None)
 
 
 @register(
