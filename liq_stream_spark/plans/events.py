@@ -219,3 +219,35 @@ def q20_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("qty")
     )
+
+
+@register(
+    "q31_sliding_windows",
+    """
+    SELECT date_trunc('hour', ts) - (k * INTERVAL 1 HOUR) AS window_start,
+           date_trunc('hour', ts) - (k * INTERVAL 1 HOUR) + INTERVAL 2 HOUR AS window_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events, range(0, 2) t(k)
+    GROUP BY 1, 2
+    """,
+    doc="sliding 2h windows every 1h (each event lands in 2 overlapping "
+    "windows) — F.window with a slide interval; the batch view of the "
+    "streaming sliding-window aggregation.",
+)
+def q31_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = F.window("ts", "2 hours", "1 hour")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
