@@ -85,7 +85,7 @@ def main() -> None:
         sink,
         checkpoint_dir=ckpt,
         trigger_seconds=1.0,
-        dedup_watermark="10 minutes",
+        union_dedup_watermark="10 minutes",
     )
     q.processAllAvailable()
     q.stop()

@@ -29,6 +29,7 @@ from liq_stream_spark.functions import (
     truthy_coalesce,
 )
 from liq_stream_spark.schema import BINANCE_EVENT_SCHEMA
+from liq_stream_spark.session import case_sensitive_analysis
 
 
 def normalize_binance(
@@ -47,50 +48,48 @@ def normalize_binance(
     else:
         raise ValueError(f"Unknown Binance market: {market}")
 
-    # wire keys are case-significant ("s" symbol vs "S" side) — resolution
-    # must be case-sensitive even on a caller-provided vanilla session.
-    # Deliberate session-wide side effect (get_spark already sets it; this
-    # covers driver-owned sessions) — callers mixing case-insensitive
-    # workloads in the same session should set it back.
-    frames.sparkSession.conf.set("spark.sql.caseSensitive", "true")
+    # wire keys are case-significant ("s" symbol vs "S" side) — resolve the
+    # struct-field references under caseSensitive=true, restoring the
+    # caller's setting afterwards (analysis is eager, execution is not
+    # affected by the conf).
+    with case_sensitive_analysis(frames.sparkSession):
+        if "ts_ingest_ms" not in frames.columns:
+            frames = frames.withColumn("ts_ingest_ms", now_ms())
 
-    if "ts_ingest_ms" not in frames.columns:
-        frames = frames.withColumn("ts_ingest_ms", now_ms())
-
-    # N1: single-object frames parse as a 1-element array under ArrayType;
-    # non-JSON frames ("ping", garbage) parse to NULL and are filtered (F5).
-    events = (
-        frames.select(
-            F.from_json("value", T.ArrayType(BINANCE_EVENT_SCHEMA)).alias("evs"),
-            "ts_ingest_ms",
+        # N1: single-object frames parse as a 1-element array under ArrayType;
+        # non-JSON frames ("ping", garbage) parse to NULL and are filtered (F5).
+        events = (
+            frames.select(
+                F.from_json("value", T.ArrayType(BINANCE_EVENT_SCHEMA)).alias("evs"),
+                "ts_ingest_ms",
+            )
+            .filter(F.col("evs").isNotNull())
+            .select(F.explode("evs").alias("ev"), "ts_ingest_ms")
         )
-        .filter(F.col("evs").isNotNull())
-        .select(F.explode("evs").alias("ev"), "ts_ingest_ms")
-    )
 
-    o = F.col("ev.o")
-    # `if not o: continue` — missing o → NULL struct; {} → struct of NULLs
-    # whose compact JSON is '{}' (empty dict is falsy too).
-    events = events.filter(o.isNotNull() & (F.to_json(o) != "{}"))
+        o = F.col("ev.o")
+        # `if not o: continue` — missing o → NULL struct; {} → struct of NULLs
+        # whose compact JSON is '{}' (empty dict is falsy too).
+        events = events.filter(o.isNotNull() & (F.to_json(o) != "{}"))
 
-    price_raw = truthy_coalesce(o["ap"], o["p"], F.lit("0.0"))
-    qty_raw = truthy_coalesce(o["l"], o["z"], o["q"], F.lit("0.0"))
-    price = price_raw.try_cast("double")
-    qty = qty_raw.try_cast("double")
+        price_raw = truthy_coalesce(o["ap"], o["p"], F.lit("0.0"))
+        qty_raw = truthy_coalesce(o["l"], o["z"], o["q"], F.lit("0.0"))
+        price = price_raw.try_cast("double")
+        qty = qty_raw.try_cast("double")
 
-    out = events.select(
-        F.lit(exchange).alias("exchange"),
-        F.lit(market).alias("market"),
-        F.coalesce(o["s"], F.lit("")).alias("symbol"),
-        side_from_order_side(o["S"]).alias("side"),
-        qty.alias("qty"),
-        price.alias("price"),
-        notional(price, qty).alias("notional"),
-        F.coalesce(F.col("ev.E"), o["T"]).alias("ts_exch_ms"),
-        F.col("ts_ingest_ms"),
-        F.to_json(F.col("ev")).alias("raw"),
-    )
-    # float() raising inside the per-event try/except skips the event
-    # (binance_adapter.py:93-94). The truthy chain ends in "0.0", so the
-    # only way price/qty is NULL post-cast is an unparsable wire value.
-    return out.filter(F.col("price").isNotNull() & F.col("qty").isNotNull())
+        out = events.select(
+            F.lit(exchange).alias("exchange"),
+            F.lit(market).alias("market"),
+            F.coalesce(o["s"], F.lit("")).alias("symbol"),
+            side_from_order_side(o["S"]).alias("side"),
+            qty.alias("qty"),
+            price.alias("price"),
+            notional(price, qty).alias("notional"),
+            F.coalesce(F.col("ev.E"), o["T"]).alias("ts_exch_ms"),
+            F.col("ts_ingest_ms"),
+            F.to_json(F.col("ev")).alias("raw"),
+        )
+        # float() raising inside the per-event try/except skips the event
+        # (binance_adapter.py:93-94). The truthy chain ends in "0.0", so the
+        # only way price/qty is NULL post-cast is an unparsable wire value.
+        return out.filter(F.col("price").isNotNull() & F.col("qty").isNotNull())

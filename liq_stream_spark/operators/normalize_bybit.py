@@ -26,6 +26,7 @@ from liq_stream_spark.functions import (
     truthy_coalesce,
     truthy_double,
 )
+from liq_stream_spark.session import case_sensitive_analysis
 from liq_stream_spark.schema import (
     BYBIT_FRAME_LEGACY_DICT_SCHEMA,
     BYBIT_FRAME_LEGACY_LIST_SCHEMA,
@@ -34,6 +35,9 @@ from liq_stream_spark.schema import (
 
 
 def normalize_bybit(frames: DataFrame, market: str = "usdt") -> DataFrame:
+    # reference lowercases the market label ((market or "").lower(),
+    # bybit_adapter.py:50) — accept any case like normalize_binance does
+    market = (market or "").lower()
     if market == "usdt":
         mk = "usdt"
     elif market in ("coin", "coinm", "inverse"):
@@ -41,9 +45,13 @@ def normalize_bybit(frames: DataFrame, market: str = "usdt") -> DataFrame:
     else:
         raise ValueError(f"Unknown Bybit market: {market}")
 
-    # "s"/"S" and "T" wire keys need case-sensitive resolution
-    frames.sparkSession.conf.set("spark.sql.caseSensitive", "true")
+    # "s"/"S" and "T" wire keys need case-sensitive resolution; restore the
+    # caller's setting after the plan is analyzed (session.py helper).
+    with case_sensitive_analysis(frames.sparkSession):
+        return _build(frames, mk)
 
+
+def _build(frames: DataFrame, mk: str) -> DataFrame:
     if "ts_ingest_ms" not in frames.columns:
         frames = frames.withColumn("ts_ingest_ms", now_ms())
 
@@ -118,6 +126,18 @@ def normalize_bybit(frames: DataFrame, market: str = "usdt") -> DataFrame:
     )
 
     rows = new_rows.unionByName(legacy_rows)
+
+    # Reference parity: when updatedTimeE6 is *present* but unparsable,
+    # ``int(liq["updatedTimeE6"])`` raises and the whole row is dropped
+    # (bybit_adapter.py:203-204, caught at :226) — it does NOT fall through
+    # to the frame ts. Only the T-is-null (legacy) arm can reach it.
+    rows = rows.filter(
+        ~(
+            F.col("T").isNull()
+            & F.col("updatedTimeE6").isNotNull()
+            & F.col("updatedTimeE6").try_cast("long").isNull()
+        )
+    )
 
     # _to_float(x or 0): truthy-coalesce then cast; failure → 0.0, row kept
     qty = F.coalesce(truthy_double(F.col("v"), F.col("size"), F.lit("0")), F.lit(0.0))

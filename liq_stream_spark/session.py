@@ -13,9 +13,30 @@ ones that also matter on a real multi-executor cluster at 100 TB:
 
 from __future__ import annotations
 
+import contextlib
 import os
+from collections.abc import Iterator
 
 from pyspark.sql import SparkSession
+
+
+@contextlib.contextmanager
+def case_sensitive_analysis(spark: SparkSession) -> Iterator[None]:
+    """Temporarily force case-sensitive column resolution.
+
+    Venue wire keys collide case-insensitively (Binance "s" symbol vs "S"
+    side), so the normalizers need ``spark.sql.caseSensitive=true`` while
+    their struct-field references are *analyzed*. Classic PySpark analyzes
+    each transformation eagerly, so wrapping the plan construction is
+    enough — the setting is restored before control returns to the caller,
+    leaving a shared session's name resolution untouched.
+    """
+    prev = spark.conf.get("spark.sql.caseSensitive", "false")
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.caseSensitive", prev)
 
 
 def get_spark(

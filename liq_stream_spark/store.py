@@ -48,7 +48,11 @@ def compact_store(
             F.col("date"),
             F.pmod(F.xxhash64("symbol"), F.lit(n)),
         )
-        .sortWithinPartitions("symbol", "ts_exch_ms")
+        # include the partition columns so the dynamic-partition writer's
+        # required ordering is already satisfied — the (symbol, ts) clustering
+        # inside each file is then an explicit guarantee, not a side effect of
+        # the planner's inserted sort being stable
+        .sortWithinPartitions("exchange", "market", "date", "symbol", "ts_exch_ms")
         .write.mode("overwrite")
         .partitionBy("exchange", "market", "date")
         .parquet(dst_path)

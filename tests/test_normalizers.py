@@ -105,6 +105,60 @@ def test_bybit(spark):
     assert all(r["symbol"] != "NOTOPIC" for r in got)
 
 
+def test_bybit_market_case_and_legacy_bad_ts(spark):
+    # market arg is case-insensitive like the reference's (market or "").lower()
+    df = read_jsonl_frames(spark, str(FIXTURES / "bybit_liquidation.jsonl"), INGEST)
+    got = rows_of(normalize_bybit(df, market="COIN"))
+    assert got and all(r["market"] == "coin" for r in got)
+
+    # legacy row with present-but-unparsable updatedTimeE6 is DROPPED
+    # (int() raises, caught per-row — no frame-ts fallback)
+    bad = spark.createDataFrame(
+        [
+            (
+                json.dumps(
+                    {
+                        "topic": "liquidation.FOOUSDT",
+                        "ts": 1739502309000,
+                        "data": {
+                            "updatedTimeE6": "not-a-number",
+                            "symbol": "FOOUSDT",
+                            "side": "Buy",
+                            "size": "1",
+                            "price": "10",
+                        },
+                    }
+                ),
+                INGEST,
+            )
+        ],
+        "value string, ts_ingest_ms long",
+    )
+    assert normalize_bybit(bad).count() == 0
+
+
+def test_case_sensitive_conf_restored(spark):
+    # normalizers must not leave spark.sql.caseSensitive flipped on a
+    # caller session that had it off
+    prev = spark.conf.get("spark.sql.caseSensitive")
+    try:
+        spark.conf.set("spark.sql.caseSensitive", "false")
+        df = read_jsonl_frames(
+            spark, str(FIXTURES / "binance_force_order.jsonl"), INGEST
+        )
+        out = normalize_binance(df)
+        assert spark.conf.get("spark.sql.caseSensitive") == "false"
+        assert out.count() == 5  # plan built under case-sensitive analysis
+        df2 = read_jsonl_frames(
+            spark, str(FIXTURES / "bybit_liquidation.jsonl"), INGEST
+        )
+        out2 = normalize_bybit(df2)
+        assert spark.conf.get("spark.sql.caseSensitive") == "false"
+        assert out2.count() == 8
+    finally:
+        spark.conf.set("spark.sql.caseSensitive", prev)
+
+
 def test_okx_usdt_and_coin_market_filter(spark):
     df = read_jsonl_frames(spark, str(FIXTURES / "okx_liquidation_orders.jsonl"), INGEST)
     got = rows_of(normalize_okx(df, market="usdt"))
