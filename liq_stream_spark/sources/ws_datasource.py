@@ -30,9 +30,12 @@ arriving while disconnected are lost (same as the reference) and a restart
 replays nothing from before the first checkpoint. Document: at-least-once
 from connect, at-most-once across reconnect gaps.
 
-``websockets``/``requests`` are not installed in this container — imports
-are gated and raise a clear error at stream start; the protocol logic is
-exercised against replayed fixtures through the same normalizers.
+``websockets``/``requests`` are not installed in this container — the pump
+falls back to the vendored stdlib client (miniws.py) and is driven
+end-to-end against a scripted local server in tests/test_ws_live.py; the
+``url`` option points a venue at an alternate endpoint. REST symbol
+discovery still requires ``requests`` (pass ``symbols`` explicitly where
+it is unavailable).
 """
 
 from __future__ import annotations
@@ -121,13 +124,22 @@ class _WSPump:
     async def _pump(self) -> None:
         import asyncio
 
-        import websockets  # gated import; clear failure at stream start
+        try:
+            import websockets  # preferred when installed
 
-        url = VENUE_URLS[(self.venue, self.market)]
+            ws_connect = websockets.connect
+        except ImportError:
+            # stdlib fallback (miniws.py): same handshake/frames/keepalive,
+            # exercised end-to-end by tests/test_ws_live.py
+            from liq_stream_spark.sources.miniws import connect as ws_connect
+
+        # ``url`` option overrides the venue endpoint (tests point it at a
+        # local mock server; ops can point it at a mirror)
+        url = self.options.get("url") or VENUE_URLS[(self.venue, self.market)]
         backoff = BACKOFF_START
         while not self._stop.is_set():
             try:
-                async with websockets.connect(
+                async with ws_connect(
                     url,
                     ping_interval=PING_INTERVAL,
                     ping_timeout=PING_TIMEOUT,
@@ -217,16 +229,24 @@ class LiquidationWSReader(SimpleDataSourceStreamReader):
         if self.venue == "bybit" and not opts.get("symbols"):
             category = "linear" if self.market == "usdt" else "inverse"
             opts["symbols"] = ",".join(fetch_bybit_symbols(category))
-        self._pump = _WSPump(self.venue, self.market, opts)
-        self._started = False
+        self._opts = opts
+        # the pump (thread + queue) is created lazily in read(): Spark
+        # pickles the reader at plan time, and live runtime state must not
+        # travel with it
+        self._pump: _WSPump | None = None
+
+    def __getstate__(self) -> dict:
+        state = dict(self.__dict__)
+        state["_pump"] = None
+        return state
 
     def initialOffset(self) -> dict:
         return {"counter": 0}
 
     def read(self, start: dict):
-        if not self._started:
+        if self._pump is None:
+            self._pump = _WSPump(self.venue, self.market, self._opts)
             self._pump.start()
-            self._started = True
         rows = []
         counter = start["counter"]
         now = _now_ms()
