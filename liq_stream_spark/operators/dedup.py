@@ -5,8 +5,9 @@ Five strategies, all DataFrame-native:
 - exact           : hash-groupBy on the content column (one shuffle)
 - minhash + LSH   : shingle -> k minhashes -> banded bucket join; candidate
                     pairs come from equal band keys, never a cross join
-- simhash         : 32-bit signature per doc (see operators/text.py); near
-                    dups = small Hamming distance within signature buckets
+- simhash         : 64-bit signature per doc (see operators/text.py); near
+                    dups = small Hamming distance within 16-bit signature
+                    blocks (pigeonhole-lossless for Hamming <= 3)
 - n-gram Jaccard  : exact set similarity via a shingle self-join (the
                     verifier for what MinHash approximates)
 - embedding cosine: see operators/similarity.py
@@ -218,33 +219,54 @@ def ngram_jaccard_pairs(
 def simhash_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, simhash) — 32-bit SimHash signatures.
+    """(id, simhash) — 64-bit SimHash signatures (signed BIGINT).
 
-    Same plan shape as minhash_signatures: one interpreted pass hashes the
-    tokens, then explode + 32 codegen'd conditional-sum aggregates (with
-    map-side combine) replace the 32 interpreted folds of
-    operators/text.simhash32 (kept as the streaming-friendly single-row
-    variant)."""
-    from liq_stream_spark.operators.text import token_hashes
+    Bits 0-31 come from the base-131 token-hash family, bits 32-63 from the
+    independent base-137 family (one 64-bit token hash split into two
+    32-bit halves so the DuckDB oracle reproduces it without 64-bit modular
+    overflow — see text.combine_simhash64).
+
+    Same plan shape as minhash_signatures: one pass hashes the tokens, then
+    explode + 64 codegen'd conditional-sum aggregates with map-side combine
+    (the interpreted 64-fold variant is operators/text.simhash64, kept for
+    streaming single-row use)."""
+    from liq_stream_spark.operators.text import combine_simhash64, token_hashes
 
     toks = df.select(
-        F.col(id_col), F.explode(token_hashes(text_col)).alias("h")
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                token_hashes(text_col, 131).alias("lo"),
+                token_hashes(text_col, 137).alias("hi"),
+            )
+        ).alias("h"),
     )
     bit_sums = [
         F.sum(
-            F.when((F.col("h").bitwiseAND(F.lit(1 << i))) != 0, 1).otherwise(-1)
-        ).alias(f"b{i}")
+            F.when(
+                (F.col(f"h.{half}").bitwiseAND(F.lit(1 << i))) != 0, 1
+            ).otherwise(-1)
+        ).alias(f"{half}{i}")
+        for half in ("lo", "hi")
         for i in range(32)
     ]
     wide = toks.groupBy(id_col).agg(*bit_sums)
-    sig = None
-    for i in range(32):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
+    halves = {}
+    for half in ("lo", "hi"):
+        sig = None
+        for i in range(32):
+            term = F.when(F.col(f"{half}{i}") > 0, F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+            sig = term if sig is None else sig + term
+        halves[half] = sig.cast("long")
     # empty/absent-token docs (none in practice) fall back to signature 0
     out = df.select(id_col).join(wide, id_col, "left")
     return out.select(
-        F.col(id_col), F.coalesce(sig.cast("long"), F.lit(0)).alias("simhash")
+        F.col(id_col),
+        F.coalesce(
+            combine_simhash64(halves["lo"], halves["hi"]), F.lit(0)
+        ).alias("simhash"),
     )
 
 
@@ -256,38 +278,43 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance.
 
-    Scale path: block on the four 8-bit bytes of the signature — two docs
-    within Hamming distance 3 of a 32-bit signature share at least one
-    exact byte (pigeonhole) — so the join is equi on (byte_idx, byte),
-    never a cross join."""
+    Scale path: block on the four 16-bit blocks of the 64-bit signature —
+    two docs within Hamming distance 3 differ in at most 3 blocks, so they
+    share at least one exact block (pigeonhole) and the join is equi on
+    (block_idx, block), never a cross join. 65,536 values per block index
+    keeps buckets ~N/65k even at billions of docs (the 8-bit blocking of a
+    32-bit signature had only 256, which degrades toward quadratic
+    per-bucket pair generation at large N).
+
+    For ``max_hamming`` <= 3 the blocking is lossless (recall 1.0), which
+    is what lets d05 be checked against an exact DuckDB popcount oracle."""
     sig = simhash_table(df, id_col, text_col)
-    bytes_ = sig.select(
+    blocks = sig.select(
         id_col,
         "simhash",
         F.posexplode(
             F.expr(
                 "transform(sequence(0, 3), "
-                "i -> (simhash div shiftleft(1L, i * 8)) % 256)"
+                "i -> shiftrightunsigned(simhash, i * 16) & 65535)"
             )
-        ).alias("byte_idx", "byte"),
+        ).alias("block_idx", "block"),
     )
-    a = bytes_.select(
+    a = blocks.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),
-        "byte_idx", "byte",
+        "block_idx", "block",
     )
-    b = bytes_.select(
+    b = blocks.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
-        "byte_idx", "byte",
+        "block_idx", "block",
     )
     cand = (
-        a.join(b, ["byte_idx", "byte"])
+        a.join(b, ["block_idx", "block"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sig_a", "sig_b")
         .distinct()
     )
-    hamming = F.expr(
-        "size(filter(sequence(0, 31), "
-        "i -> (sig_a div shiftleft(1L, i)) % 2 != (sig_b div shiftleft(1L, i)) % 2))"
+    hamming = F.bit_count(
+        F.col("sig_a").bitwiseXOR(F.col("sig_b"))
     ).cast("long")
     return (
         cand.withColumn("hamming", hamming)

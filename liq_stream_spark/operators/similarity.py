@@ -221,12 +221,53 @@ def cosine_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int = _LSH_PLANES,
+    n_tables: int = _LSH_TABLES,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
 
-    Exact variant: full pair scoring — quadratic, used as the oracle-checked
-    baseline. The scale path buckets with sign-LSH first (see
-    cosine_topk_lsh) and scores within buckets only."""
+    DEFAULT = the scale path: sign-LSH buckets generate candidates via an
+    equi-join on (table, bucket), then candidates are exact-rescored — the
+    corpus never cross-joins, so the plan survives a 1000-executor corpus.
+    Precision is exact (every emitted pair truly clears the threshold);
+    recall < 1 for low thresholds (near-orthogonal vectors rarely share
+    sign buckets — by design; real near-dup dedup runs at ~0.9+, where
+    per-table collision probability is (1 - θ/π)^planes ≈ 0.8^6).
+    More tables raise recall linearly in shuffle volume, never quadratically.
+
+    For an exact answer (oracle verification, small corpora) use
+    :func:`cosine_near_dup_pairs_exact`."""
+    bucketed = _with_buckets(df, "vid", "vec", id_col, vec_col, n_planes, n_tables)
+    a = bucketed.select(
+        "table", "bucket", F.col("vid").alias("id_a"), F.col("vec").alias("va")
+    )
+    b = bucketed.select(
+        "table", "bucket", F.col("vid").alias("id_b"), F.col("vec").alias("vb")
+    )
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "va", "id_b", "vb")
+        .dropDuplicates(["id_a", "id_b"])  # a pair may collide in many tables
+    )
+    return (
+        cand.withColumn("cos", cosine_fast("va", "vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def cosine_near_dup_pairs_exact(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact (full pair scoring) variant — quadratic; VERIFIER ONLY.
+
+    Kept as the oracle-checked baseline at small SF and the recall
+    reference for the bucketed default. Do not run against a large corpus:
+    the crossJoin is O(N²) by construction."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (

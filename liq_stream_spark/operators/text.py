@@ -120,15 +120,20 @@ def char_ngram_hashes_fast(col: str, n: int = 3) -> Column:
     return _sh(col)
 
 
-def token_hashes(col: Column | str) -> Column:
-    """Array of polynomial hashes of whitespace tokens."""
+def token_hashes(col: Column | str, base: int = 131) -> Column:
+    """Array of polynomial hashes of whitespace tokens.
+
+    ``base`` selects the hash family: 131 is the default used everywhere;
+    137 provides the independent second family for the 64-bit SimHash
+    (two 32-bit hashes ≙ one 64-bit token hash, bit-compatible with the
+    DuckDB oracle where 64-bit modular arithmetic would overflow)."""
     name = col if isinstance(col, str) else None
     if name is None:
         raise ValueError("token_hashes needs a column name")
     return F.expr(
         f"transform(split(trim({name}), '{_WS_SQL}'), "
         f"w -> aggregate(split(w, ''), 0L, "
-        f"(acc, ch) -> (acc * 131 + ascii(ch)) % {MASK32}))"
+        f"(acc, ch) -> (acc * {base} + ascii(ch)) % {MASK32}))"
     ).cast("array<long>")
 
 
@@ -246,22 +251,49 @@ def fingerprint(col_name: str, n: int = 3) -> Column:
     ).cast("long")
 
 
-def simhash32(col_name: str) -> Column:
-    """32-bit SimHash over whitespace-token polynomial hashes.
-
-    bit_i(sig) = 1 iff sum over tokens of (2*bit_i(h_tok) - 1) > 0.
-    Computed entirely with higher-order functions: one hash array per doc,
-    32 folds over it, no row explosion, no shuffle.
-    """
+def _simhash32_expr(col_name: str, base: int) -> str:
+    """SQL-expression string: 32-bit SimHash half over the ``base``-family
+    token hashes. bit_i(sig) = 1 iff sum over tokens of
+    (2*bit_i(h_tok) - 1) > 0. Pure higher-order functions: one hash array
+    per doc, 32 folds, no row explosion, no shuffle."""
     hs = (
         f"transform(split(trim({col_name}), '{_WS_SQL}'), "
         f"w -> aggregate(split(w, ''), 0L, "
-        f"(acc, ch) -> (acc * 131 + ascii(ch)) % {MASK32}))"
+        f"(acc, ch) -> (acc * {base} + ascii(ch)) % {MASK32}))"
     )
-    return F.expr(
+    return (
         f"aggregate(transform(sequence(0, 31), "
         f"i -> CASE WHEN aggregate({hs}, 0L, "
         f"(acc, h) -> acc + (CASE WHEN (h div shiftleft(1L, i)) % 2 = 1 "
         f"THEN 1 ELSE -1 END)) > 0 "
         f"THEN shiftleft(1L, i) ELSE 0L END), 0L, (acc, b) -> acc + b)"
-    ).cast("long")
+    )
+
+
+def simhash32(col_name: str) -> Column:
+    """32-bit SimHash (base-131 family) — streaming-friendly single-row
+    form; the batch table variant is operators/dedup.simhash_table."""
+    return F.expr(_simhash32_expr(col_name, 131)).cast("long")
+
+
+def combine_simhash64(lo: Column, hi: Column) -> Column:
+    """Pack two non-negative 32-bit SimHash halves into one signed 64-bit
+    signature without any shift-by-63 (which overflows in DuckDB and is
+    the one place Spark/DuckDB bit semantics diverge):
+
+        simhash = (hi - 2^32 * [hi >= 2^31]) * 2^32 + lo
+
+    Every intermediate stays within signed-64 range under ANSI-checked
+    arithmetic, and the identical formula runs in the DuckDB oracle."""
+    hi_signed = F.when(hi >= F.lit(2147483648), hi - F.lit(4294967296)).otherwise(hi)
+    return (hi_signed * F.lit(4294967296) + lo).cast("long")
+
+
+def simhash64(col_name: str) -> Column:
+    """64-bit SimHash: bits 0-31 from the base-131 token-hash family, bits
+    32-63 from the independent base-137 family (equivalent to SimHash over
+    the 64-bit token hash h137*2^32 + h131). Single-row HOF form; use
+    operators/dedup.simhash_table for the batch explode+codegen shape."""
+    lo = F.expr(_simhash32_expr(col_name, 131)).cast("long")
+    hi = F.expr(_simhash32_expr(col_name, 137)).cast("long")
+    return combine_simhash64(lo, hi)

@@ -46,6 +46,43 @@ DUCK_TOKEN_HASHES = (
     f"(a, x) -> (a*131 + x) % {M32}))"
 )
 
+# independent base-137 family — the high 32 bits of the 64-bit SimHash
+DUCK_TOKEN_HASHES_HI = (
+    "list_transform(regexp_split_to_array(trim(text), '\\s+'), "
+    "w -> list_reduce(list_prepend(0::BIGINT, "
+    "list_transform(string_split(w, ''), c -> ascii(c)::BIGINT)), "
+    f"(a, x) -> (a*137 + x) % {M32}))"
+)
+
+# 64-bit SimHash signatures as one signed BIGINT — shared by t04 and d05.
+# The sign-safe pack (hi - 2^32*[hi>=2^31])*2^32 + lo avoids 1<<63, which
+# overflows DuckDB's checked BIGINT shift (text.combine_simhash64 mirrors it).
+DUCK_SIMHASH64 = f"""
+    toks AS (
+      SELECT doc_id, unnest({DUCK_TOKEN_HASHES}) AS h_lo,
+             unnest({DUCK_TOKEN_HASHES_HI}) AS h_hi
+      FROM documents
+    ), bits AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN i < 32 THEN ((h_lo >> i::INT) & 1)
+                      ELSE ((h_hi >> (i::INT - 32)) & 1) END * 2 - 1) AS s
+      FROM toks, range(0, 64) t(i)
+      GROUP BY doc_id, i
+    ), halves AS (
+      SELECT doc_id,
+             SUM(CASE WHEN i < 32 AND s > 0
+                 THEN (1::BIGINT << i::INT) ELSE 0 END) AS lo,
+             SUM(CASE WHEN i >= 32 AND s > 0
+                 THEN (1::BIGINT << (i::INT - 32)) ELSE 0 END) AS hi
+      FROM bits GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id,
+             ((CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+              * 4294967296 + lo)::BIGINT AS simhash
+      FROM halves
+    )
+"""
+
 DUCK_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
 _PUNCT_SQL = "'[.,;:!?''\"()\\[\\]{}-]'"
 
@@ -139,20 +176,13 @@ def t03_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t04_simhash",
     f"""
-    WITH toks AS (
-      SELECT doc_id, unnest({DUCK_TOKEN_HASHES}) AS h FROM documents
-    ), bits AS (
-      SELECT doc_id, i,
-             SUM(CASE WHEN (h >> i::INT) & 1 = 1 THEN 1 ELSE -1 END) AS s
-      FROM toks, range(0, 32) t(i)
-      GROUP BY doc_id, i
-    )
-    SELECT doc_id,
-           SUM(CASE WHEN s > 0 THEN (1::BIGINT << i::INT) ELSE 0 END)::BIGINT AS simhash
-    FROM bits GROUP BY doc_id
+    WITH {DUCK_SIMHASH64}
+    SELECT doc_id, simhash FROM sigs
     """,
-    doc="32-bit SimHash signatures (operators/text.simhash32; no row "
-    "explosion on the Spark side — 32 in-row folds).",
+    doc="64-bit SimHash signatures: bits 0-31 base-131 token hashes, bits "
+    "32-63 the independent base-137 family (operators/dedup.simhash_table; "
+    "single-row HOF form operators/text.simhash64) — exact integer match "
+    "vs oracle.",
 )
 def t04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_table(load(spark, sf_dir, "documents"))
@@ -254,10 +284,19 @@ def d04_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d05_simhash_near_pairs",
-    None,  # byte-blocked candidate generation is an implementation detail;
-    # rows-only here, exactness covered by t04 (signatures match oracle)
-    doc="SimHash near-dup pairs (Hamming <= 3) with byte-block candidate "
-    "generation (operators/dedup.simhash_near_pairs).",
+    f"""
+    WITH {DUCK_SIMHASH64}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="SimHash near-dup pairs (Hamming <= 3) with 16-bit-block candidate "
+    "generation (operators/dedup.simhash_near_pairs). The blocking is "
+    "pigeonhole-LOSSLESS for Hamming <= 3 over 4 blocks, so the bucketed "
+    "Spark plan is checkable against the exact pairwise-popcount oracle "
+    "(the oracle cross-join is the sf0.01 verifier; Spark never "
+    "cross-joins).",
 )
 def d05_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(load(spark, sf_dir, "documents"))
@@ -335,12 +374,15 @@ def s02_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE a.vec_id < b.vec_id
       AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
     """,
-    doc="embedding-cosine near-duplicate pairs (threshold 0.4 — the fixture "
-    "embeddings are near-orthogonal; real dedup would use ~0.95) "
-    "(operators/similarity.cosine_near_dup_pairs).",
+    doc="embedding-cosine near-duplicate pairs, EXACT crossJoin variant — "
+    "VERIFIER ONLY (threshold 0.4; the fixture embeddings are "
+    "near-orthogonal, so the exact answer is checkable by the oracle while "
+    "sign-LSH recall is <1 at this threshold by design). The default "
+    "operator is the bucketed s05 "
+    "(operators/similarity.cosine_near_dup_pairs_exact).",
 )
 def s03_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.cosine_near_dup_pairs(
+    return S.cosine_near_dup_pairs_exact(
         load(spark, sf_dir, "embeddings"), threshold=0.4
     )
 
@@ -355,3 +397,24 @@ def s03_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s04_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return S.cosine_topk_lsh(emb.filter(F.col("vec_id") < 20), emb, k=10)
+
+
+@register(
+    "s05_cosine_near_dup_lsh",
+    None,  # approximate by design: sign-LSH recall < 1 at this threshold
+    doc="embedding-cosine near-dup pairs, bucketed DEFAULT path "
+    "(operators/similarity.cosine_near_dup_pairs): sign-LSH candidate "
+    "equi-join + exact rescore, no crossJoin anywhere in the plan. "
+    "Precision is exact; recall vs the s03 verifier is asserted in "
+    "tests/test_llm_ops.py.",
+)
+def s05_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 3 planes x 8 tables: recall-leaning parameterization for the
+    # near-orthogonal fixture (threshold 0.4); production near-dup at
+    # ~0.95 would use the 6x4 default
+    return S.cosine_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        n_planes=3,
+        n_tables=8,
+    )
