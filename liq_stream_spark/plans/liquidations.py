@@ -1,10 +1,14 @@
 """The liquidation-domain pipeline exposed through the driver contract.
 
 These queries run the five venue normalizers over the replay fixtures
-(tests/fixtures/*.jsonl, built from the reference's docstring samples) and
-are registered rows-only (no SQL oracle): the wire-format explode/coalesce/
-case-map semantics aren't ANSI-SQL-expressible over the pre-registered
-views, and their correctness gate is the golden tests in
+(tests/fixtures/*.jsonl, built from the reference's docstring samples).
+The three aggregate queries carry a FULL DuckDB oracle: the oracle SQL
+re-parses the SAME fixture JSONL with DuckDB's JSON functions, reproducing
+every normalizer semantic the aggregates depend on (array-or-object
+flatten, truthy coalescing, try-cast drop/keep rules, side maps, the HL
+timestamp heuristic and tid|user|coin dedup) — see ``_duck_liq_union``.
+Only ``liq_normalize_unified`` itself stays rows-only: its ``raw``
+re-serialization is wire-format-specific and is golden-tested in
 tests/test_normalizers.py instead.
 """
 
@@ -27,6 +31,266 @@ from liq_stream_spark.sources.replay import read_jsonl_frames
 
 _FIXTURES = Path(__file__).resolve().parents[2] / "tests" / "fixtures"
 _INGEST = 1_800_000_000_000  # pinned for determinism
+
+
+def _duck_liq_union() -> str:
+    """DuckDB CTEs reproducing ``unified_liquidations`` (minus raw /
+    ts_ingest, which no oracled aggregate touches) straight from the
+    fixture JSONL. Cross-engine hazards handled: DuckDB CAST(DOUBLE AS
+    BIGINT) rounds where Spark truncates — the HL heuristic only multiplies
+    exact integers by 1000, so no fractional case exists; DuckDB ASC
+    defaults to NULLS LAST where Spark is NULLS FIRST — orderings pin it
+    explicitly."""
+    fx = _FIXTURES.as_posix()
+
+    def lines(fname: str) -> str:
+        return (
+            f"SELECT unnest(string_split(content, chr(10))) AS value "
+            f"FROM read_text('{fx}/{fname}')"
+        )
+
+    # --- binance/aster: array-or-object flatten, truthy price/qty chains,
+    # drop on unparsable cast (binance_adapter.py:41-94)
+    bin_ev = """
+      SELECT unnest(json_transform(
+               CASE WHEN json_type(value::JSON) = 'ARRAY' THEN value::JSON
+                    ELSE ('[' || value || ']')::JSON END, '["JSON"]')) AS ev
+      FROM {src} WHERE json_valid(value)
+    """
+    bin_rows = """
+      SELECT
+        COALESCE(json_extract_string(ev::JSON, '$.o.s'), '') AS symbol,
+        CASE UPPER(COALESCE(json_extract_string(ev::JSON, '$.o.S'), ''))
+             WHEN 'BUY' THEN 'short' WHEN 'SELL' THEN 'long' END AS side,
+        TRY_CAST(COALESCE(NULLIF(json_extract_string(ev::JSON, '$.o.l'), ''),
+                          NULLIF(json_extract_string(ev::JSON, '$.o.z'), ''),
+                          NULLIF(json_extract_string(ev::JSON, '$.o.q'), ''),
+                          '0.0') AS DOUBLE) AS qty,
+        TRY_CAST(COALESCE(NULLIF(json_extract_string(ev::JSON, '$.o.ap'), ''),
+                          NULLIF(json_extract_string(ev::JSON, '$.o.p'), ''),
+                          '0.0') AS DOUBLE) AS price,
+        COALESCE(TRY_CAST(json_extract_string(ev::JSON, '$.E') AS BIGINT),
+                 TRY_CAST(json_extract_string(ev::JSON, '$.o.T') AS BIGINT))
+          AS ts_exch_ms
+      FROM {src}
+      WHERE json_extract(ev::JSON, '$.o') IS NOT NULL
+        AND json_extract(ev::JSON, '$.o') != 'null'::JSON
+        AND json_extract(ev::JSON, '$.o') != '{{}}'::JSON
+    """
+    notional_null = (
+        "CASE WHEN price IS NOT NULL AND price != 0 "
+        "AND qty IS NOT NULL AND qty != 0 THEN price * qty END"
+    )
+
+    # --- bybit: topic dispatch, dual schema, µs→ms with present-but-bad
+    # updatedTimeE6 dropping the row (bybit_adapter.py:145-227)
+    bybit = f"""
+    by_topic AS (
+      SELECT j, json_extract_string(j, '$.topic') AS topic,
+             TRY_CAST(json_extract_string(j, '$.ts') AS BIGINT) AS msg_ts
+      FROM (SELECT value::JSON AS j FROM raw_bybit WHERE json_valid(value))
+    ),
+    by_new AS (
+      SELECT msg_ts,
+             json_extract_string(liq, '$.s') AS s,
+             json_extract_string(liq, '$.S') AS sd,
+             json_extract_string(liq, '$.v') AS v,
+             json_extract_string(liq, '$.p') AS p,
+             TRY_CAST(json_extract_string(liq, '$.T') AS BIGINT) AS t_ms,
+             NULL::VARCHAR AS symbol_l, NULL::VARCHAR AS side_l,
+             NULL::VARCHAR AS size_l, NULL::VARCHAR AS price_l,
+             NULL::VARCHAR AS upd
+      FROM (SELECT msg_ts,
+                   unnest(json_transform(json_extract(j, '$.data'),
+                                         '["JSON"]')) AS liq
+            FROM by_topic WHERE starts_with(topic, 'allLiquidation.'))
+    ),
+    by_leg AS (
+      SELECT msg_ts,
+             NULL::VARCHAR AS s, NULL::VARCHAR AS sd,
+             NULL::VARCHAR AS v, NULL::VARCHAR AS p, NULL::BIGINT AS t_ms,
+             json_extract_string(liq, '$.symbol') AS symbol_l,
+             json_extract_string(liq, '$.side') AS side_l,
+             json_extract_string(liq, '$.size') AS size_l,
+             json_extract_string(liq, '$.price') AS price_l,
+             json_extract_string(liq, '$.updatedTimeE6') AS upd
+      FROM (SELECT msg_ts,
+                   unnest(json_transform(
+                     CASE WHEN json_type(json_extract(j, '$.data')) = 'OBJECT'
+                          THEN ('[' || json_extract(j, '$.data') || ']')::JSON
+                          ELSE json_extract(j, '$.data') END,
+                     '["JSON"]')) AS liq
+            FROM by_topic
+            WHERE starts_with(topic, 'liquidation.')
+              AND json_extract(j, '$.data') IS NOT NULL)
+    ),
+    by_rows AS (
+      SELECT
+        COALESCE(NULLIF(s, ''), NULLIF(symbol_l, ''), '') AS symbol,
+        CASE LOWER(COALESCE(NULLIF(sd, ''), NULLIF(side_l, ''), ''))
+             WHEN 'buy' THEN 'short' WHEN 'sell' THEN 'long'
+             ELSE '' END AS side,
+        COALESCE(TRY_CAST(COALESCE(NULLIF(v, ''), NULLIF(size_l, ''), '0')
+                          AS DOUBLE), 0.0) AS qty,
+        COALESCE(TRY_CAST(COALESCE(NULLIF(p, ''), NULLIF(price_l, ''), '0')
+                          AS DOUBLE), 0.0) AS price,
+        COALESCE(t_ms, TRY_CAST(upd AS BIGINT) // 1000, msg_ts) AS ts_exch_ms
+      FROM (SELECT * FROM by_new UNION ALL SELECT * FROM by_leg)
+      WHERE NOT (t_ms IS NULL AND upd IS NOT NULL
+                 AND TRY_CAST(upd AS BIGINT) IS NULL)
+    )
+    """
+
+    # --- okx: channel filter, two-level flatten, -USDT/-USDC-SWAP market
+    # filter, posSide whitelist (okx_adapter.py:43-107)
+    okx = """
+    okx_inst AS (
+      SELECT unnest(json_transform(json_extract(j, '$.data'),
+                                   '["JSON"]')) AS liq
+      FROM (SELECT value::JSON AS j FROM raw_okx WHERE json_valid(value))
+      WHERE json_extract_string(j, '$.arg.channel') = 'liquidation-orders'
+        AND json_extract(j, '$.data') IS NOT NULL
+    ),
+    okx_det AS (
+      SELECT COALESCE(json_extract_string(liq, '$.instId'), '') AS instId,
+             unnest(json_transform(json_extract(liq, '$.details'),
+                                   '["JSON"]')) AS d
+      FROM okx_inst
+      WHERE ends_with(COALESCE(json_extract_string(liq, '$.instId'), ''),
+                      '-USDT-SWAP')
+         OR ends_with(COALESCE(json_extract_string(liq, '$.instId'), ''),
+                      '-USDC-SWAP')
+    ),
+    okx_rows AS (
+      SELECT instId AS symbol,
+        CASE WHEN LOWER(COALESCE(json_extract_string(d, '$.posSide'), ''))
+                  IN ('long', 'short')
+             THEN LOWER(json_extract_string(d, '$.posSide'))
+             ELSE '' END AS side,
+        TRY_CAST(COALESCE(NULLIF(json_extract_string(d, '$.sz'), ''), '0.0')
+                 AS DOUBLE) AS qty,
+        TRY_CAST(COALESCE(NULLIF(json_extract_string(d, '$.fillPx'), ''),
+                          NULLIF(json_extract_string(d, '$.bkPx'), ''), '0.0')
+                 AS DOUBLE) AS price,
+        TRY_CAST(NULLIF(json_extract_string(d, '$.ts'), '') AS BIGINT)
+          AS ts_exch_ms
+      FROM okx_det
+    )
+    """
+
+    # --- hyperliquid: substring prefilter, [taker, fill] pair shape,
+    # liquidation-only + self-liquidation, tid|user|coin dedup, ts heuristic
+    # (hyperliquid_adapter.py:14-60,166-257)
+    hl_ts = (
+        "CASE WHEN TRY_CAST({x} AS DOUBLE) IS NOT NULL THEN "
+        "CASE WHEN TRY_CAST({x} AS DOUBLE) < 1e12 "
+        "THEN CAST(TRY_CAST({x} AS DOUBLE) * 1000 AS BIGINT) "
+        "ELSE CAST(TRY_CAST({x} AS DOUBLE) AS BIGINT) END "
+        "ELSE epoch_ms(TRY_CAST(rtrim(regexp_replace({x}, 'Z$', '')) "
+        "AS TIMESTAMP)) END"
+    )
+    hl = f"""
+    hl_pairs AS (
+      SELECT json_extract_string(j, '$.local_time') AS local_time,
+             json_extract_string(j, '$.block_time') AS block_time,
+             TRY_CAST(json_extract_string(j, '$.block_number') AS BIGINT)
+               AS block_number,
+             unnest(json_transform(json_extract(j, '$.events'),
+                                   '["JSON"]')) AS ev,
+             generate_subscripts(json_transform(json_extract(j, '$.events'),
+                                                '["JSON"]'), 1) AS ev_idx
+      FROM (SELECT value::JSON AS j FROM raw_hl
+            WHERE value LIKE '%liquidation%' AND json_valid(value))
+      WHERE json_extract(j, '$.events') IS NOT NULL
+    ),
+    hl_fills AS (
+      SELECT *,
+             json_extract_string(ev, '$[0]') AS taker,
+             json_extract(ev, '$[1]') AS fill
+      FROM hl_pairs
+      WHERE json_extract(ev, '$[0]') IS NOT NULL
+        AND json_extract(ev, '$[1]') IS NOT NULL
+        AND json_extract(ev, '$[2]') IS NULL
+        AND json_type(json_extract(ev, '$[1]')) = 'OBJECT'
+    ),
+    hl_kept AS (
+      SELECT local_time, block_time, block_number, ev_idx,
+             ABS(TRY_CAST(json_extract_string(fill, '$.sz') AS DOUBLE))
+               AS sz_abs,
+             json_extract_string(fill, '$.liquidation.liquidatedUser')
+               AS liq_user,
+             json_extract_string(fill, '$.coin') AS coin,
+             json_extract_string(fill, '$.px') AS px,
+             json_extract_string(fill, '$.dir') AS dir,
+             json_extract_string(fill, '$.side') AS fside,
+             json_extract_string(fill, '$.tid') AS tid
+      FROM hl_fills
+      WHERE json_extract(fill, '$.liquidation') IS NOT NULL
+        AND taker = json_extract_string(fill, '$.liquidation.liquidatedUser')
+    ),
+    hl_dedup AS (
+      SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY concat_ws('|', COALESCE(tid, 'None'),
+                       COALESCE(liq_user, 'None'), COALESCE(coin, 'None'))
+          ORDER BY block_number ASC NULLS LAST, local_time ASC NULLS LAST,
+                   ev_idx ASC) AS rn
+      FROM hl_kept
+      WHERE sz_abs IS NOT NULL AND sz_abs >= 0.0
+    ),
+    hl_rows AS (
+      SELECT
+        CASE WHEN UPPER(COALESCE(coin, '')) != ''
+             THEN UPPER(coin) || 'USDC' ELSE '' END AS symbol,
+        CASE WHEN contains(LOWER(COALESCE(dir, '')), 'close long')
+               THEN 'long'
+             WHEN contains(LOWER(COALESCE(dir, '')), 'close short')
+               THEN 'short'
+             WHEN UPPER(COALESCE(fside, '')) = 'A' THEN 'long'
+             WHEN UPPER(COALESCE(fside, '')) = 'B' THEN 'short'
+        END AS side,
+        sz_abs AS qty,
+        TRY_CAST(COALESCE(NULLIF(px, ''), '0.0') AS DOUBLE) AS price,
+        CASE WHEN {hl_ts.format(x="block_time")} IS NOT NULL
+                  AND {hl_ts.format(x="block_time")} != 0
+             THEN {hl_ts.format(x="block_time")}
+             ELSE {hl_ts.format(x="local_time")} END AS ts_exch_ms
+      FROM hl_dedup WHERE rn = 1
+    )
+    """
+
+    return f"""
+    raw_binance AS ({lines("binance_force_order.jsonl")}),
+    raw_bybit AS ({lines("bybit_liquidation.jsonl")}),
+    raw_okx AS ({lines("okx_liquidation_orders.jsonl")}),
+    raw_hl AS ({lines("hyperliquid_fills.jsonl")}),
+    bin_ev AS ({bin_ev.format(src="raw_binance")}),
+    bin_rows AS ({bin_rows.format(src="bin_ev")}),
+    {bybit},
+    {okx},
+    {hl},
+    liq AS (
+      SELECT 'binance' AS exchange, 'usdt' AS market, symbol, side, qty,
+             price, {notional_null} AS notional, ts_exch_ms
+      FROM bin_rows WHERE price IS NOT NULL AND qty IS NOT NULL
+      UNION ALL
+      SELECT 'aster', 'usdt', symbol, side, qty, price,
+             {notional_null}, ts_exch_ms
+      FROM bin_rows WHERE price IS NOT NULL AND qty IS NOT NULL
+      UNION ALL
+      SELECT 'bybit', 'usdt', symbol, side, qty, price,
+             CASE WHEN price != 0 AND qty != 0 THEN price * qty
+                  ELSE 0.0 END, ts_exch_ms
+      FROM by_rows
+      UNION ALL
+      SELECT 'okx', 'usdt', symbol, side, qty, price,
+             {notional_null}, ts_exch_ms
+      FROM okx_rows WHERE price IS NOT NULL AND qty IS NOT NULL
+      UNION ALL
+      SELECT 'hyperliquid', 'usdc', symbol, side, qty, price,
+             {notional_null}, ts_exch_ms
+      FROM hl_rows
+    )
+    """
 
 
 def unified_liquidations(spark: SparkSession) -> DataFrame:
@@ -67,9 +331,16 @@ def liq_normalize_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "liq_venue_stats",
-    None,
+    f"""
+    WITH {_duck_liq_union()}
+    SELECT exchange, market, side, COUNT(*)::BIGINT AS n,
+           CAST(SUM(CAST(notional AS DECIMAL(25,6))) AS DOUBLE)
+             AS total_notional
+    FROM liq GROUP BY exchange, market, side
+    """,
     doc="per-venue/side aggregate over the normalized union (console "
-    "dashboard analogue of the reference's colored printer, K2).",
+    "dashboard analogue of the reference's colored printer, K2) — full "
+    "DuckDB oracle re-parses the fixture JSONL (see _duck_liq_union).",
 )
 def liq_venue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     liq = unified_liquidations(spark)
@@ -86,9 +357,21 @@ def liq_venue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "liq_top_by_notional",
-    None,
+    f"""
+    WITH {_duck_liq_union()}
+    SELECT exchange, symbol, side, qty, price, notional, ts_exch_ms,
+           rank::BIGINT AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY exchange
+          ORDER BY notional DESC NULLS LAST, symbol ASC NULLS FIRST,
+                   ts_exch_ms ASC NULLS FIRST) AS rank
+      FROM liq
+    ) WHERE rank <= 3
+    """,
     doc="largest liquidations per venue (window top-k over the union) — "
-    "the CHANGELOG's awk-dashboard analogue as a first-class query.",
+    "the CHANGELOG's awk-dashboard analogue as a first-class query; "
+    "DuckDB-oracled from the fixture JSONL.",
 )
 def liq_top_by_notional(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
@@ -109,9 +392,19 @@ def liq_top_by_notional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "liq_hourly_by_symbol",
-    None,
+    f"""
+    WITH {_duck_liq_union()}
+    SELECT date_trunc('hour', epoch_ms(ts_exch_ms)) AS hour,
+           exchange, symbol, COUNT(*)::BIGINT AS n_liqs,
+           CAST(SUM(CAST(notional AS DECIMAL(25,6))) AS DOUBLE)
+             AS hourly_notional,
+           MAX(qty) AS max_qty
+    FROM liq WHERE ts_exch_ms IS NOT NULL
+    GROUP BY hour, exchange, symbol
+    """,
     doc="tumbling 1h event-time windows per symbol over the union — the "
-    "streaming windowed-agg shape (q14) applied to the liquidation domain.",
+    "streaming windowed-agg shape (q14) applied to the liquidation domain; "
+    "DuckDB-oracled from the fixture JSONL.",
 )
 def liq_hourly_by_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
     liq = unified_liquidations(spark)
