@@ -53,9 +53,14 @@ def parse_args(argv=None):
                    default=os.environ.get("HL_HOURLY_ROOT",
                                           "~/hl/data/node_fills_streaming/hourly"))
     p.add_argument("--hl-min-sz", type=float, default=0.0)
-    # (--hl-no-catchup is intentionally absent: Spark's file source always
-    # reads pre-existing files on the first trigger; skip-backfill would
-    # need a relay dir — documented in sources/hl_files.py)
+    p.add_argument("--hl-tail-relay",
+                   help="dir for the sub-hour tail relay: a driver-side "
+                   "thread tails the newest hour file (0.15 s polls, "
+                   "rollover + rotation checks) into append-only chunks "
+                   "the stream reads — reference-latency S8")
+    p.add_argument("--hl-no-catchup", action="store_true",
+                   help="with --hl-tail-relay: skip backfilling existing "
+                   "hour files, tail the newest from EOF only")
     # dev replay
     p.add_argument("--replay-root",
                    help="dir with per-venue JSONL frame subdirs — dev source")
@@ -86,29 +91,32 @@ def main(argv=None) -> None:
     normalizer_kwargs: dict[str, dict] = {
         "hyperliquid": {"min_abs_sz": args.hl_min_sz},
     }
+    if args.hl_tail_relay:
+        normalizer_kwargs["hyperliquid"]["hl_tail_relay_dir"] = (
+            os.path.expanduser(args.hl_tail_relay)
+        )
+        normalizer_kwargs["hyperliquid"]["hl_tail_catch_up"] = (
+            not args.hl_no_catchup
+        )
 
     live = not args.replay_root
     source_dirs: dict[tuple[str, str], str] = {}
     if live:
-        try:
-            import websockets  # noqa: F401
-        except ImportError:
-            raise SystemExit(
-                "live websocket mode requires the 'websockets' package; "
-                "use --replay-root for the file-replay source instead"
-            )
+        # websocket venues use the `websockets` package when installed,
+        # else the vendored stdlib client (sources/miniws.py); Bybit REST
+        # symbol discovery still needs `requests` unless --bybit-symbols
         normalizer_kwargs["bybit"] = {
             "ws_options": {
                 "subscribe_chunk": str(args.subscribe_chunk),
                 "use_all": "false" if args.bybit_legacy else "true",
             }
         }
-        # Hyperliquid has no websocket feed — it still reads hour files
-        if any(ex == "hyperliquid" for ex, _ in pairs):
-            raise SystemExit(
-                "hyperliquid streams from node log files; run it with "
-                "--replay-root (or point --hl-root at the node's hourly dir)"
-            )
+        # Hyperliquid has no websocket feed — in live mode it tails the
+        # node's hour files under --hl-root (use --hl-tail-relay for
+        # sub-hour latency)
+        for ex, mk in pairs:
+            if ex == "hyperliquid":
+                source_dirs[(ex, mk)] = os.path.expanduser(args.hl_root)
     else:
         multi_market = {
             ex for ex, _ in pairs

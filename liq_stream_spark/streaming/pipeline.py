@@ -40,7 +40,11 @@ from liq_stream_spark.operators import (
     normalize_okx,
 )
 from liq_stream_spark.sinks import FanOutConfig, fan_out
-from liq_stream_spark.sources.hl_files import read_hl_hourly_stream
+from liq_stream_spark.sources.hl_files import (
+    HLTailRelay,
+    read_hl_hourly_stream,
+    read_hl_relay_stream,
+)
 from liq_stream_spark.sources.replay import read_jsonl_frames_stream
 
 NORMALIZERS: dict[str, Callable[..., DataFrame]] = {
@@ -149,10 +153,25 @@ def stream_venue(
     batch runs inside the stream; Hyperliquid additionally gets the
     watermark-bounded ST1 dedup on tid|liq_user|coin."""
     ws_options = normalizer_kwargs.get("ws_options", {})
+    # sub-hour HL latency: when a relay dir is given, an HLTailRelay tails
+    # the newest hour file under source_dir into it and the stream reads
+    # the relay's append-only chunks instead of whole hour files (S8)
+    hl_tail_relay_dir = normalizer_kwargs.get("hl_tail_relay_dir")
+    hl_tail_catch_up = normalizer_kwargs.get("hl_tail_catch_up", True)
     normalizer_kwargs = {
-        k: v for k, v in normalizer_kwargs.items() if k != "ws_options"
+        k: v
+        for k, v in normalizer_kwargs.items()
+        if k not in ("ws_options", "hl_tail_relay_dir", "hl_tail_catch_up")
     }
-    if live:
+    relay = None
+    if exchange == "hyperliquid" and hl_tail_relay_dir:
+        relay = HLTailRelay(
+            source_dir, hl_tail_relay_dir, catch_up=hl_tail_catch_up
+        ).start()
+        frames = read_hl_relay_stream(
+            spark, hl_tail_relay_dir, max_files_per_trigger
+        )
+    elif live and exchange != "hyperliquid":
         from liq_stream_spark.sources import ws_datasource
 
         ws_datasource.register(spark)
@@ -179,6 +198,8 @@ def stream_venue(
         )
         if hl_dedup_watermark:
             liq = hl_dedup_within_watermark(liq, hl_dedup_watermark)
+        if relay is not None:
+            liq._hl_relay = relay  # handle for caller-side stop()
         return liq
     return NORMALIZERS[exchange](frames, market=market, **normalizer_kwargs)
 
@@ -206,7 +227,12 @@ def run_pipeline(
 
     def dir_for(ex: str, mk: str) -> str | None:
         if live:
-            return None
+            # HL "live" is file tailing, not a websocket — it still needs
+            # its root dir (the tail relay reads it) when one is configured
+            if ex != "hyperliquid" or (
+                (ex, mk) not in source_dirs and ex not in source_dirs
+            ):
+                return None
         if (ex, mk) in source_dirs:
             return source_dirs[(ex, mk)]
         if ex in source_dirs:
