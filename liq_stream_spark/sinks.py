@@ -103,11 +103,60 @@ CREATE TABLE IF NOT EXISTS {table} (
 )
 """
 
+# the two reference indexes (writer_pg.py:38-57), guarded idempotently the
+# same way (pg_class existence probe inside a DO block, schema-qualified
+# names split like writer_pg.py:129-130). In the parquet store the same
+# query intent is carried by layout (store.py); a real --sink pg gets the
+# actual indexes.
+INDEX_DDL = """
+DO $$
+BEGIN
+    IF NOT EXISTS (
+        SELECT 1 FROM pg_class c
+        JOIN pg_namespace n ON n.oid = c.relnamespace
+        WHERE c.relname = '{idx_time}'
+          AND n.nspname = COALESCE(split_part('{table}', '.', 1), 'public')
+    ) THEN
+        EXECUTE 'CREATE INDEX {idx_time} ON {table} (ts_exch_ms)';
+    END IF;
+
+    IF NOT EXISTS (
+        SELECT 1 FROM pg_class c
+        JOIN pg_namespace n ON n.oid = c.relnamespace
+        WHERE c.relname = '{idx_sym_time}'
+          AND n.nspname = COALESCE(split_part('{table}', '.', 1), 'public')
+    ) THEN
+        EXECUTE 'CREATE INDEX {idx_sym_time} ON {table} (exchange, market, symbol, ts_exch_ms)';
+    END IF;
+END$$;
+"""
+
+
+def bootstrap_statements(table: str) -> list[str]:
+    """The DDL statements ``ensure_table`` executes, in order: table then
+    the two indexes — (ts_exch_ms) and (exchange, market, symbol,
+    ts_exch_ms) — with names derived as in writer_pg.py:129-130.
+
+    Exactly-once note: Spark's JDBC writer gives at-least-once into PG on
+    microbatch retry. For exactly-once, add a unique key over the natural
+    identity (exchange, market, symbol, ts_exch_ms, raw) plus the epoch id
+    and INSERT .. ON CONFLICT DO NOTHING via a foreachBatch writer — the
+    reference itself is fire-and-forget (at-most-once, writer_pg.py), so
+    plain append already strictly dominates it."""
+    short = table.split(".")[-1]
+    return [
+        DDL.format(table=table),
+        INDEX_DDL.format(
+            table=table,
+            idx_time=f"{short}_ts_idx",
+            idx_sym_time=f"{short}_sym_ts_idx",
+        ),
+    ]
+
 
 def ensure_table(url: str, table: str, properties: dict[str, str] | None = None):
-    """One-shot DDL bootstrap (K5, writer_pg.py:23-57). The two reference
-    indexes map to partition/sort layout in the parquet store; for an
-    actual PG sink they would be created here the same way."""
+    """One-shot DDL bootstrap (K5, writer_pg.py:23-57,124-136): table plus
+    the two reference indexes, all idempotent."""
     try:
         import py4j  # noqa: F401 — session JVM required
         from pyspark.sql import SparkSession
@@ -119,7 +168,9 @@ def ensure_table(url: str, table: str, properties: dict[str, str] | None = None)
             props.setProperty(k, v)
         conn = jvm.java.sql.DriverManager.getConnection(url, props)
         try:
-            conn.createStatement().execute(DDL.format(table=table))
+            stmt = conn.createStatement()
+            for sql in bootstrap_statements(table):
+                stmt.execute(sql)
         finally:
             conn.close()
     except Exception as e:  # no JDBC driver/database in this container

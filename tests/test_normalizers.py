@@ -105,6 +105,36 @@ def test_bybit(spark):
     assert all(r["symbol"] != "NOTOPIC" for r in got)
 
 
+def test_bybit_legacy_channel_replay(spark):
+    """Dedicated legacy liquidation.<SYM> replay fixture: dict-vs-list data
+    arms, µs→ms truncation, numeric updatedTimeE6, frame-ts fallback when
+    absent, drop when present-but-unparsable, unknown side -> "",
+    unparsable size -> 0.0 row kept (bybit_adapter.py:145-170,200-206)."""
+    df = read_jsonl_frames(spark, str(FIXTURES / "bybit_legacy.jsonl"), INGEST)
+    got = rows_of(normalize_bybit(df, market="usdt"))
+    by_sym = {r["symbol"]: r for r in got}
+    assert set(by_sym) == {"BTCUSDT", "ETHUSDT", "SOLUSDT", "XRPUSDT"}
+    assert len(got) == 5  # ETHUSDT twice (list arm)
+
+    # dict arm, µs string -> ms
+    assert by_sym["BTCUSDT"]["ts_exch_ms"] == 1739502302929
+    assert by_sym["BTCUSDT"]["side"] == "short" and by_sym["BTCUSDT"]["qty"] == 0.02
+    # list arm: truncating µs division + frame-ts fallback for missing field
+    eth = sorted(
+        (r for r in got if r["symbol"] == "ETHUSDT"), key=lambda r: r["qty"]
+    )
+    assert eth[0]["ts_exch_ms"] == 1739502304111  # 1739502304111222 // 1000
+    assert eth[1]["ts_exch_ms"] == 1739502304000  # frame ts
+    # BADTSUSDT: updatedTimeE6 present but unparsable -> row DROPPED
+    assert "BADTSUSDT" not in by_sym
+    # numeric (non-string) updatedTimeE6; unknown side -> "" not NULL
+    assert by_sym["SOLUSDT"]["ts_exch_ms"] == 1739502305000
+    assert by_sym["SOLUSDT"]["side"] == ""
+    # unparsable size -> 0.0, row kept, notional 0.0
+    assert by_sym["XRPUSDT"]["qty"] == 0.0 and by_sym["XRPUSDT"]["notional"] == 0.0
+    assert by_sym["XRPUSDT"]["ts_exch_ms"] == 1739502308500
+
+
 def test_bybit_market_case_and_legacy_bad_ts(spark):
     # market arg is case-insensitive like the reference's (market or "").lower()
     df = read_jsonl_frames(spark, str(FIXTURES / "bybit_liquidation.jsonl"), INGEST)

@@ -194,3 +194,92 @@ def test_normalize_binance_never_throws_and_invariants(spark, frame_list):
         else:
             assert not r["price"] or not r["qty"]
         assert r["qty"] is not None and r["price"] is not None
+
+
+# ---------------------------------------------------------------------------
+# bybit legacy channel: arbitrary legacy-shaped frames never throw, and the
+# per-row semantics hold (µs→ms, drop on present-but-unparsable
+# updatedTimeE6, "" side, 0.0 qty/price/notional floors)
+# ---------------------------------------------------------------------------
+
+legacy_rows = st.fixed_dictionaries(
+    {},
+    optional={
+        "updatedTimeE6": st.one_of(
+            st.integers(min_value=0, max_value=2**52),
+            st.sampled_from(["1739502302929000", "", "oops", "12.5"]),
+        ),
+        "symbol": st.sampled_from(["BTCUSDT", "ETHUSDT", ""]),
+        "side": st.sampled_from(["Buy", "Sell", "buy", "HOLD", ""]),
+        "size": st.sampled_from(["1", "2.5", "", "bogus"]),
+        "price": st.sampled_from(["10", "0", "", "nah"]),
+    },
+)
+
+legacy_frames = st.fixed_dictionaries(
+    {"topic": st.just("liquidation.X")},
+    optional={
+        "ts": st.integers(min_value=0, max_value=2**40),
+        "data": st.one_of(legacy_rows, st.lists(legacy_rows, max_size=3)),
+    },
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(legacy_frames, min_size=1, max_size=8))
+def test_normalize_bybit_legacy_never_throws_and_invariants(spark, frame_list):
+    from pyspark.sql import functions as F
+
+    from liq_stream_spark.operators import normalize_bybit
+
+    lines = [(json.dumps(f),) for f in frame_list]
+    df = spark.createDataFrame(lines, "value string").withColumn(
+        "ts_ingest_ms", F.lit(1)
+    )
+    rows = normalize_bybit(df).collect()
+
+    # reference spec over the same frames (bybit_adapter.py:145-227)
+    expected = []
+    for f in frame_list:
+        data = f.get("data")
+        if data is None:
+            continue
+        for liq in data if isinstance(data, list) else [data]:
+            try:
+                qty = ref_truthy_float(liq.get("size"), 0) or 0.0
+                price = ref_truthy_float(liq.get("price"), 0) or 0.0
+            except Exception:
+                qty, price = 0.0, 0.0
+            if qty is None:
+                qty = 0.0
+            if price is None:
+                price = 0.0
+            ts = None
+            try:
+                if liq.get("updatedTimeE6") is not None:
+                    ts = int(int(liq["updatedTimeE6"]) / 1000)
+                elif f.get("ts") is not None:
+                    ts = int(f["ts"])
+            except Exception:
+                continue  # int() raised -> row dropped
+            side_raw = (liq.get("side") or "").lower()
+            side = (
+                "short" if side_raw == "buy"
+                else "long" if side_raw == "sell" else ""
+            )
+            expected.append(
+                (
+                    liq.get("symbol") or "",
+                    side,
+                    qty,
+                    price,
+                    price * qty if price and qty else 0.0,
+                    ts,
+                )
+            )
+    got = sorted(
+        (r["symbol"], r["side"], r["qty"], r["price"], r["notional"],
+         r["ts_exch_ms"])
+        for r in rows
+    )
+    assert got == sorted(expected)

@@ -194,3 +194,25 @@ def test_ws_datasource_registers(spark):
 
     with pytest.raises(ValueError):
         LiquidationWSReader({"venue": "kraken", "market": "usdt"})
+
+
+def test_pg_bootstrap_statements_reference_parity():
+    """No PG in the container — assert the emitted DDL strings carry the
+    reference's table shape and BOTH indexes with the same derived names
+    and idempotence guards (writer_pg.py:24-57,124-136)."""
+    from liq_stream_spark.sinks import bootstrap_statements
+
+    stmts = bootstrap_statements("public.liquidations")
+    assert len(stmts) == 2
+    table_sql, index_sql = stmts
+    assert "CREATE TABLE IF NOT EXISTS public.liquidations" in table_sql
+    for col in ("exchange TEXT NOT NULL", "notional DOUBLE PRECISION",
+                "ts_exch_ms BIGINT", "raw TEXT"):
+        assert col in table_sql
+    # index names derive from the short table name, as in the reference
+    assert "CREATE INDEX liquidations_ts_idx ON public.liquidations (ts_exch_ms)" in index_sql
+    assert ("CREATE INDEX liquidations_sym_ts_idx ON public.liquidations "
+            "(exchange, market, symbol, ts_exch_ms)") in index_sql
+    # idempotence guard probes pg_class before each CREATE
+    assert index_sql.count("IF NOT EXISTS") == 2
+    assert index_sql.count("pg_class") == 2
