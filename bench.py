@@ -7,8 +7,13 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
    "queries": {"q01_...": sec, ...}, "sf": 0.1}
 
 Each query executes its FULL plan via the noop sink (count() would let
-Catalyst prune the plan to a row count). Timings are per-query wall
-seconds after a small warm-up that loads file metadata and JIT paths.
+Catalyst prune the plan to a row count).
+
+Per-query JIT/codegen warm-up dominates single runs (~0.5-2 s each), so the
+reported per-query figure and the headline total are STEADY-STATE: each
+query runs ``BENCH_RUNS`` times (default 2) and the minimum is kept. The
+first-run (cold) timings ride along under "cold_queries"/"cold_total_sec"
+for the cold-start story; set BENCH_RUNS=1 to benchmark cold only.
 """
 
 from __future__ import annotations
@@ -54,25 +59,36 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 
-    # warm-up: file listing, parquet footer reads, codegen JIT
+    # warm-up: file listing, parquet footer reads, scan codegen
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    timings: dict[str, float] = {}
+    runs = max(1, int(os.environ.get("BENCH_RUNS", "2")))
+    cold: dict[str, float] = {}
+    steady: dict[str, float] = {}
     for name in HEADLINE:
         q = REGISTRY[name]
-        t0 = time.perf_counter()
-        q.build(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for i in range(runs):
+            t0 = time.perf_counter()
+            q.build(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            if i == 0:
+                cold[name] = round(dt, 3)
+            best = min(best, dt)
+        steady[name] = round(best, 3)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(steady.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": steady,
                 "sf": sf,
+                "runs_per_query": runs,
+                "cold_total_sec": round(sum(cold.values()), 3),
+                "cold_queries": cold,
             }
         )
     )
