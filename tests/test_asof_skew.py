@@ -1,0 +1,102 @@
+"""Skew story for the window-heavy operators (ARCHITECTURE.md "Hot keys"):
+
+- asof_join_bucketed must be output-EQUIVALENT to asof_join for any bucket
+  width (real data + synthetic hot key with right-side ties), while its
+  phase-2 window partitions on (key, time-bucket) — the hot key's timeline
+  splits across tasks instead of becoming one straggler.
+- sessionization's per-key partition sizes at sf0.1 are profiled to show
+  the fixture keyspace is flat (the salting recipe is documented for when
+  production keyspaces are not)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from liq_stream_spark.operators.asof import asof_join, asof_join_bucketed
+
+
+def _clicks_errors(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("t")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").cast("long").alias("err_t"),
+        F.col("event_id").alias("error_event_id"),
+    )
+    return clicks, errors
+
+
+@pytest.mark.parametrize("bucket", [10**12, 3_600 * 10**9])
+def test_bucketed_asof_equivalent_on_real_data(spark, bucket):
+    clicks, errors = _clicks_errors(spark)
+    base = {
+        tuple(r)
+        for r in asof_join(
+            clicks, errors, "user_id", "t", "err_t"
+        ).collect()
+    }
+    bucketed = {
+        tuple(r)
+        for r in asof_join_bucketed(
+            clicks, errors, "user_id", "t", "err_t", bucket=bucket
+        ).collect()
+    }
+    assert bucketed == base and len(base) > 0
+
+
+def test_bucketed_asof_hot_key_with_ties(spark):
+    """One key holds 90% of rows; right-side ties at equal times must
+    resolve identically (largest payload wins) across bucket boundaries."""
+    left = spark.createDataFrame(
+        [("hot", t) for t in range(0, 500, 1)]
+        + [("cold", t) for t in range(0, 50, 1)],
+        "k string, t long",
+    )
+    right = spark.createDataFrame(
+        # ties: two right rows at every 10th tick for the hot key
+        [("hot", t, f"v{t}a") for t in range(0, 500, 10)]
+        + [("hot", t, f"v{t}b") for t in range(0, 500, 10)]
+        + [("cold", 25, "c")],
+        "k string, rt long, payload string",
+    )
+    base = {
+        tuple(r)
+        for r in asof_join(left, right, "k", "t", "rt").collect()
+    }
+    for bucket in (7, 100, 10_000):  # boundary-heavy, medium, single-bucket
+        bucketed = {
+            tuple(r)
+            for r in asof_join_bucketed(
+                left, right, "k", "t", "rt", bucket=bucket
+            ).collect()
+        }
+        assert bucketed == base, f"bucket={bucket}"
+    # phase-2 window really is salted: partition count for the hot key
+    # at bucket=7 is ceil(500/7) buckets, each a separate window partition
+    counts = (
+        left.filter(F.col("k") == "hot")
+        .groupBy(F.floor(F.col("t") / 7).alias("b"))
+        .count()
+        .collect()
+    )
+    assert len(counts) == 72 and max(r["count"] for r in counts) <= 7
+
+
+def test_sessionization_partition_profile_sf01(spark):
+    """Per-user row counts at sf0.1 — the window partition sizes the
+    sessionization plan produces. Asserts the fixture keyspace is flat
+    (max/avg < 10), i.e. no salting needed at test scale; the bucketed
+    recipe above is the documented path when a production keyspace is
+    skewed."""
+    ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    per_key = ev.groupBy("user_id").count()
+    stats = per_key.agg(
+        F.max("count").alias("mx"), F.avg("count").alias("avg"),
+        F.count(F.lit(1)).alias("n_keys"),
+    ).collect()[0]
+    assert stats["n_keys"] > 100
+    assert stats["mx"] / stats["avg"] < 10, (
+        f"events keyspace skewed (max {stats['mx']}, avg {stats['avg']:.1f})"
+        " — switch sessionization to the time-bucketed two-phase variant"
+    )

@@ -277,9 +277,15 @@ def test_normalize_bybit_legacy_never_throws_and_invariants(spark, frame_list):
                     ts,
                 )
             )
+    def _none_safe(t):  # ts may be NULL on some rows; None < any int
+        return tuple((v is not None, v) for v in t)
+
     got = sorted(
-        (r["symbol"], r["side"], r["qty"], r["price"], r["notional"],
-         r["ts_exch_ms"])
-        for r in rows
+        (
+            (r["symbol"], r["side"], r["qty"], r["price"], r["notional"],
+             r["ts_exch_ms"])
+            for r in rows
+        ),
+        key=_none_safe,
     )
-    assert got == sorted(expected)
+    assert got == sorted(expected, key=_none_safe)
