@@ -35,6 +35,11 @@ def parse_args(argv=None):
     p.add_argument("--sink", choices=["csv", "pg", "both", "parquet"],
                    default="parquet")
     p.add_argument("--no-write", action="store_true")
+    p.add_argument("--parquet-exactly-once", action="store_true",
+                   help="epoch-partitioned dynamic-overwrite parquet: a "
+                   "replayed micro-batch overwrites its own epoch_id= "
+                   "partition instead of appending duplicates; fold the "
+                   "epoch level away with store.compact_store")
     p.add_argument("--no-color", action="store_true")
     p.add_argument("--outdir", default="./out")
     # Postgres (K4) — env fallbacks as in the reference (stream.py:31-37)
@@ -81,6 +86,7 @@ def main(argv=None) -> None:
             sink.csv_path = os.path.join(args.outdir, "csv")
         if args.sink == "parquet":
             sink.parquet_path = os.path.join(args.outdir, "parquet")
+            sink.parquet_exactly_once = args.parquet_exactly_once
         if args.sink in ("pg", "both"):
             if not args.pg_dsn:
                 raise SystemExit("--sink pg requires --pg-dsn / PG_DSN")

@@ -92,23 +92,24 @@ def decode_images(df: DataFrame) -> DataFrame:
     crossing per Arrow batch, not per row."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # columnar access, not iterrows(): one Series->list conversion per
+        # batch, then plain-Python/C loops over the decoded tuples
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                content = row["content"] or b""
-                fmt, w, h = _decode_image_header(bytes(content))
-                out.append(
-                    {
-                        "asset_id": row["asset_id"],
-                        "modality": row["modality"],
-                        "format": fmt,
-                        "width": w,
-                        "height": h,
-                        "n_bytes": len(content),
-                        "content_sha256": hashlib.sha256(bytes(content)).hexdigest(),
-                    }
-                )
-            yield pd.DataFrame(out)
+            contents = [bytes(c) if c is not None else b"" for c in pdf["content"]]
+            decoded = [_decode_image_header(c) for c in contents]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].to_numpy(),
+                    "modality": pdf["modality"].to_numpy(),
+                    "format": [d[0] for d in decoded],
+                    "width": [d[1] for d in decoded],
+                    "height": [d[2] for d in decoded],
+                    "n_bytes": [len(c) for c in contents],
+                    "content_sha256": [
+                        hashlib.sha256(c).hexdigest() for c in contents
+                    ],
+                }
+            )
 
     return df.select("asset_id", "modality", "content").mapInPandas(
         op, DECODED_SCHEMA
@@ -122,17 +123,29 @@ def image_features(df: DataFrame) -> DataFrame:
     batch shape). Output feeds operators/similarity.py unchanged."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                digest = hashlib.sha256(bytes(row["content"] or b"")).digest()
-                vec = [
-                    (int.from_bytes(digest[2 * i : 2 * i + 2], "little") / 65535.0)
-                    - 0.5
-                    for i in range(_FEATURE_DIM)
-                ]
-                rows.append({"asset_id": row["asset_id"], "feature": vec})
-            yield pd.DataFrame(rows)
+            digests = [
+                hashlib.sha256(bytes(c) if c is not None else b"").digest()
+                for c in pdf["content"]
+            ]
+            # one frombuffer over the concatenated digests, then a single
+            # vectorized scale/shift — identical values to the per-row
+            # little-endian uint16 formulation
+            mat = (
+                np.frombuffer(b"".join(digests), dtype="<u2")
+                .reshape(len(digests), -1)[:, :_FEATURE_DIM]
+                .astype(np.float64)
+                / 65535.0
+                - 0.5
+            )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].to_numpy(),
+                    "feature": list(mat),
+                }
+            )
 
     return df.select("asset_id", "content").mapInPandas(op, FEATURES_SCHEMA)
 
@@ -153,22 +166,17 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
 
         from PIL import Image
 
+        def resize_one(content):
+            with Image.open(io.BytesIO(bytes(content))) as im:
+                resized = im.resize((width, height))
+                buf = io.BytesIO()
+                resized.save(buf, format=im.format or "PNG")
+            return buf.getvalue()
+
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                with Image.open(io.BytesIO(bytes(row["content"]))) as im:
-                    resized = im.resize((width, height))
-                    buf = io.BytesIO()
-                    resized.save(buf, format=im.format or "PNG")
-                rows.append(
-                    {
-                        "asset_id": row["asset_id"],
-                        "modality": row["modality"],
-                        "content": buf.getvalue(),
-                        "meta": row.get("meta"),
-                    }
-                )
-            yield pd.DataFrame(rows)
+            out = pdf.copy()
+            out["content"] = [resize_one(c) for c in pdf["content"]]
+            yield out
 
     return df.mapInPandas(op, MULTIMODAL_SCHEMA)
 
@@ -183,22 +191,18 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                content = bytes(row["content"] or b"")
+            ids, idxs, hashes = [], [], []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                content = bytes(content) if content is not None else b""
                 body = content[12:] if content[:4] == b"FAKE" else content
                 n_frames = len(body) // frame_bytes
                 for idx in range(0, n_frames, every_n):
                     frame = body[idx * frame_bytes : (idx + 1) * frame_bytes]
-                    rows.append(
-                        {
-                            "asset_id": row["asset_id"],
-                            "frame_idx": idx,
-                            "frame_sha256": hashlib.sha256(frame).hexdigest(),
-                        }
-                    )
+                    ids.append(asset_id)
+                    idxs.append(idx)
+                    hashes.append(hashlib.sha256(frame).hexdigest())
             yield pd.DataFrame(
-                rows, columns=["asset_id", "frame_idx", "frame_sha256"]
+                {"asset_id": ids, "frame_idx": idxs, "frame_sha256": hashes}
             )
 
     return df.select("asset_id", "content").mapInPandas(op, FRAME_SAMPLE_SCHEMA)

@@ -47,13 +47,28 @@ def with_date(df: DataFrame) -> DataFrame:
     )
 
 
-def write_parquet(df: DataFrame, path: str) -> None:
-    (
-        with_date(df)
-        .write.mode("append")
-        .partitionBy("exchange", "market", "date")
-        .parquet(path)
-    )
+def write_parquet(df: DataFrame, path: str, epoch_id: int | None = None) -> None:
+    """Parquet append; with ``epoch_id``, the exactly-once variant: the
+    micro-batch lands under an ``epoch_id=N`` partition via dynamic-partition
+    OVERWRITE, so a replayed epoch (crash between sink write and checkpoint
+    commit) replaces its own partitions instead of appending duplicates.
+    The epoch level multiplies small files; ``store.compact_store`` folds it
+    back into the canonical (exchange, market, date) layout."""
+    out = with_date(df)
+    if epoch_id is None:
+        (
+            out.write.mode("append")
+            .partitionBy("exchange", "market", "date")
+            .parquet(path)
+        )
+    else:
+        (
+            out.withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id", "exchange", "market", "date")
+            .parquet(path)
+        )
 
 
 def write_csv(df: DataFrame, path: str) -> None:
@@ -202,6 +217,10 @@ class FanOutConfig:
     """Which sinks a micro-batch goes to (CLI --sink / --no-write)."""
 
     parquet_path: str | None = None
+    # exactly-once parquet: epoch-partitioned dynamic overwrite (see
+    # write_parquet). Default off — plain append matches the reference's
+    # flat layout and avoids the epoch_id partition level.
+    parquet_exactly_once: bool = False
     csv_path: str | None = None
     jdbc_url: str | None = None
     jdbc_table: str = "liquidations"
@@ -227,7 +246,11 @@ def fan_out(config: FanOutConfig):
             if config.console:
                 print_console(batch_df, color=config.console_color)
             if config.parquet_path:
-                write_parquet(batch_df, config.parquet_path)
+                write_parquet(
+                    batch_df,
+                    config.parquet_path,
+                    epoch_id=epoch_id if config.parquet_exactly_once else None,
+                )
             if config.csv_path:
                 write_csv(batch_df, config.csv_path)
             if config.jdbc_url:

@@ -38,6 +38,11 @@ def compact_store(
     many (dir, group) cells spread across tasks, so days compact in
     parallel."""
     df = spark.read.parquet(src_path)
+    if "epoch_id" in df.columns:
+        # exactly-once sink mode adds an epoch_id partition level
+        # (sinks.write_parquet); compaction is where it gets folded back
+        # into the canonical layout
+        df = df.drop("epoch_id")
     if "date" not in df.columns:
         df = with_date(df)
     n = max(1, int(files_per_partition))
