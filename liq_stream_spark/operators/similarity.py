@@ -216,6 +216,141 @@ def cosine_topk_lsh(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the centroid-routed scale path
+# ---------------------------------------------------------------------------
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic k-means in pure DataFrame ops: seeds are the
+    ``n_cells`` smallest-id vectors, then ``iters`` Lloyd rounds
+    (assign-by-cosine -> per-cell mean via posexplode/groupBy/avg).
+    Returns a tiny (cell, centroid) DataFrame, collected and re-created on
+    the driver so downstream joins reuse 16 rows instead of re-running the
+    iteration lineage. At 100 TB this is the offline index build: one
+    crossJoin of corpus x broadcast(centroids) per round, aggregation is
+    map-side combinable per (cell, dim)."""
+    spark = corpus.sparkSession
+    cents = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(
+            F.row_number()
+            .over(W.orderBy(F.col(id_col).asc()))
+            .cast("long")
+            .alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("centroid"),
+        )
+    )
+    schema = "cell long, centroid array<double>"
+    cents = spark.createDataFrame(cents.collect(), schema)
+    for _ in range(iters):
+        assigned = _assign_cells(corpus, cents, id_col, vec_col)
+        means = (
+            assigned.select("cell", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+        )
+        cents = spark.createDataFrame(means.collect(), schema)
+    return cents
+
+
+def _assign_cells(
+    df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(vid, vec, cell): nearest centroid by cosine, smaller cell id as the
+    deterministic tiebreak. centroids is broadcast — the corpus never
+    shuffles to be assigned."""
+    scored = (
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("cos", cosine_fast("vec", "centroid"))
+    )
+    w = W.partitionBy("vid").orderBy(F.desc("cos"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vid", "vec", "cell")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest-centroid
+    cell (the inverted file); each query probes its ``nprobe`` nearest
+    cells and exact-rescoring runs only inside probed cells.
+
+    The scale shape: the inverted file is the corpus partitioned by cell
+    (bucket by cell in storage and the probe join is shuffle-free), the
+    probe list is a broadcast equi-join key, and per-query work drops by
+    ~nprobe/n_cells versus brute force. ``nprobe = n_cells`` degenerates to
+    exact brute-force search — equality with cosine_topk is the plumbing
+    invariant tested in tests/test_llm_ops.py; recall at nprobe < n_cells
+    is the measured trade. Queries with fewer than k candidates in their
+    probed cells return fewer than k rows (standard IVF semantics).
+
+    Pass a prebuilt ``centroids`` (kmeans_centroids) to reuse one index
+    across query batches — the offline-build/online-probe split IVF is for."""
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, n_cells, iters, id_col, vec_col)
+    inverted = _assign_cells(corpus, centroids, id_col, vec_col).select(
+        F.col("vid").alias("neighbor_id"), F.col("vec").alias("cv"), "cell"
+    )
+    qscored = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("cos", cosine_fast("qv", "centroid"))
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cell"))
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    cand = (
+        inverted.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+    )
+    scored = cand.withColumn("cos", cosine_fast("qv", "cv"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

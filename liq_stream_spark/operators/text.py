@@ -47,6 +47,27 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("long")
 
 
+# GPT-2-style pretokenizer, lookahead-free: contractions, space-prefixed
+# letter runs, space-prefixed digit runs, space-prefixed punctuation runs,
+# whitespace runs. The original's trailing-space lookahead (\s+(?!\S)) is
+# dropped because RE2 (DuckDB's engine) has no lookahead — this keeps the
+# EXACT same regex runnable in both engines, so the count is oracle-exact.
+# \p{L}/\p{N} are Unicode classes in both Java regex and RE2; \s is ASCII
+# whitespace in both.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Count of BPE-ish pretokens — the standard proxy for "how many BPE
+    tokens will the tokenizer emit" used to budget training data, without
+    shipping a vocab. Non-overlapping left-to-right matches, identical
+    semantics to ``len(regexp_extract_all(...))`` in the DuckDB oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(
+        F.regexp_count(c, F.lit(BPE_PRETOKEN_RE)), F.lit(0)
+    ).cast("long")
+
+
 def poly_hash_expr(s: str) -> str:
     """SQL-expression string: polynomial rolling hash of string ``s``:
     fold chars: acc = (acc*131 + ascii(char)) mod 2^32.

@@ -188,6 +188,33 @@ def t04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_table(load(spark, sf_dir, "documents"))
 
 
+_BPE_RE_SQL = X.BPE_PRETOKEN_RE.replace("'", "''")
+
+
+@register(
+    "t05_token_counts",
+    f"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len({DUCK_TOKENS}) END::BIGINT AS n_ws_tokens,
+           coalesce(len(regexp_extract_all(text, '{_BPE_RE_SQL}')), 0)::BIGINT
+               AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="token counting two ways: whitespace tokens and GPT-2-style BPE "
+    "pretokens (operators/text.bpe_token_count) — the training-data budget "
+    "proxy. The pretokenizer regex is lookahead-free so the IDENTICAL "
+    "pattern runs in Java regex (Spark) and RE2 (DuckDB): exact oracle.",
+)
+def t05_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_ws_tokens"),
+        X.bpe_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
@@ -417,4 +444,21 @@ def s05_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.4,
         n_planes=3,
         n_tables=8,
+    )
+
+
+@register(
+    "s06_ivf_topk",
+    None,  # approximate by design: probed-cell recall < 1 at nprobe < n_cells
+    doc="IVF approximate top-k (operators/similarity.ivf_topk): "
+    "deterministic DataFrame k-means builds the centroid index, the corpus "
+    "lives in nearest-centroid cells (the inverted file), queries probe "
+    "their nprobe nearest cells and rescore only there. Rows-only check; "
+    "the nprobe=n_cells degeneration is asserted EQUAL to the exact s01 "
+    "and recall at nprobe=4/16 is measured in tests/test_llm_ops.py.",
+)
+def s06_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb.filter(F.col("vec_id") < 20), emb, k=10, n_cells=16, nprobe=4
     )

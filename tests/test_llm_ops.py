@@ -127,6 +127,76 @@ def test_near_dup_bucketed_default_recall_and_plan(spark):
     assert recall >= 0.5, f"recall {recall} ({len(bucketed)}/{len(exact)})"
 
 
+def test_bpe_token_count_known_values(spark):
+    """Hand-tokenized expectations for the lookahead-free GPT-2-style
+    pretokenizer (matches are non-overlapping, left-to-right):
+
+    "Hello, world!" -> [Hello][,][ world][!]        = 4
+    "it's 2024 now" -> [it]['s][ 2024][ now]        = 4
+    "a  b"          -> [a][  ][b]                   = 3
+      (the space-prefixed letter branch needs a letter right after at
+      most ONE space, so the two-space run falls to the \\s+ branch
+      whole, and 'b' is then matched with no leading space)
+    "" -> 0, NULL -> 0 (coalesced)
+    """
+    df = spark.createDataFrame(
+        [(0, "Hello, world!"), (1, "it's 2024 now"), (2, "a  b"),
+         (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", X.bpe_token_count("text").alias("n")
+        ).collect()
+    }
+    assert got == {0: 4, 1: 4, 2: 3, 3: 0, 4: 0}
+
+
+def test_ivf_exact_when_probing_all_cells(spark):
+    """Plumbing invariant: nprobe = n_cells means every cell is scored, so
+    IVF must EQUAL the exact brute-force top-k — proves the inverted file
+    partitions the corpus without losing or duplicating vectors."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        tuple(r) for r in S.cosine_topk(queries, emb, k=10).collect()
+    }
+    full_probe = {
+        tuple(r)
+        for r in S.ivf_topk(
+            queries, emb, k=10, n_cells=16, nprobe=16
+        ).collect()
+    }
+    assert full_probe == exact
+
+
+def test_ivf_pruned_probe_recall_and_plan(spark):
+    """At nprobe=4/16 the probe join must stay an equi-join on cell (no
+    cross join of query x corpus) and recall a meaningful share of the
+    exact neighbors. Centroids are built once and reused across both query
+    batches — the offline-index/online-probe split."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    cents = S.kmeans_centroids(emb, n_cells=16, iters=2)
+    approx_df = S.ivf_topk(
+        queries, emb, k=10, n_cells=16, nprobe=4, centroids=cents
+    )
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    # the only cartesian allowed is vs the 16-row broadcast centroid table
+    assert "CartesianProduct" not in plan
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(queries, emb, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"]) for r in approx_df.collect()
+    }
+    assert len(approx) > 0
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.2, f"recall {recall}"
+
+
 def test_fingerprint_order_sensitivity(spark):
     df = spark.createDataFrame(
         [(0, "abcdef"), (1, "fedcba"), (2, "abcdef"), (3, "ab")],
