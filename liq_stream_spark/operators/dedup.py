@@ -226,38 +226,46 @@ def simhash_table(
     32-bit halves so the DuckDB oracle reproduces it without 64-bit modular
     overflow — see text.combine_simhash64).
 
-    Same plan shape as minhash_signatures: one pass hashes the tokens, then
-    explode + 64 codegen'd conditional-sum aggregates with map-side combine
-    (the interpreted 64-fold variant is operators/text.simhash64, kept for
-    streaming single-row use)."""
-    from liq_stream_spark.operators.text import combine_simhash64, token_hashes
+    Plan shape: with Arrow available this is ONE narrow Pandas-UDF
+    projection — the whole signature (token hashes, 64 bit-sums, sign
+    fold) is computed per doc in numpy (text.simhash64_fast): no explode,
+    no shuffle, no join. The fallback is the explode + 64 codegen'd
+    conditional-sum aggregates shape below (the interpreted 64-fold
+    variant is operators/text.simhash64, kept for streaming single-row
+    use)."""
+    from liq_stream_spark.operators import text as X
+
+    if X.pd is not None and X.np is not None:
+        return df.select(
+            F.col(id_col), X.simhash64_fast(text_col).alias("simhash")
+        )
+    from liq_stream_spark.operators.text import (
+        combine_simhash64,
+        token_hashes64_fast,
+    )
 
     toks = df.select(
         F.col(id_col),
-        F.explode(
-            F.arrays_zip(
-                token_hashes(text_col, 131).alias("lo"),
-                token_hashes(text_col, 137).alias("hi"),
-            )
-        ).alias("h"),
+        F.explode(token_hashes64_fast(text_col)).alias("h"),
     )
+    # bit i of the packed 64-bit token hash, sign-safely via >>>
     bit_sums = [
         F.sum(
             F.when(
-                (F.col(f"h.{half}").bitwiseAND(F.lit(1 << i))) != 0, 1
+                F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                1,
             ).otherwise(-1)
-        ).alias(f"{half}{i}")
-        for half in ("lo", "hi")
-        for i in range(32)
+        ).alias(f"b{i}")
+        for i in range(64)
     ]
     wide = toks.groupBy(id_col).agg(*bit_sums)
     halves = {}
-    for half in ("lo", "hi"):
+    for half, off in (("lo", 0), ("hi", 32)):
         sig = None
         for i in range(32):
-            term = F.when(F.col(f"{half}{i}") > 0, F.lit(1 << i)).otherwise(
-                F.lit(0)
-            )
+            term = F.when(
+                F.col(f"b{off + i}") > 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
             sig = term if sig is None else sig + term
         halves[half] = sig.cast("long")
     # empty/absent-token docs (none in practice) fall back to signature 0

@@ -141,6 +141,145 @@ def char_ngram_hashes_fast(col: str, n: int = 3) -> Column:
     return _sh(col)
 
 
+_POW_CACHE: dict[int, "np.ndarray"] = {}
+
+
+def _pows(base: int, n: int) -> "np.ndarray":
+    """base^0..base^(n-1) mod 2^32 as uint64 (exact: computed in Python
+    ints, so no float rounding)."""
+    cached = _POW_CACHE.get(base)
+    if cached is None or len(cached) < n:
+        size = max(n, 4096)
+        vals, acc = [], 1
+        for _ in range(size):
+            vals.append(acc)
+            acc = (acc * base) % MASK32
+        cached = np.array(vals, dtype=np.uint64)
+        _POW_CACHE[base] = cached
+    return cached
+
+
+def _tokens64_expr(col: str) -> Column:
+    """Expression fallback for token_hashes64_fast: pack the two 32-bit
+    families into one signed 64-bit token hash per token."""
+    return F.zip_with(
+        token_hashes(col, 131),
+        token_hashes(col, 137),
+        lambda lo, hi: (
+            F.when(hi >= F.lit(2147483648), hi - F.lit(4294967296)).otherwise(hi)
+            * F.lit(4294967296)
+            + lo
+        ).cast("long"),
+    )
+
+
+def token_hashes64_fast(col: str) -> Column:
+    """Arrow-vectorized 64-bit token hashes: hash64 = (h137 << 32) | h131
+    as a signed BIGINT array — value-identical to packing
+    ``token_hashes(col, 131/137)`` (equality tested, tests/test_llm_ops.py)
+    but one vectorized pass instead of two interpreted HOF folds: tokens
+    are concatenated per doc, the polynomial is one codepoint·base^k dot
+    product in uint64 (wraparound mod 2^64 is harmless — the result is
+    reduced mod 2^32, which divides 2^64), per-token sums come from one
+    reduceat, and the output cell is a numpy int64 array, the cheapest
+    shape to cross Arrow with.
+
+    Split semantics replicate Spark's ``split(trim(s), '\\s+')`` exactly:
+    trim strips ' ' only, Java split keeps leading/trailing empty tokens
+    (Python ``re.split`` with re.ASCII matches Java's ASCII ``\\s``), and
+    the empty token hashes to 0."""
+    if pd is None or np is None:
+        return _tokens64_expr(col)
+
+    @F.pandas_udf("array<long>")
+    def _th(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if s is None else _doc_hashes64(s).view(np.int64)
+                for s in texts
+            ]
+        )
+
+    return _th(col)
+
+
+_WS_ASCII = None  # compiled lazily (re import kept out of the hot loop)
+
+
+def _doc_hashes64(s: str) -> "np.ndarray":
+    """uint64 array of packed (h137 << 32 | h131) token hashes for one doc;
+    see token_hashes64_fast for the exact-equivalence contract."""
+    global _WS_ASCII
+    if _WS_ASCII is None:
+        import re
+
+        _WS_ASCII = re.compile(r"\s+", re.ASCII)
+    toks = _WS_ASCII.split(s.strip(" "))
+    lens = np.array([len(w) for w in toks], dtype=np.int64)
+    total = int(lens.sum())
+    h_lo = np.zeros(len(toks), dtype=np.uint64)
+    h_hi = np.zeros(len(toks), dtype=np.uint64)
+    if total:
+        c = np.frombuffer(
+            "".join(toks).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.uint64)
+        ends = np.cumsum(lens)
+        exp = np.repeat(ends, lens) - 1 - np.arange(total)
+        nz = lens > 0
+        starts_nz = (ends - lens)[nz]
+        p131 = _pows(131, int(lens.max()))
+        p137 = _pows(137, int(lens.max()))
+        h_lo[nz] = np.add.reduceat(c * p131[exp], starts_nz) % MASK32
+        h_hi[nz] = np.add.reduceat(c * p137[exp], starts_nz) % MASK32
+    return (h_hi << np.uint64(32)) | h_lo
+
+
+def simhash64_fast(col: str) -> Column:
+    """Arrow-vectorized 64-bit SimHash: the ENTIRE signature is computed
+    per document inside one Pandas UDF — token hashing, the 64 bit-sums
+    and the sign fold are all numpy over the batch, so the operator is a
+    narrow per-row projection with NO explode, NO 64-wide aggregate and NO
+    join (the explode+codegen-aggregate shape is the fallback in
+    operators/dedup.simhash_table). Value-identical to text.simhash64 /
+    the DuckDB oracle (t04 hash-matches; equality tested).
+
+    At 100 TB this is the ideal shape: zero shuffle, parallelism = input
+    splits, one Arrow crossing per batch."""
+    if pd is None or np is None:
+        return simhash64(col)
+
+    exps = np.arange(64, dtype=np.uint64)
+
+    @F.pandas_udf("long")
+    def _sh(texts: pd.Series) -> pd.Series:
+        res = np.zeros(len(texts), dtype=np.int64)
+        arrs, starts, idxs = [], [], []
+        pos = 0
+        for i, s in enumerate(texts):
+            if s is None:
+                continue  # NULL text -> signature 0, as in the table form
+            h = _doc_hashes64(s)
+            arrs.append(h)
+            starts.append(pos)
+            idxs.append(i)
+            pos += len(h)
+        if arrs:
+            allh = np.concatenate(arrs)
+            # (tokens x 64) sign contributions, summed per doc in one
+            # reduceat; bit set iff the sum is positive
+            bits = ((allh[:, None] >> exps) & np.uint64(1)).astype(np.int64)
+            sums = np.add.reduceat(
+                2 * bits - 1, np.asarray(starts, dtype=np.int64), axis=0
+            )
+            packed = ((sums > 0).astype(np.uint64) << exps).sum(
+                axis=1, dtype=np.uint64
+            )
+            res[np.asarray(idxs, dtype=np.int64)] = packed.view(np.int64)
+        return pd.Series(res)
+
+    return _sh(col)
+
+
 def token_hashes(col: Column | str, base: int = 131) -> Column:
     """Array of polynomial hashes of whitespace tokens.
 

@@ -197,6 +197,33 @@ def test_ivf_pruned_probe_recall_and_plan(spark):
     assert recall > 0.2, f"recall {recall}"
 
 
+def test_token_hashes64_fast_matches_expression(spark):
+    """The Arrow token-hash path must be VALUE-IDENTICAL to the HOF
+    expression form on every edge: tabs (survive Spark's space-only trim,
+    producing empty tokens at the edges), multi-space runs, empty string,
+    NULL, unicode incl. astral codepoints."""
+    rows = [
+        (0, "the quick brown fox"),
+        (1, "  leading and trailing  "),
+        (2, "\ttab\tseparated\t"),       # trim() keeps tabs -> "" tokens
+        (3, ""),
+        (4, None),
+        (5, "héllo wörld é"),
+        (6, "emoji \U0001F600 mix"),     # astral codepoint
+        (7, "a  b   c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expr_form = df.select(
+        "doc_id", X._tokens64_expr("text").alias("h")
+    )
+    fast_form = df.select(
+        "doc_id", X.token_hashes64_fast("text").alias("h")
+    )
+    e = {r["doc_id"]: r["h"] for r in expr_form.collect()}
+    f = {r["doc_id"]: r["h"] for r in fast_form.collect()}
+    assert e == f
+
+
 def test_fingerprint_order_sensitivity(spark):
     df = spark.createDataFrame(
         [(0, "abcdef"), (1, "fedcba"), (2, "abcdef"), (3, "ab")],
