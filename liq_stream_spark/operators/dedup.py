@@ -30,12 +30,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
 
 from liq_stream_spark.operators.text import (
     MASK32,
     char_ngram_hash_sql,  # noqa: F401 — re-exported for oracle builders
     char_ngram_hashes_fast,
+    np,
+    pd,
 )
 
 MERSENNE31 = 2147483647  # 2^31 - 1
@@ -77,28 +78,54 @@ def dedup_exact(
     )
 
 
-def minhash_signatures(
+def minhash_sig_arrays(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 16,
     ngram: int = 3,
 ) -> DataFrame:
-    """Long-form MinHash signatures: (id, perm_id, minhash).
+    """(id, sig array<long>[k]) MinHash signatures as one narrow
+    projection.
 
-    minhash_j = min over shingles s of (a_j * h(s) + b_j) mod (2^31-1),
-    computed with higher-order functions per row then posexploded — the
-    shingle array never leaves the row, so this is a narrow projection.
-    Docs shorter than the shingle width get minhash = 2^31-1 (empty-set
-    sentinel, same in the oracle)."""
+    minhash_j = min over shingles s of (a_j * h(s) + b_j) mod (2^31-1).
+    With Arrow available the whole signature is computed per doc in numpy
+    (shingle hashing + the k permuted mins in one (shingles x k) matrix
+    op): NO explode, NO groupBy shuffle, NO join — at 100 TB parallelism
+    is input splits and nothing moves. The fallback keeps the explode +
+    k codegen'd min-aggregates shape (map-side combinable). Docs shorter
+    than the shingle width get the empty-set sentinel 2^31-1 for every
+    perm, matching the oracle. (`array_distinct` on shingles is
+    unnecessary: min over a function of the shingle set ignores
+    multiplicity.)"""
+    from liq_stream_spark.operators.text import _doc_shingles
+
     if k > len(MINHASH_PERMS):
         raise ValueError(f"k <= {len(MINHASH_PERMS)} supported")
-    # Plan shape: ONE vectorized pass builds the shingle-hash array, then
-    # explode + k codegen'd min-aggregates. Higher-order-function lambdas
-    # are interpreted (not whole-stage-codegen'd) — k aggregate() folds per
-    # row benchmarked ~30x slower than this at sf0.1. The groupBy gets
-    # map-side partial aggregation, so at cluster scale only ~one row per
-    # doc per partition shuffles.
+
+    if pd is not None and np is not None:
+        A = np.array([a for a, _ in MINHASH_PERMS[:k]], dtype=np.uint64)
+        B = np.array([b for _, b in MINHASH_PERMS[:k]], dtype=np.uint64)
+        sentinel = np.full(k, MERSENNE31, dtype=np.int64)
+
+        @F.pandas_udf("array<long>")
+        def _mh(texts: pd.Series) -> pd.Series:
+            out = []
+            for s in texts:
+                sh = _doc_shingles(s, ngram)
+                if len(sh) == 0:
+                    out.append(sentinel)
+                    continue
+                # (shingles x k): a_j * h + b_j mod M31; a*h < 2^63 so the
+                # uint64 product is exact
+                vals = (sh[:, None] * A[None, :] + B[None, :]) % np.uint64(
+                    MERSENNE31
+                )
+                out.append(vals.min(axis=0).astype(np.int64))
+            return pd.Series(out)
+
+        return df.select(F.col(id_col), _mh(text_col).alias("sig"))
+
     shingles = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(char_ngram_hashes_fast(text_col, ngram))).alias("x"),
@@ -112,10 +139,26 @@ def minhash_signatures(
     # re-enter with the empty-set sentinel (2^31-1), matching the oracle
     wide = df.select(id_col).join(wide, id_col, "left")
     sig_arr = F.array(
-        *[F.coalesce(F.col(f"m{j}"), F.lit(MERSENNE31)) for j in range(k)]
+        *[
+            F.coalesce(F.col(f"m{j}"), F.lit(MERSENNE31)).cast("long")
+            for j in range(k)
+        ]
     )
+    return wide.select(F.col(id_col), sig_arr.alias("sig"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    ngram: int = 3,
+) -> DataFrame:
+    """Long-form MinHash signatures: (id, perm_id, minhash) — the oracle/
+    interchange shape; posexplode of the narrow array form."""
+    wide = minhash_sig_arrays(df, id_col, text_col, k, ngram)
     return wide.select(
-        F.col(id_col), F.posexplode(sig_arr).alias("perm_id", "minhash")
+        F.col(id_col), F.posexplode("sig").alias("perm_id", "minhash")
     ).select(
         F.col(id_col),
         F.col("perm_id").cast("long").alias("perm_id"),
@@ -154,23 +197,67 @@ def lsh_candidate_pairs(
             ).alias("band_key")
         )
     )
-    if max_bucket is None:
-        sized = banded  # no cap -> skip the bucket-size window (one less shuffle)
-    else:
-        sized = banded.withColumn(
-            "bucket_n",
-            F.count(F.lit(1)).over(W.partitionBy("band", "band_key")),
-        ).filter(F.col("bucket_n") <= max_bucket)
-    a = sized.select(
-        F.col("band"), F.col("band_key"), F.col(id_col).alias("id_a")
+    return _pairs_from_banded(banded, id_col, max_bucket)
+
+
+def lsh_candidate_pairs_banded(
+    sig_wide: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """LSH candidate pairs straight from the array-form signatures
+    (minhash_sig_arrays): band keys are sliced out of the in-row array, so
+    the groupBy(id, band) collect shuffle of the long-form path disappears
+    — the ONLY shuffles left are the band-key equi-join and the final
+    distinct. Identical output to lsh_candidate_pairs on the same docs."""
+    banded = sig_wide.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.array_join(
+                        F.transform(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
     )
-    b = sized.select(
-        F.col("band"), F.col("band_key"), F.col(id_col).alias("id_b")
+    return _pairs_from_banded(banded, id_col, max_bucket)
+
+
+def _pairs_from_banded(
+    banded: DataFrame, id_col: str, max_bucket: int | None
+) -> DataFrame:
+    """ONE groupBy collects each (band, bucket) posting list, pairs are
+    expanded in-row from the sorted list (no self-join, so the signature
+    subtree is computed once, not once per join side), and the bucket cap
+    is a size() filter on the list — no window shuffle. Per-bucket pair
+    expansion is inherently quadratic, which is exactly what ``max_bucket``
+    bounds at scale (uncapped is for small-SF oracle runs)."""
+    grouped = banded.groupBy("band", "band_key").agg(
+        F.collect_list(id_col).alias("ids")
     )
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("ids") <= max_bucket)
     return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        grouped.filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(array_sort(ids), (x, i) -> "
+                    "transform(slice(array_sort(ids), i + 2, size(ids)), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

@@ -234,6 +234,19 @@ def _doc_hashes64(s: str) -> "np.ndarray":
     return (h_hi << np.uint64(32)) | h_lo
 
 
+def _doc_shingles(s: str, n: int) -> "np.ndarray":
+    """uint64 array of base-131 n-gram shingle hashes for one doc — the
+    per-doc core of char_ngram_hashes_fast (value-identical)."""
+    if s is None or len(s) < n:
+        return np.empty(0, dtype=np.uint64)
+    c = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    weights = [131 ** (n - 1 - j) for j in range(n)]
+    h = sum(
+        c[j : len(c) - (n - 1) + j] * w for j, w in enumerate(weights)
+    ) % MASK32
+    return h.astype(np.uint64)
+
+
 def simhash64_fast(col: str) -> Column:
     """Arrow-vectorized 64-bit SimHash: the ENTIRE signature is computed
     per document inside one Pandas UDF — token hashing, the 64 bit-sums

@@ -277,8 +277,8 @@ def d02_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "key, no cross join (operators/dedup.lsh_candidate_pairs).",
 )
 def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = D.minhash_signatures(load(spark, sf_dir, "documents"))
-    return D.lsh_candidate_pairs(sigs, max_bucket=None)
+    sigs = D.minhash_sig_arrays(load(spark, sf_dir, "documents"))
+    return D.lsh_candidate_pairs_banded(sigs, max_bucket=None)
 
 
 @register(
