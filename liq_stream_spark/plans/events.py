@@ -251,3 +251,46 @@ def q31_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "q32_interval_join",
+    """
+    WITH w AS (
+      SELECT event_id AS window_id, ts AS w_start,
+             ts + INTERVAL 2 HOUR AS w_end
+      FROM events WHERE event_id % 97 = 0
+    )
+    SELECT w.window_id, w.w_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM w JOIN events e ON e.ts BETWEEN w.w_start AND w.w_end
+    GROUP BY 1, 2
+    """,
+    doc="range (interval) join: events joined to 2h observation windows "
+    "(every 97th event opens one) via operators/interval.interval_join — "
+    "bucketized equi-join on time buckets + exact range refine, never the "
+    "BroadcastNestedLoopJoin a naive BETWEEN join plans to. Oracle is the "
+    "naive BETWEEN join in DuckDB: identical result, different plan class.",
+)
+def q32_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.operators.interval import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    windows = ev.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+    )
+    joined = interval_join(
+        ev.select("ts", "value"),
+        windows,
+        time_col="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bucket_ms=3_600_000,
+    )
+    return joined.groupBy("window_id", "w_start").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
