@@ -94,9 +94,7 @@ _PUNCT_SQL = "'[.,;:!?''\"()\\[\\]{}-]'"
 _sw = ", ".join(f"'{w}'" for w in X.STOPWORDS)
 
 
-@register(
-    "t01_doc_stats",
-    f"""
+_T01_SQL = f"""
     SELECT doc_id,
            CASE WHEN trim(text) = '' THEN 0
                 ELSE len({DUCK_TOKENS}) END::BIGINT AS n_tokens,
@@ -116,7 +114,12 @@ _sw = ", ".join(f"'{w}'" for w in X.STOPWORDS)
           + (CASE WHEN len(list_filter({DUCK_TOKENS}, w -> lower(w) IN ({_sw})))::DOUBLE
                        / len({DUCK_TOKENS}) >= 0.05 THEN 1 ELSE 0 END))::BIGINT AS quality_score
     FROM documents
-    """,
+    """
+
+
+@register(
+    "t01_doc_stats",
+    _T01_SQL,
     doc="token/char/punct/stopword stats + composite quality score "
     "(operators/text.quality_features) — the cheap pre-filter stage.",
 )
@@ -461,4 +464,55 @@ def s06_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return S.ivf_topk(
         emb.filter(F.col("vec_id") < 20), emb, k=10, n_cells=16, nprobe=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# composite pipeline
+# ---------------------------------------------------------------------------
+
+
+def _p01_oracle() -> str:
+    return f"""
+    WITH qual AS ({_T01_SQL}),
+    lang AS ({_duck_lang_sql()}),
+    kept AS (
+      SELECT d.doc_id, d.text
+      FROM documents d
+      JOIN qual USING (doc_id)
+      JOIN lang USING (doc_id)
+      WHERE qual.quality_score >= 3 AND lang.pred_lang = 'en'
+    ),
+    canon AS (
+      SELECT MIN(doc_id) AS doc_id, text FROM kept GROUP BY text
+    )
+    SELECT doc_id,
+           coalesce(len(regexp_extract_all(text, '{_BPE_RE_SQL}')), 0)::BIGINT
+               AS n_bpe_tokens
+    FROM canon
+    """
+
+
+@register(
+    "p01_training_prep",
+    _p01_oracle(),
+    doc="end-to-end training-data prep: quality gate (score >= 3) -> "
+    "language gate (en) -> exact dedup keep-min-id -> BPE pretoken budget "
+    "per surviving doc. The composition every stage of which is an "
+    "operator above — narrow projections + one dedup shuffle; the whole "
+    "chain stays oracle-exact.",
+)
+def p01_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    kept = (
+        docs.join(
+            X.quality_features(docs).select("doc_id", "quality_score"),
+            "doc_id",
+        )
+        .join(X.lang_id(docs).select("doc_id", "pred_lang"), "doc_id")
+        .filter((F.col("quality_score") >= 3) & (F.col("pred_lang") == "en"))
+    )
+    canon = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    return canon.select(
+        "doc_id", X.bpe_token_count("text").alias("n_bpe_tokens")
     )
