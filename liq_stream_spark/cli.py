@@ -72,6 +72,13 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint", default="./checkpoint")
     p.add_argument("--hl-dedup-watermark", default="10 minutes",
                    help="state bound for the Hyperliquid tid dedup (ST1)")
+    p.add_argument("--hl-dedup-ring", type=int, default=0,
+                   help="use the reference's COUNT-bounded LRU dedup ring "
+                   "of this many keys instead of the watermark (exact "
+                   "hyperliquid_adapter ring parity; 50000 = reference)")
+    p.add_argument("--hl-dedup-ring-shards", type=int, default=1,
+                   help="shard the ring across N state groups (1 = the "
+                   "reference's single sequential ring)")
     return p.parse_args(argv)
 
 
@@ -103,6 +110,13 @@ def main(argv=None) -> None:
         )
         normalizer_kwargs["hyperliquid"]["hl_tail_catch_up"] = (
             not args.hl_no_catchup
+        )
+    if args.hl_dedup_ring:
+        normalizer_kwargs["hyperliquid"]["hl_dedup_ring_size"] = (
+            args.hl_dedup_ring
+        )
+        normalizer_kwargs["hyperliquid"]["hl_dedup_ring_shards"] = (
+            args.hl_dedup_ring_shards
         )
 
     live = not args.replay_root

@@ -158,10 +158,21 @@ def stream_venue(
     # the relay's append-only chunks instead of whole hour files (S8)
     hl_tail_relay_dir = normalizer_kwargs.get("hl_tail_relay_dir")
     hl_tail_catch_up = normalizer_kwargs.get("hl_tail_catch_up", True)
+    # reference-parity COUNT-bounded dedup ring (hyperliquid_adapter.py:
+    # 149-164): opt-in alternative to the time-bounded watermark default
+    hl_dedup_ring_size = normalizer_kwargs.get("hl_dedup_ring_size")
+    hl_dedup_ring_shards = normalizer_kwargs.get("hl_dedup_ring_shards", 1)
     normalizer_kwargs = {
         k: v
         for k, v in normalizer_kwargs.items()
-        if k not in ("ws_options", "hl_tail_relay_dir", "hl_tail_catch_up")
+        if k
+        not in (
+            "ws_options",
+            "hl_tail_relay_dir",
+            "hl_tail_catch_up",
+            "hl_dedup_ring_size",
+            "hl_dedup_ring_shards",
+        )
     }
     relay = None
     if exchange == "hyperliquid" and hl_tail_relay_dir:
@@ -193,10 +204,19 @@ def stream_venue(
             frames,
             market=market,
             dedup=False,  # batch dedup is global; streaming uses keyed state
-            keep_dedup_key=bool(hl_dedup_watermark),
+            keep_dedup_key=bool(hl_dedup_watermark) or bool(hl_dedup_ring_size),
             **normalizer_kwargs,
         )
-        if hl_dedup_watermark:
+        if hl_dedup_ring_size:
+            from liq_stream_spark.streaming.ring_dedup import ring_dedup
+
+            liq = ring_dedup(
+                liq,
+                "_dedup_key",
+                ring_size=hl_dedup_ring_size,
+                n_groups=hl_dedup_ring_shards,
+            ).drop("_dedup_key")
+        elif hl_dedup_watermark:
             liq = hl_dedup_within_watermark(liq, hl_dedup_watermark)
         if relay is not None:
             liq._hl_relay = relay  # handle for caller-side stop()

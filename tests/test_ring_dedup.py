@@ -1,0 +1,123 @@
+"""Count-bounded LRU dedup ring (streaming/ring_dedup.py): exact parity
+with the reference's set+deque ring semantics —
+
+- a key inside the ring is dropped,
+- the ring evicts OLDEST-first at capacity,
+- an evicted key is RE-ADMITTED (the behavior a time watermark cannot
+  reproduce and the reason this operator exists),
+- state survives across micro-batches (applyInPandasWithState)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from liq_stream_spark.streaming.pipeline import stream_venue
+from liq_stream_spark.streaming.ring_dedup import ring_dedup
+
+
+def _start(spark, src, name, ring_size):
+    df = (
+        spark.readStream.schema("k string, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = ring_dedup(df, "k", ring_size=ring_size, n_groups=1, order_col="ts")
+    return (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+
+
+def _write(src, fname, rows):
+    (src / fname).write_text(
+        "\n".join(json.dumps({"k": k, "ts": t}) for k, t in rows) + "\n"
+    )
+
+
+def test_ring_semantics_across_batches(spark, tmp_path):
+    src = tmp_path / "keys"
+    src.mkdir()
+    # batch 1: a, b, a(dup)            -> emit a, b        ring [a, b]
+    _write(src, "f1.json", [("a", 1), ("b", 2), ("a", 3)])
+    q = _start(spark, src, "ring_t1", ring_size=3)
+    try:
+        q.processAllAvailable()
+        got = [r["k"] for r in spark.sql(
+            "SELECT k FROM ring_t1 ORDER BY ts").collect()]
+        assert got == ["a", "b"]
+        # batch 2: c, d -> emit both; d's admission evicts a    ring [b, c, d]
+        _write(src, "f2.json", [("c", 4), ("d", 5)])
+        q.processAllAvailable()
+        got = [r["k"] for r in spark.sql(
+            "SELECT k FROM ring_t1 ORDER BY ts").collect()]
+        assert got == ["a", "b", "c", "d"]
+        # batch 3: a was evicted -> RE-ADMITTED (evicts b); then b, newly
+        # evicted, is re-admitted too (evicts c)               ring [d, a, b]
+        _write(src, "f3.json", [("a", 6), ("b", 7)])
+        q.processAllAvailable()
+        got = [r["k"] for r in spark.sql(
+            "SELECT k FROM ring_t1 ORDER BY ts").collect()]
+        assert got == ["a", "b", "c", "d", "a", "b"]
+        # batch 4: c (evicted in batch 3) re-admits -> oldest-first
+        # eviction held throughout                             ring [a, b, c]
+        _write(src, "f4.json", [("c", 8)])
+        q.processAllAvailable()
+        got = [r["k"] for r in spark.sql(
+            "SELECT k FROM ring_t1 ORDER BY ts").collect()]
+        assert got == ["a", "b", "c", "d", "a", "b", "c"]
+    finally:
+        q.stop()
+
+
+def test_within_batch_order_and_dups(spark, tmp_path):
+    src = tmp_path / "keys2"
+    src.mkdir()
+    # one batch, shuffled arrival order: processing follows ts order
+    _write(src, "f1.json", [("x", 3), ("y", 1), ("x", 2), ("z", 4)])
+    q = _start(spark, src, "ring_t2", ring_size=10)
+    try:
+        q.processAllAvailable()
+        got = [r["k"] for r in spark.sql(
+            "SELECT k FROM ring_t2 ORDER BY ts").collect()]
+        # y(1), x(2) admitted; x(3) dup; z(4) admitted
+        assert got == ["y", "x", "z"]
+    finally:
+        q.stop()
+
+
+def test_hl_stream_ring_mode_end_to_end(spark, tmp_path):
+    """stream_venue with the ring mode drops the re-emitted HL fill across
+    hour files, like the watermark mode — but by count, not time."""
+    src = tmp_path / "hl" / "20250923"
+    src.mkdir(parents=True)
+    from pathlib import Path
+
+    line = (
+        Path(__file__).parent / "fixtures" / "hyperliquid_fills.jsonl"
+    ).read_text().splitlines()[0]
+    (src / "0").write_text(line + "\n")
+    deduped = stream_venue(
+        spark,
+        "hyperliquid",
+        "usdc",
+        str(tmp_path / "hl"),
+        hl_dedup_watermark=None,
+        hl_dedup_ring_size=50,
+    )
+    assert "_dedup_key" not in deduped.columns
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("ring_hl")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM ring_hl").count() == 1
+        (src / "1").write_text(line + "\n")  # same fill re-emitted later
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM ring_hl").count() == 1  # deduped
+    finally:
+        q.stop()
