@@ -516,3 +516,31 @@ def p01_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canon.select(
         "doc_id", X.bpe_token_count("text").alias("n_bpe_tokens")
     )
+
+
+@register(
+    "m01_multimodal_pipeline",
+    None,  # binary codec plumbing has no SQL analog; determinism is
+    # pinned by unit tests (content digests are seed-stable)
+    doc="multimodal pipeline drive: deterministic synthetic assets "
+    "(binary + typed meta) -> mapInPandas decode (format/dims/bytes/"
+    "sha256) -> feature extraction -> JVM-side cosine top-1 neighbor per "
+    "asset (operators/multimodal.py feeding operators/similarity.py). "
+    "Rows-only: one row per asset with its decoded metadata and nearest "
+    "neighbor in feature space.",
+)
+def m01_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.operators import multimodal as M
+
+    assets = M.synth_assets(spark, n=48)
+    decoded = M.decode_images(assets).select(
+        "asset_id", "modality", "format", "width", "height", "n_bytes"
+    )
+    feats = M.image_features(assets).select(
+        F.col("asset_id").alias("vec_id"), F.col("feature").alias("embedding")
+    )
+    nn = S.cosine_topk(feats, feats, k=1, id_col="vec_id").select(
+        F.col("query_id").alias("asset_id"),
+        F.col("neighbor_id").alias("nearest_asset_id"),
+    )
+    return decoded.join(nn, "asset_id")
