@@ -109,6 +109,11 @@ def test_volume_kill_restart_exactly_once(spark, tmp_path):
         # that epoch on restart with the SAME epoch id
         replayed = committed[-1]
         (commits / str(replayed)).unlink()
+        # the local FS writes a checksum sibling; leaving it behind makes
+        # the commit rewrite fail on restart with FileAlreadyExists
+        crc = commits / f".{replayed}.crc"
+        if crc.exists():
+            crc.unlink()
         mid_rows = (
             spark.read.parquet(str(out)).count() if out.exists() else 0
         )
