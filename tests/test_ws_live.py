@@ -135,6 +135,31 @@ def test_binance_live_text_ping_and_frames(spark):
 
 
 @pytest.mark.slow
+def test_aster_live_shared_binance_protocol(spark):
+    """S6: Aster speaks the Binance wire protocol (aster_adapter.py shares
+    the decoder); drive the aster venue end-to-end against the mock server
+    and assert the ASTER-normalized rows (exchange constant, usdt-only
+    market guard) match the replay golden for the same frames."""
+    from liq_stream_spark.operators import normalize_aster
+
+    frames = (FIXTURES / "binance_force_order.jsonl").read_text().splitlines()
+
+    async def handler(sv, ws, idx):
+        for line in frames:
+            await ws.send(line)
+        await asyncio.sleep(3600)
+
+    server = VenueServer(handler).start()
+    try:
+        rows = drive(spark, "aster", "usdt", server, "ws_aster", 5)
+    finally:
+        server.stop()
+    got = sorted(normalized_key(r) for r in rows)
+    assert got == batch_golden(spark, normalize_aster, "binance_force_order.jsonl")
+    assert all(r["exchange"] == "aster" and r["market"] == "usdt" for r in rows)
+
+
+@pytest.mark.slow
 def test_okx_live_subscribe_ack_frames(spark):
     from liq_stream_spark.operators import normalize_okx
 
