@@ -91,6 +91,56 @@ def test_left_join_keeps_unmatched_rows(spark, data):
     assert len(got) == inner.count() + (n_rows - len(matched_rows))
 
 
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    hd=st.data(),
+    bucket_ms=st.sampled_from([1, 7_000, 60_000, 10**7]),
+)
+def test_property_equals_naive(spark, hd, bucket_ms):
+    """Random point sets x random (possibly zero-width, possibly inverted)
+    intervals: the bucketized join equals the naive BETWEEN semantics for
+    any bucket width. Inverted intervals (end < start) match nothing —
+    Spark's sequence() runs descending rather than throwing, and the exact
+    range refine discards every such candidate."""
+    ts = st.integers(min_value=0, max_value=10**6)
+    n_rows = hd.draw(st.integers(1, 30))
+    n_ivals = hd.draw(st.integers(1, 10))
+    row_ts = [hd.draw(ts) for _ in range(n_rows)]
+    spans = [
+        sorted((hd.draw(ts), hd.draw(ts)))
+        if hd.draw(st.booleans())
+        else (hd.draw(ts), hd.draw(ts))  # sometimes inverted
+        for _ in range(n_ivals)
+    ]
+    rows = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(row_ts)], "row_id long, tt long"
+    ).select("row_id", F.timestamp_millis("tt").alias("tt"))
+    ivals = spark.createDataFrame(
+        [(j, s, e) for j, (s, e) in enumerate(spans)],
+        "ival_id long, ss long, ee long",
+    ).select(
+        "ival_id",
+        F.timestamp_millis("ss").alias("ss"),
+        F.timestamp_millis("ee").alias("ee"),
+    )
+    expected = {
+        (i, j)
+        for i, t in enumerate(row_ts)
+        for j, (s, e) in enumerate(spans)
+        if s <= t <= e
+    }
+    got = {
+        (r["row_id"], r["ival_id"])
+        for r in interval_join(
+            rows, ivals, "tt", "ss", "ee", bucket_ms=bucket_ms
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_validation(spark, data):
     rows, ivals = data
     with pytest.raises(ValueError):
