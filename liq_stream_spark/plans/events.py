@@ -70,31 +70,11 @@ def q14_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="gap-based sessionization (30 min): lag + cumulative flag sum.",
 )
 def q15_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.operators.sessionize import sessionize
+
     ev = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_s = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-    flagged = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "value",
-        F.when(
-            F.lag("ts").over(w).isNull() | (gap_s > 30 * 60 * 1_000_000), 1
-        )
-        .otherwise(0)
-        .alias("new_session"),
-    )
-    numbered = flagged.withColumn(
-        "session_id",
-        F.sum("new_session")
-        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .cast("long"),
-    )
-    return numbered.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
-        dsum("value").alias("session_value"),
+    return sessionize(
+        ev, "user_id", "ts", 30 * 60, value_col="value", tiebreak_col="event_id"
     )
 
 

@@ -83,6 +83,70 @@ def test_bucketed_asof_hot_key_with_ties(spark):
     assert len(counts) == 72 and max(r["count"] for r in counts) <= 7
 
 
+@pytest.mark.parametrize("bucket_s", [3_600, 6 * 3_600, 86_400])
+def test_bucketed_sessionize_equivalent_on_real_data(spark, bucket_s):
+    """sessionize_bucketed == sessionize on the events fixture for every
+    bucket width — same ordinals, same decimal-exact value sums."""
+    from liq_stream_spark.operators.sessionize import (
+        sessionize,
+        sessionize_bucketed,
+    )
+    from liq_stream_spark.plans.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.01", "events")
+    base = {
+        tuple(r)
+        for r in sessionize(
+            ev, "user_id", "ts", 1800, value_col="value",
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in sessionize_bucketed(
+            ev, "user_id", "ts", 1800, value_col="value",
+            tiebreak_col="event_id", bucket_seconds=bucket_s,
+        ).collect()
+    }
+    assert got == base and len(base) > 0
+
+
+def test_bucketed_sessionize_hot_key_chain_merge(spark):
+    """A hot key emitting one event per minute for 10 hours is ONE session
+    that crosses every 1h bucket edge — the chain merge must reassemble it
+    exactly; a cold key with in-bucket gaps must not over-merge."""
+    from liq_stream_spark.operators.sessionize import (
+        sessionize,
+        sessionize_bucketed,
+    )
+
+    rows = [("hot", 1_700_000_000_000 + i * 60_000, 1.5, i) for i in range(600)]
+    rows += [("cold", 1_700_000_000_000 + i * 7_200_000, 2.0, 1000 + i)
+             for i in range(5)]  # 2h apart -> 5 separate sessions
+    df = (
+        spark.createDataFrame(rows, "k string, t long, value double, eid long")
+        .select("k", F.timestamp_millis("t").alias("ts"), "value", "eid")
+    )
+    base = {
+        tuple(r)
+        for r in sessionize(
+            df, "k", "ts", 1800, value_col="value", tiebreak_col="eid"
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in sessionize_bucketed(
+            df, "k", "ts", 1800, value_col="value", tiebreak_col="eid",
+            bucket_seconds=3_600,
+        ).collect()
+    }
+    assert got == base
+    hot = [r for r in base if r[0] == "hot"]
+    cold = [r for r in base if r[0] == "cold"]
+    assert len(hot) == 1 and hot[0][1] == 1 and hot[0][2] == 600
+    assert len(cold) == 5
+
+
 def test_sessionization_partition_profile_sf01(spark):
     """Per-user row counts at sf0.1 — the window partition sizes the
     sessionization plan produces. Asserts the fixture keyspace is flat
