@@ -49,6 +49,9 @@ def parse_args(argv=None):
                    default=int(os.environ.get("PG_BATCH", "500")))
     p.add_argument("--pg-interval", type=float,
                    default=float(os.environ.get("PG_INTERVAL", "1.0")))
+    p.add_argument("--pg-exactly-once", action="store_true",
+                   help="per-epoch staging + ledger-claimed promotion: a "
+                   "replayed micro-batch promotes zero rows")
     # bybit (S3/S4) — live websocket mode only
     p.add_argument("--subscribe-chunk", type=int, default=100)
     p.add_argument("--bybit-legacy", action="store_true",
@@ -100,6 +103,7 @@ def main(argv=None) -> None:
             sink.jdbc_url = args.pg_dsn
             sink.jdbc_table = args.pg_table
             sink.jdbc_batch_size = args.pg_batch
+            sink.jdbc_exactly_once = args.pg_exactly_once
 
     normalizer_kwargs: dict[str, dict] = {
         "hyperliquid": {"min_abs_sz": args.hl_min_sz},

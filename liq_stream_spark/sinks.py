@@ -169,6 +169,109 @@ def bootstrap_statements(table: str) -> list[str]:
     ]
 
 
+# exactly-once JDBC: per-epoch staging table + guarded promotion. The
+# staging table is truncated and re-filled on a replayed epoch, and the
+# promotion INSERT is keyed by (epoch_id) in the epochs ledger — a replay
+# whose epoch is already recorded promotes zero rows. This is the standard
+# transactional-outbox shape; it needs no ON CONFLICT key over row content
+# (two identical real liquidations stay two rows, matching the reference).
+EPOCH_LEDGER_DDL = """
+CREATE TABLE IF NOT EXISTS {table}_epochs (
+  epoch_id BIGINT PRIMARY KEY,
+  promoted_at TIMESTAMPTZ NOT NULL DEFAULT now()
+)
+"""
+
+PROMOTE_SQL = """
+WITH claim AS (
+  INSERT INTO {table}_epochs (epoch_id) VALUES ({epoch_id})
+  ON CONFLICT (epoch_id) DO NOTHING
+  RETURNING epoch_id
+)
+INSERT INTO {table}
+SELECT {columns} FROM {staging}
+WHERE EXISTS (SELECT 1 FROM claim)
+"""
+
+
+def idempotent_statements(
+    table: str, staging: str, epoch_id: int, columns: list[str]
+) -> list[str]:
+    """The statement sequence ``write_jdbc_idempotent`` executes after
+    staging an epoch: ledger DDL (idempotent), then the atomic
+    claim+promote — the CTE inserts the epoch into the ledger and the
+    promotion only runs when that claim actually inserted, so a replayed
+    epoch (crash between promote and checkpoint commit) is a no-op."""
+    return [
+        EPOCH_LEDGER_DDL.format(table=table),
+        PROMOTE_SQL.format(
+            table=table,
+            staging=staging,
+            epoch_id=int(epoch_id),
+            columns=", ".join(columns),
+        ),
+    ]
+
+
+def write_jdbc_idempotent(
+    df: DataFrame,
+    epoch_id: int,
+    url: str,
+    table: str,
+    batch_size: int = 500,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """Exactly-once variant of :func:`write_jdbc` for foreachBatch: the
+    epoch lands in ``{table}_stage_{epoch_id}`` via the ordinary JDBC
+    writer (overwrite — a partial retry refills it), then one driver-side
+    transaction claims the epoch in ``{table}_epochs`` and promotes the
+    staged rows iff the claim won. Unverifiable in this container (no
+    PG/JDBC driver); statement strings are unit-tested like the
+    bootstrap DDL."""
+    staging = f"{table}_stage_{int(epoch_id)}"
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", staging)
+        .option("batchsize", str(batch_size))
+        .option("truncate", "true")
+        .mode("overwrite")
+        .save()
+    )
+    _execute_statements(
+        url,
+        idempotent_statements(table, staging, epoch_id, df.columns)
+        + [f"DROP TABLE IF EXISTS {staging}"],
+        properties,
+    )
+
+
+def _execute_statements(
+    url: str, statements: list[str], properties: dict[str, str] | None
+) -> None:
+    """Driver-side JDBC statement execution in ONE transaction (the same
+    JVM-connection technique as ensure_table)."""
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        jvm = spark._jvm  # type: ignore[union-attr]
+        props = jvm.java.util.Properties()
+        for k, v in (properties or {}).items():
+            props.setProperty(k, v)
+        conn = jvm.java.sql.DriverManager.getConnection(url, props)
+        try:
+            conn.setAutoCommit(False)
+            stmt = conn.createStatement()
+            for sql in statements:
+                stmt.execute(sql)
+            conn.commit()
+        finally:
+            conn.close()
+    except Exception as e:
+        raise RuntimeError(f"JDBC statement execution failed for {url}: {e}") from e
+
+
 def ensure_table(url: str, table: str, properties: dict[str, str] | None = None):
     """One-shot DDL bootstrap (K5, writer_pg.py:23-57,124-136): table plus
     the two reference indexes, all idempotent."""
@@ -226,6 +329,8 @@ class FanOutConfig:
     jdbc_table: str = "liquidations"
     jdbc_batch_size: int = 500  # reference default (writer_pg.py:79)
     jdbc_properties: dict[str, str] = field(default_factory=dict)
+    # exactly-once JDBC: per-epoch staging + ledger-claimed promotion
+    jdbc_exactly_once: bool = False
     console: bool = False
     console_color: bool = True
 
@@ -254,13 +359,23 @@ def fan_out(config: FanOutConfig):
             if config.csv_path:
                 write_csv(batch_df, config.csv_path)
             if config.jdbc_url:
-                write_jdbc(
-                    batch_df,
-                    config.jdbc_url,
-                    config.jdbc_table,
-                    batch_size=config.jdbc_batch_size,
-                    properties=config.jdbc_properties,
-                )
+                if config.jdbc_exactly_once:
+                    write_jdbc_idempotent(
+                        batch_df,
+                        epoch_id,
+                        config.jdbc_url,
+                        config.jdbc_table,
+                        batch_size=config.jdbc_batch_size,
+                        properties=config.jdbc_properties,
+                    )
+                else:
+                    write_jdbc(
+                        batch_df,
+                        config.jdbc_url,
+                        config.jdbc_table,
+                        batch_size=config.jdbc_batch_size,
+                        properties=config.jdbc_properties,
+                    )
         finally:
             batch_df.unpersist()
 

@@ -216,3 +216,23 @@ def test_pg_bootstrap_statements_reference_parity():
     # idempotence guard probes pg_class before each CREATE
     assert index_sql.count("IF NOT EXISTS") == 2
     assert index_sql.count("pg_class") == 2
+
+
+def test_pg_exactly_once_statements():
+    """No PG in the container — assert the exactly-once promotion
+    statement sequence: ledger DDL with epoch primary key, then the
+    atomic claim+promote where the INSERT only runs if the ledger claim
+    won (ON CONFLICT DO NOTHING + EXISTS guard)."""
+    from liq_stream_spark.sinks import idempotent_statements
+
+    cols = ["exchange", "market", "symbol", "qty"]
+    ledger, promote = idempotent_statements(
+        "public.liquidations", "public.liquidations_stage_7", 7, cols
+    )
+    assert "CREATE TABLE IF NOT EXISTS public.liquidations_epochs" in ledger
+    assert "epoch_id BIGINT PRIMARY KEY" in ledger
+    assert "INSERT INTO public.liquidations_epochs (epoch_id) VALUES (7)" in promote
+    assert "ON CONFLICT (epoch_id) DO NOTHING" in promote
+    assert "INSERT INTO public.liquidations" in promote
+    assert "SELECT exchange, market, symbol, qty FROM public.liquidations_stage_7" in promote
+    assert "WHERE EXISTS (SELECT 1 FROM claim)" in promote
