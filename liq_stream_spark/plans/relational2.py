@@ -200,3 +200,42 @@ def q27_activity_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("actor").alias("n_actors"),
         )
     )
+
+
+@register(
+    "q33_rolling_range_window",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_orders_90d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER w AS DOUBLE)
+               AS spend_90d
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey
+      ORDER BY (o_orderdate::DATE - DATE '1970-01-01')
+      RANGE BETWEEN 90 PRECEDING AND CURRENT ROW
+    )
+    """,
+    doc="RANGE-frame window: per customer, each order's trailing-90-day "
+    "order count and decimal-exact spend. The frame is a VALUE range over "
+    "the day number (same-day peers all included), not a row count — the "
+    "surface ROWS frames (q08) and bucketed windows (q14/q31) don't "
+    "cover.",
+)
+def q33_rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.col("o_orderdate").cast("date")))
+        .rangeBetween(-90, W.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_orders_90d"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_90d"),
+    )
