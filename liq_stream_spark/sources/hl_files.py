@@ -135,7 +135,9 @@ class HLTailRelay:
         if not lines:
             return
         name = f"{self._seq:08d}_{src.parent.name}_{src.name}.txt"
-        tmp = self.relay_dir / f"_tmp_{name}"
+        # `_` prefix hides it from Spark's file source; `.tmp` suffix keeps
+        # it out of any consumer's `*.txt` glob until the atomic rename.
+        tmp = self.relay_dir / f"_tmp_{name}.tmp"
         tmp.write_text("\n".join(lines) + "\n", encoding="utf-8")
         os.rename(tmp, self.relay_dir / name)  # atomic publish
         self._seq += 1
