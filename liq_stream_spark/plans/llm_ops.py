@@ -332,6 +332,51 @@ def d05_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(load(spark, sf_dir, "documents"))
 
 
+@register(
+    "d06_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_duck_minhash_cte()},
+    bands AS (
+      SELECT doc_id, (perm_id // 4) AS band,
+             string_agg(minhash::VARCHAR, ',' ORDER BY perm_id) AS band_key
+      FROM sigs GROUP BY doc_id, (perm_id // 4)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band, band_key)
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    walk(node, comp) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, w.comp
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.comp < e.dst
+    ),
+    cc AS (SELECT node, MIN(comp) AS comp FROM walk GROUP BY node),
+    sizes AS (SELECT comp, COUNT(*) AS n FROM cc GROUP BY comp)
+    SELECT cc.node AS doc_id, cc.comp AS cluster_id,
+           CAST(sizes.n AS BIGINT) AS cluster_size,
+           cc.node = cc.comp AS is_canonical
+    FROM cc JOIN sizes USING (comp)
+    """,
+    doc="transitive dedup CLUSTERS over the d03 LSH candidate pairs "
+    "(operators/dedup.connected_components): min-label propagation with "
+    "pointer jumping, O(log diameter) rounds of equi-join shuffles — the "
+    "step that turns pairwise near-dup hits into keep-one-per-cluster "
+    "decisions. Oracle: DuckDB recursive CTE computing min reachable id.",
+)
+def d06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = D.minhash_sig_arrays(load(spark, sf_dir, "documents"))
+    pairs = D.lsh_candidate_pairs_banded(sigs, max_bucket=None)
+    return D.dedup_clusters(pairs)
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

@@ -234,3 +234,33 @@ def test_fingerprint_order_sensitivity(spark):
     assert fps[0] == fps[2]
     assert fps[0] != fps[1]     # same chars, different order
     assert fps[3] == 0          # shorter than the shingle width
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 4-node chain (0-1, 1-2, 2-3) must collapse to one component even
+    though 0 and 3 never share a pair; disjoint islands stay separate;
+    nodes absent from every pair are absent from the output."""
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11), (20, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    cc = {r["node"]: r["comp"] for r in D.connected_components(pairs).collect()}
+    assert cc == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    clusters = D.dedup_clusters(pairs).collect()
+    by_doc = {r["doc_id"]: r for r in clusters}
+    assert by_doc[3]["cluster_id"] == 0 and by_doc[3]["cluster_size"] == 4
+    assert by_doc[0]["is_canonical"] and not by_doc[3]["is_canonical"]
+    assert by_doc[11]["cluster_size"] == 2
+    assert 5 not in by_doc  # never paired -> not emitted
+
+
+def test_connected_components_long_path_pointer_jumping(spark):
+    """A 64-node path graph converges within the iteration cap — pointer
+    jumping makes rounds O(log diameter), not O(diameter)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    out = D.connected_components(pairs, max_iters=10).collect()
+    assert len(out) == 64
+    assert {r["comp"] for r in out} == {0}
