@@ -470,3 +470,97 @@ def simhash64(col_name: str) -> Column:
     lo = F.expr(_simhash32_expr(col_name, 131)).cast("long")
     hi = F.expr(_simhash32_expr(col_name, 137)).cast("long")
     return combine_simhash64(lo, hi)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-``k`` terms by TF-IDF — the classic keyword/
+    distinctiveness extractor for corpus triage. Returns
+    (id, rank, term, tf, df): rank orders by tf * ln(N/df) descending with
+    the term string as tiebreak.
+
+    Output discipline for the engine oracle: the raw ln-based score stays
+    OUT of the result (Java Math.log and C libm can differ in the last
+    ulp; ties within a (tf, df) class are bitwise-equal inside each engine
+    and classes are well-separated, so the ORDER is engine-stable even
+    though the score bits are not).
+
+    Plan shape at scale: explode -> two hash aggregations (per-doc term
+    counts, then corpus document frequency — both map-side combinable), a
+    broadcast of the tiny (term, df) table back onto per-doc counts, and a
+    per-doc top-k window. The corpus size N enters via a broadcast
+    single-row aggregate, not a driver-side collect."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus splitting
+# ---------------------------------------------------------------------------
+
+SPLIT_MOD = 10_000
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent id
+    hash: bucket = int(md5('<salt>:<id>')[:8 hex]) % 10,000; the first
+    ``train_pct`` percent of bucket space is train, the next ``val_pct``
+    val, the rest test. Changing the salt re-rolls the split; changing
+    corpus size does NOT move existing rows between splits (the property
+    a growing training corpus needs). md5 (not a polynomial fold) because
+    the common id shapes — sequential integers, zero-padded keys — must
+    still spread uniformly over bucket space; a rolling hash maps
+    consecutive ids to consecutive buckets and can starve a whole split.
+    Narrow projection, zero shuffle."""
+    key = f"concat('{salt}', ':', CAST({id_col} AS STRING))"
+    bucket = F.expr(
+        f"CAST(conv(substring(md5({key}), 1, 8), 16, 10) AS BIGINT) % {SPLIT_MOD}"
+    ).cast("long")
+    train_hi = SPLIT_MOD * train_pct // 100
+    val_hi = train_hi + SPLIT_MOD * val_pct // 100
+    return df.withColumn("bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("bucket") < train_hi, F.lit("train"))
+        .when(F.col("bucket") < val_hi, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

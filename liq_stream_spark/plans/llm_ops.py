@@ -333,6 +333,68 @@ def d05_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t06_tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({DUCK_TOKENS}) AS term
+      FROM documents WHERE trim(text) != ''
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT doc_id, term, tf, df,
+             tf * ln((SELECT COUNT(*) FROM documents)::DOUBLE / df) AS tfidf
+      FROM tf JOIN dfreq USING (term)
+    ), ranked AS (
+      SELECT doc_id, term, tf, df,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rank
+      FROM scored
+    )
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+    FROM ranked WHERE rank <= 3
+    """,
+    doc="per-doc top-3 TF-IDF keywords (operators/text.tfidf_top_terms): "
+    "explode -> two map-side-combinable hash aggs (term freq, doc freq) "
+    "-> broadcast df/N back -> per-doc top-k window. The ln-based score "
+    "orders the output but stays OUT of it (libm last-ulp differences "
+    "across engines; ties are same-(tf,df) hence bitwise-stable within "
+    "each engine, distinct classes are >= 1e-9 apart on this corpus).",
+)
+def t06_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.tfidf_top_terms(load(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "p02_hash_split",
+    f"""
+    WITH b AS (
+      SELECT doc_id,
+             (('0x' || substr(md5('split-v1:' || doc_id::VARCHAR), 1, 8))::BIGINT
+              % {X.SPLIT_MOD})::BIGINT AS bucket
+      FROM documents
+    )
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    doc="deterministic 90/5/5 train/val/test split "
+    "(operators/text.hash_split): bucket = int(md5('<salt>:<id>')[:8]) % 10k, "
+    "reproduced bit-for-bit by the oracle (conv/hex-cast). Membership is "
+    "a property of the row (salt + id), not the job: growing the corpus "
+    "or repartitioning never moves an existing row between splits. Narrow "
+    "projection, zero shuffle.",
+)
+def p02_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return X.hash_split(docs).select("doc_id", "bucket", "split")
+
+
+@register(
     "d06_dedup_clusters",
     f"""
     WITH RECURSIVE {_duck_minhash_cte()},

@@ -264,3 +264,45 @@ def test_connected_components_long_path_pointer_jumping(spark):
     out = D.connected_components(pairs, max_iters=10).collect()
     assert len(out) == 64
     assert {r["comp"] for r in out} == {0}
+
+
+def test_tfidf_top_terms_ranking(spark):
+    """A term appearing in every doc (df=N) has idf 0 and can never beat a
+    rarer term with tf >= 1; rank ties break on the term string."""
+    rows = [
+        (0, "common rare rare common common"),
+        (1, "common unique"),
+        (2, "common common common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"])
+        for r in X.tfidf_top_terms(df, k=2).collect()
+    }
+    assert top[(0, 1)] == ("rare", 2, 1)      # tf=2, df=1 beats common
+    assert top[(0, 2)][0] == "common"
+    assert top[(1, 1)] == ("unique", 1, 1)
+    # doc 2 has only the df=N term: idf = ln(1) = 0, still emitted, rank 1
+    assert top[(2, 1)] == ("common", 3, 3)
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    """Same id -> same split regardless of which corpus it sits in; the
+    90/5/5 proportions hold loosely; buckets are within [0, 10000)."""
+    a = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    b = spark.range(1000, 1200).withColumnRenamed("id", "doc_id")
+    sa = {r["doc_id"]: (r["bucket"], r["split"])
+          for r in X.hash_split(a, id_col="doc_id").collect()}
+    sb = {r["doc_id"]: (r["bucket"], r["split"])
+          for r in X.hash_split(b, id_col="doc_id").collect()}
+    assert all(sa[k] == sb[k] for k in sb)    # membership is row-local
+    assert all(0 <= v[0] < 10000 for v in sa.values())
+    frac_train = sum(v[1] == "train" for v in sa.values()) / len(sa)
+    assert 0.85 < frac_train < 0.95
+    # sequential integer ids must still populate ALL splits (a rolling
+    # hash fails this: consecutive ids -> consecutive buckets)
+    assert {v[1] for v in sa.values()} == {"train", "val", "test"}
+    # different salt -> a different split
+    alt = {r["doc_id"]: r["split"]
+           for r in X.hash_split(a, salt="v2").collect()}
+    assert any(alt[k] != sa[k][1] for k in alt)
