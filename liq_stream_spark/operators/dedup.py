@@ -508,3 +508,32 @@ def dedup_clusters(
             (F.col("node") == F.col("comp")).alias("is_canonical"),
         )
     )
+
+
+def dedup_survivors(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The keep-one-per-cluster decision applied to the corpus: every doc
+    that is either outside all near-dup clusters (cluster_size 1) or the
+    canonical (min-id) member of its cluster survives; the rest drop.
+
+    Plan: clusters are computed only over nodes that appear in pairs (a
+    tiny fraction of the corpus), the drop set is broadcast-joined back as
+    a left-anti, and surviving cluster members pick up their cluster size
+    with a left join — the full corpus is never shuffled on anything but
+    the id equi-keys.
+    """
+    clusters = dedup_clusters(pairs)
+    drop = clusters.filter(~F.col("is_canonical")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    keep_sizes = clusters.filter(F.col("is_canonical")).select(
+        F.col("doc_id").alias(id_col), "cluster_size"
+    )
+    return (
+        docs.select(id_col)
+        .join(F.broadcast(drop), id_col, "left_anti")
+        .join(F.broadcast(keep_sizes), id_col, "left")
+        .na.fill(1, ["cluster_size"])
+        .select(id_col, F.col("cluster_size").cast("long"))
+    )

@@ -564,3 +564,180 @@ def hash_split(
         .when(F.col("bucket") < val_hi, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition / contamination / stratified sampling — corpus hygiene at scale
+# ---------------------------------------------------------------------------
+
+
+def token_ngrams(toks_col: str, n: int) -> Column:
+    """Token n-grams as space-joined strings (Gopher-style repetition and
+    benchmark-contamination checks both key on these). Stays inside codegen:
+    ``transform`` over an index sequence + 1-based ``slice``. Empty/short
+    docs yield an empty array, never NULL (guarded: Spark's
+    ``sequence(1, 0)`` is DESCENDING [1, 0], not empty)."""
+    return F.expr(
+        f"CASE WHEN size({toks_col}) >= {n} THEN "
+        f"transform(sequence(1, size({toks_col}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice({toks_col}, i, {n}))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``n_tokens`` / ``n_distinct_tokens`` and their ratio
+    - ``top_token_frac`` — occurrence share of the most frequent token
+    - ``dup_2gram_frac`` — share of 2-gram occurrences whose 2-gram appears
+      more than once in the doc (Rae et al. 2021, "duplicate n-gram
+      fraction"; a high value flags boilerplate/spam for the quality gate)
+
+    Plan shape: explode -> two hash aggregations keyed by (doc_id, gram).
+    Both aggs are map-side combinable and shuffle only (id, gram, count)
+    triples — the standard shape that survives 100 TB. Docs whose text is
+    empty keep a row (left join back) with zero counts.
+    """
+    base = df.select("doc_id", tokens(text_col).alias("toks"))
+    tok = base.select("doc_id", F.explode("toks").alias("g"))
+    tok_counts = tok.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    tok_stats = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+        F.max("c").cast("long").alias("top_c"),
+    )
+    gram = base.select(
+        "doc_id", F.explode(token_ngrams("toks", 2)).alias("g")
+    )
+    gram_counts = gram.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    gram_stats = gram_counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_2grams"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_dup_2gram_occurrences"),
+    )
+    out = (
+        df.select("doc_id")
+        .join(tok_stats, "doc_id", "left")
+        .join(gram_stats, "doc_id", "left")
+        .na.fill(
+            0,
+            [
+                "n_tokens",
+                "n_distinct_tokens",
+                "top_c",
+                "n_2grams",
+                "n_dup_2gram_occurrences",
+            ],
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        F.when(F.col("n_tokens") > 0, F.col("top_c") / F.col("n_tokens"))
+        .otherwise(F.lit(0.0))
+        .alias("top_token_frac"),
+        F.when(
+            F.col("n_2grams") > 0,
+            F.col("n_dup_2gram_occurrences") / F.col("n_2grams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_2gram_frac"),
+    )
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination check: for every corpus doc, how many of its
+    distinct token ``n``-grams also occur in the benchmark set (the
+    standard n-gram-overlap decontamination test run before training).
+
+    Scale shape: the benchmark gram set is tiny relative to the corpus, so
+    the join is an explicit ``broadcast`` equi-join on the gram string —
+    the corpus side streams through map-side, no shuffle of corpus grams.
+    Output keeps every corpus doc (zero matches included) so the
+    downstream filter is a plain predicate.
+    """
+    corpus_grams = corpus.select(
+        "doc_id",
+        F.explode_outer(
+            F.array_distinct(token_ngrams_of_text(text_col, n))
+        ).alias("g"),
+    )
+    bench_grams = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(token_ngrams_of_text(text_col, n))
+            ).alias("g")
+        )
+        .distinct()
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_ngrams"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .na.fill(0, ["n_shared_ngrams"])
+        .select(
+            "doc_id",
+            "n_shared_ngrams",
+            (F.col("n_shared_ngrams") > 0).alias("contaminated"),
+        )
+    )
+
+
+def token_ngrams_of_text(text_col: str, n: int) -> Column:
+    """``token_ngrams`` applied directly to a text column (tokenize inline,
+    single expression — no intermediate column needed)."""
+    t = f"trim({text_col})"
+    toks = (
+        f"CASE WHEN {t} = '' THEN CAST(array() AS array<string>) "
+        f"ELSE split({t}, '{_WS_SQL}') END"
+    )
+    return F.expr(
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates_bp: dict[str, int],
+    default_bp: int,
+    id_col: str = "doc_id",
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its md5
+    bucket (same construction as :func:`hash_split`, different salt)
+    falls below the stratum's rate in basis points of ``SPLIT_MOD``.
+    The standard corpus-mixing move — e.g. keep 80% of English but 20%
+    of everything else — with membership a pure function of (salt, id),
+    so re-runs, repartitions, and corpus growth never change a kept set
+    retroactively. Narrow projection + filter, zero shuffle."""
+    key = f"concat('{salt}', ':', CAST({id_col} AS STRING))"
+    bucket = F.expr(
+        f"CAST(conv(substring(md5({key}), 1, 8), 16, 10) AS BIGINT) % {SPLIT_MOD}"
+    ).cast("long")
+    threshold = F.lit(default_bp)
+    for stratum, bp in sorted(rates_bp.items()):
+        threshold = F.when(
+            F.col(strata_col) == stratum, F.lit(bp)
+        ).otherwise(threshold)
+    return (
+        df.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < threshold)
+    )

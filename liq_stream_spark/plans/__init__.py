@@ -42,3 +42,5 @@ from liq_stream_spark.plans import relational3  # noqa: E402,F401
 from liq_stream_spark.plans import events  # noqa: E402,F401
 from liq_stream_spark.plans import liquidations  # noqa: E402,F401
 from liq_stream_spark.plans import llm_ops  # noqa: E402,F401
+from liq_stream_spark.plans import llm_ops2  # noqa: E402,F401
+from liq_stream_spark.plans import relational4  # noqa: E402,F401
