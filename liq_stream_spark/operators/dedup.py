@@ -180,7 +180,12 @@ def lsh_candidate_pairs(
     Plan shape: groupBy(id, band) packs each band's minhashes into one
     string key -> self-join on (band, key) -> distinct pairs. The join is
     equi (band bucket), never a cross join; oversized buckets (degenerate
-    content) are capped at ``max_bucket`` docs."""
+    content) are capped at ``max_bucket`` docs.
+
+    When the downstream consumer only needs CONNECTIVITY (clusters,
+    survivor sets) rather than the pair list itself, use
+    :func:`lsh_star_edges` instead — same components, linearly fewer
+    edges."""
     banded = (
         signatures.withColumn("band", (F.col("perm_id") / rows_per_band).cast("int"))
         .filter(F.col("band") < bands)
@@ -212,7 +217,15 @@ def lsh_candidate_pairs_banded(
     the groupBy(id, band) collect shuffle of the long-form path disappears
     — the ONLY shuffles left are the band-key equi-join and the final
     distinct. Identical output to lsh_candidate_pairs on the same docs."""
-    banded = sig_wide.select(
+    banded = _banded_keys(sig_wide, id_col, bands, rows_per_band)
+    return _pairs_from_banded(banded, id_col, max_bucket)
+
+
+def _banded_keys(
+    sig_wide: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, band_key) rows sliced in-row out of array-form signatures."""
+    return sig_wide.select(
         F.col(id_col),
         F.posexplode(
             F.array(
@@ -229,7 +242,40 @@ def lsh_candidate_pairs_banded(
             )
         ).alias("band", "band_key"),
     )
-    return _pairs_from_banded(banded, id_col, max_bucket)
+
+
+def lsh_star_edges(
+    sig_wide: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Connectivity-equivalent replacement for the quadratic per-bucket
+    pair expansion: within every (band, bucket) posting list, connect each
+    member to the bucket MINIMUM instead of to every other member. A star
+    has the same connected components as the clique, with O(|bucket|)
+    edges instead of O(|bucket|^2) — on a near-dup-heavy corpus (wide
+    buckets) this shrinks the components input by orders of magnitude,
+    and no ``max_bucket`` cap is needed because nothing is quadratic.
+
+    Output schema matches the pair list (id_a < id_b per edge), so it
+    drops into :func:`connected_components` / :func:`dedup_clusters` /
+    :func:`dedup_survivors` unchanged and yields IDENTICAL clusters.
+    It is NOT a substitute where the pair list itself is the product
+    (e.g. a per-pair exact-verify step needs every candidate pair)."""
+    banded = _banded_keys(sig_wide, id_col, bands, rows_per_band)
+    grouped = (
+        banded.groupBy("band", "band_key")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    return (
+        grouped.select(
+            F.array_min("ids").alias("id_a"), F.explode("ids").alias("id_b")
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
 
 
 def _pairs_from_banded(
@@ -423,6 +469,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Connected components over a candidate-pair edge list: the endgame of
     every fuzzy-dedup pipeline. Pairs only say "these two are near-dups";
@@ -444,11 +491,36 @@ def connected_components(
     ``localCheckpoint`` truncates the iterative lineage so the plan does
     not grow with rounds (on a cluster, a checkpoint dir does the same
     durably). One driver-side convergence count per round is the Pregel
-    pattern, not a collect of data."""
+    pattern, not a collect of data.
+
+    The per-round shuffles are sized to the EDGE LIST, not the session
+    default: a dedup edge list is orders of magnitude smaller than the
+    corpus, and running ~6 shuffles x ~6 rounds at the corpus-sized
+    partition count is pure task-scheduling overhead. ``shuffle_partitions``
+    overrides; by default one partition per ~100k edges, capped at the
+    session setting. The conf toggle is saved/restored in a finally and
+    only the eagerly-materialized loop runs under it (the returned frame
+    is checkpointed, so downstream execution is unaffected)."""
+    spark = pairs.sparkSession
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
     edges = edges.localCheckpoint(eager=True)
+    session_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is None:
+        n_edges = edges.count()
+        shuffle_partitions = max(
+            1, min(int(session_sp), n_edges // 100_000 + 1)
+        )
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        labels = _cc_loop(edges, max_iters)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", session_sp)
+    return labels
+
+
+def _cc_loop(edges: DataFrame, max_iters: int) -> DataFrame:
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("comp")
     )

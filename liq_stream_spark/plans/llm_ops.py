@@ -427,16 +427,21 @@ def p02_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
            cc.node = cc.comp AS is_canonical
     FROM cc JOIN sizes USING (comp)
     """,
-    doc="transitive dedup CLUSTERS over the d03 LSH candidate pairs "
+    doc="transitive dedup CLUSTERS over the d03 LSH buckets "
     "(operators/dedup.connected_components): min-label propagation with "
     "pointer jumping, O(log diameter) rounds of equi-join shuffles — the "
     "step that turns pairwise near-dup hits into keep-one-per-cluster "
-    "decisions. Oracle: DuckDB recursive CTE computing min reachable id.",
+    "decisions. The components input is the STAR edge set (each bucket "
+    "member -> bucket min, operators/dedup.lsh_star_edges): same "
+    "components as the d03 pair cliques with O(|bucket|) edges instead "
+    "of O(|bucket|^2). Oracle: DuckDB recursive CTE computing min "
+    "reachable id over the full pair cliques — equality PROVES the "
+    "star/clique component equivalence.",
 )
 def d06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = D.minhash_sig_arrays(load(spark, sf_dir, "documents"))
-    pairs = D.lsh_candidate_pairs_banded(sigs, max_bucket=None)
-    return D.dedup_clusters(pairs)
+    edges = D.lsh_star_edges(sigs)
+    return D.dedup_clusters(edges)
 
 
 # ---------------------------------------------------------------------------

@@ -199,5 +199,5 @@ _D07_SQL = f"""
 def d07_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sigs = D.minhash_sig_arrays(docs)
-    pairs = D.lsh_candidate_pairs_banded(sigs, max_bucket=None)
-    return D.dedup_survivors(docs, pairs)
+    edges = D.lsh_star_edges(sigs)
+    return D.dedup_survivors(docs, edges)

@@ -137,3 +137,24 @@ class TestDedupSurvivors:
             for r in D.dedup_survivors(docs, pairs).collect()
         }
         assert out == {1: 3, 4: 1, 5: 2, 7: 1}
+
+
+class TestStarEdges:
+    def test_star_equals_clique_components(self, spark):
+        from liq_stream_spark.plans.tables import load
+
+        docs = load(spark, "/root/testdata/sf0.001", "documents")
+        sigs = D.minhash_sig_arrays(docs)
+        clique = D.lsh_candidate_pairs_banded(sigs, max_bucket=None)
+        star = D.lsh_star_edges(sigs)
+        # star has no more edges than the clique expansion
+        assert star.count() <= clique.count()
+        cc_clique = {
+            (r["node"], r["comp"])
+            for r in D.connected_components(clique).collect()
+        }
+        cc_star = {
+            (r["node"], r["comp"])
+            for r in D.connected_components(star).collect()
+        }
+        assert cc_clique == cc_star
