@@ -420,3 +420,51 @@ def liq_hourly_by_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("qty").alias("max_qty"),
         )
     )
+
+
+@register(
+    "liq_sixhour_dashboard",
+    f"""
+    WITH {_duck_liq_union()}
+    SELECT epoch_ms((ts_exch_ms // 21600000) * 21600000) AS bucket_start,
+           exchange, market,
+           COUNT(*)::BIGINT AS n_liqs,
+           SUM(CASE WHEN side = 'long' THEN 1 ELSE 0 END)::BIGINT AS n_long,
+           SUM(CASE WHEN side = 'short' THEN 1 ELSE 0 END)::BIGINT AS n_short,
+           CAST(SUM(CAST(notional AS DECIMAL(25,6))) AS DOUBLE)
+             AS total_notional,
+           MAX(notional) AS max_notional
+    FROM liq WHERE ts_exch_ms IS NOT NULL
+    GROUP BY bucket_start, exchange, market
+    """,
+    doc="the reference CHANGELOG's 6-hour awk dashboard as a first-class "
+    "query (reference CHANGELOG.md:12-14 mentions 6-hour dashboards over "
+    "the CSVs; the scripts are absent from the snapshot, so this is the "
+    "canonical reconstruction): tumbling 6h event-time buckets per "
+    "(exchange, market) with long/short breakdown and notional totals. "
+    "Buckets are integer epoch-ms floor division — no engine-specific "
+    "window-origin semantics — so the oracle is exact.",
+)
+def liq_sixhour_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    liq = unified_liquidations(spark)
+    # integer `div`, matching the oracle's BIGINT floor division exactly
+    bucket = F.timestamp_millis(
+        F.expr("ts_exch_ms div 21600000") * F.lit(21_600_000)
+    )
+    return (
+        liq.filter(F.col("ts_exch_ms").isNotNull())
+        .groupBy(bucket.alias("bucket_start"), "exchange", "market")
+        .agg(
+            F.count(F.lit(1)).alias("n_liqs"),
+            F.sum(F.when(F.col("side") == "long", 1).otherwise(0))
+            .cast("long")
+            .alias("n_long"),
+            F.sum(F.when(F.col("side") == "short", 1).otherwise(0))
+            .cast("long")
+            .alias("n_short"),
+            F.sum(F.col("notional").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_notional"),
+            F.max("notional").alias("max_notional"),
+        )
+    )
