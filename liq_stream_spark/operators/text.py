@@ -35,7 +35,12 @@ _WS_SQL = r"\\s+"  # for patterns embedded in F.expr strings (SQL unescapes once
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization of trimmed text (empty text -> empty array)."""
+    """Whitespace tokenization of trimmed text (empty text -> empty array).
+
+    Spec (identical in Spark and the DuckDB oracle, property-pinned in
+    tests/test_properties.py): ``trim`` removes SPACES only — text whose
+    edges are tabs/newlines keeps empty edge tokens from the regex split.
+    Python's ``str.split()`` is NOT the spec."""
     c = F.col(col) if isinstance(col, str) else col
     t = F.trim(c)
     return F.when(t == "", F.array().cast("array<string>")).otherwise(

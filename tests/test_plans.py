@@ -77,3 +77,45 @@ def test_llm_scale_paths_never_cross_join(spark, name):
         assert count("BroadcastNestedLoopJoin", plan) <= 2
     else:
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_p03_benchmark_grams_are_broadcast(spark):
+    # the corpus side must never shuffle its grams: the benchmark gram
+    # set is the build side of broadcast joins, both for the semi (gram
+    # match) and the final doc_id stitch
+    plan = plan_of(spark, "p03_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q34_single_partitioning_for_window_and_agg(spark):
+    # lag window and final aggregation share the custkey hash
+    # partitioning: exactly one Exchange in the plan
+    plan = plan_of(spark, "q34_customer_order_gaps")
+    assert count("Exchange hashpartitioning", plan) == 1
+
+
+def test_q36_window_runs_over_preaggregated_rows(spark):
+    # the global-order window must consume the customer-level aggregate
+    # (SinglePartition exchange AFTER the custkey agg), never raw orders
+    plan = plan_of(spark, "q36_spend_deciles")
+    assert count("Exchange SinglePartition", plan) == 1
+    win_part = plan.split("Window")[-1]
+    assert "HashAggregate" in win_part  # agg sits below the window
+
+
+def test_q38_funnel_rides_one_key(spark):
+    # every join/agg in the funnel keys on user_id; no cartesian, no
+    # nested loop, no sort-merge fallbacks forced by mismatched keys
+    plan = plan_of(spark, "q38_event_funnel")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_d07_cluster_sets_broadcast_back(spark):
+    # the corpus-side joins against the (tiny) drop/keep cluster sets are
+    # broadcast, so the corpus is never shuffled for the survivor stitch
+    plan = plan_of(spark, "d07_dedup_survivors")
+    assert count("BroadcastHashJoin", plan) >= 2
+    assert "CartesianProduct" not in plan

@@ -11,6 +11,7 @@ one batch — one Spark job per property, not per example.
 from __future__ import annotations
 
 import json
+import re
 import math
 
 from hypothesis import given, settings, strategies as st
@@ -289,3 +290,99 @@ def test_normalize_bybit_legacy_never_throws_and_invariants(spark, frame_list):
         key=_none_safe,
     )
     assert got == sorted(expected, key=_none_safe)
+
+
+# ---------------------------------------------------------------------------
+# corpus-hygiene operators vs pure-Python specs
+# ---------------------------------------------------------------------------
+
+
+def ref_ws_tokens(text):
+    # the ENGINE spec, identical in Spark and the DuckDB oracle: trim
+    # removes SPACES only (not \t\n), and regex-split keeps empty edge
+    # tokens produced by leading/trailing non-space whitespace
+    t = text.strip(" ")
+    if t == "":
+        return []
+    return re.split(r"\s+", t)
+
+
+def ref_repetition(text):
+    toks = ref_ws_tokens(text)
+    n = len(toks)
+    if n == 0:
+        return (0, 0, 0.0, 0.0)
+    from collections import Counter
+
+    tc = Counter(toks)
+    top_frac = max(tc.values()) / n
+    grams = [f"{toks[i]} {toks[i+1]}" for i in range(n - 1)]
+    if not grams:
+        return (n, len(tc), top_frac, 0.0)
+    gc = Counter(grams)
+    dup = sum(c for c in gc.values() if c > 1)
+    return (n, len(tc), top_frac, dup / len(grams))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab xy\t\n"),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_repetition_signals_match_python_spec(spark, texts):
+    from liq_stream_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_distinct_tokens"],
+            r["top_token_frac"],
+            r["dup_2gram_frac"],
+        )
+        for r in repetition_signals(df).collect()
+    }
+    for i, text in enumerate(texts):
+        exp = ref_repetition(text)
+        assert got[i][0] == exp[0], (i, text)
+        assert got[i][1] == exp[1], (i, text)
+        assert abs(got[i][2] - exp[2]) < 1e-12, (i, text)
+        assert abs(got[i][3] - exp[3]) < 1e-12, (i, text)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from("abc "), min_size=0, max_size=30),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_token_ngrams_match_python_spec(spark, texts, n):
+    from liq_stream_spark.operators.text import token_ngrams_of_text
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", token_ngrams_of_text("text", n).alias("g")
+        ).collect()
+    }
+    for i, text in enumerate(texts):
+        toks = ref_ws_tokens(text)
+        exp = [
+            " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+        ]
+        assert got[i] == exp, (i, text, n)
