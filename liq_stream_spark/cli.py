@@ -41,6 +41,11 @@ def parse_args(argv=None):
                    "partition instead of appending duplicates; fold the "
                    "epoch level away with store.compact_store")
     p.add_argument("--no-color", action="store_true")
+    p.add_argument("--dashboard", action="store_true",
+                   help="also run the 6-hour windowed dashboard (reference "
+                   "CHANGELOG's awk dashboards) as a live console stream; "
+                   "in live WS mode this opens a second socket per venue — "
+                   "intended for replay/file sources")
     p.add_argument("--outdir", default="./out")
     # Postgres (K4) — env fallbacks as in the reference (stream.py:31-37)
     p.add_argument("--pg-dsn", default=os.environ.get("PG_DSN"))
@@ -166,6 +171,7 @@ def main(argv=None) -> None:
         live=live,
         hl_dedup_watermark=args.hl_dedup_watermark or None,
         normalizer_kwargs=normalizer_kwargs,
+        dashboard_console=args.dashboard,
     )
     query.awaitTermination()
 

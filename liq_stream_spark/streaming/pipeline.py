@@ -236,6 +236,7 @@ def run_pipeline(
     union_dedup_watermark: str | None = None,
     max_files_per_trigger: int | None = None,
     normalizer_kwargs: dict[str, dict] | None = None,
+    dashboard_console: bool = False,
 ):
     """Build the unioned multi-venue stream and start ONE StreamingQuery
     (the reference's asyncio.gather of tasks -> one incrementalized plan;
@@ -283,6 +284,28 @@ def run_pipeline(
         unioned = unioned.unionByName(s)
     if union_dedup_watermark:
         unioned = dedup_within_watermark(unioned, union_dedup_watermark)
+
+    if dashboard_console:
+        # the CHANGELOG's 6-hour dashboard as a SECOND StreamingQuery over
+        # the same logical sources (update-mode console; windowed-agg state
+        # is a handful of groups). Each query executes the source plan
+        # independently — in live WS mode that means a second socket per
+        # venue, so the CLI documents --dashboard as a replay/file-mode
+        # feature first.
+        from liq_stream_spark.streaming.dashboard import sixhour_dashboard
+
+        (
+            sixhour_dashboard(unioned)
+            .writeStream.format("console")
+            .outputMode("update")
+            .option("truncate", "false")
+            .option(
+                "checkpointLocation", checkpoint_dir.rstrip("/") + "_dashboard"
+            )
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .queryName("sixhour_dashboard")
+            .start()
+        )
 
     return (
         unioned.writeStream.foreachBatch(fan_out(sink_config))

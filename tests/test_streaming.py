@@ -236,3 +236,43 @@ def test_pg_exactly_once_statements():
     assert "INSERT INTO public.liquidations" in promote
     assert "SELECT exchange, market, symbol, qty FROM public.liquidations_stage_7" in promote
     assert "WHERE EXISTS (SELECT 1 FROM claim)" in promote
+
+
+def test_sixhour_dashboard_stream_equals_batch(spark, tmp_path):
+    """Batch/stream unification for the windowed dashboard: the SAME
+    transform over the SAME fixture rows produces identical aggregates
+    whether run as a batch DataFrame or a streaming query (complete mode
+    to a memory sink). Also pins the bucket alignment: F.window's 6h
+    tumbling windows == the batch query's integer epoch-ms division."""
+    from liq_stream_spark.operators.normalize_binance import normalize_binance
+    from liq_stream_spark.sources.replay import read_jsonl_frames
+    from liq_stream_spark.streaming.dashboard import sixhour_dashboard
+
+    src = tmp_path / "binance"
+    src.mkdir()
+    shutil.copy(FIXTURES / "binance_force_order.jsonl", src / "b1.jsonl")
+
+    batch = sixhour_dashboard(
+        normalize_binance(
+            read_jsonl_frames(spark, str(src / "b1.jsonl")), market="usdt"
+        )
+    )
+    expected = sorted(map(tuple, batch.collect()))
+
+    liq = stream_venue(spark, "binance", "usdt", str(src))
+    q = (
+        sixhour_dashboard(liq)
+        .writeStream.format("memory")
+        .queryName("dash_t1")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        _drain(q)
+        got = sorted(
+            map(tuple, spark.sql("SELECT * FROM dash_t1").collect())
+        )
+        assert got == expected
+        assert len(got) > 0
+    finally:
+        q.stop()
