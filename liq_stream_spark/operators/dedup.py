@@ -294,11 +294,14 @@ def _pairs_from_banded(
         grouped = grouped.filter(F.size("ids") <= max_bucket)
     return (
         grouped.filter(F.size("ids") > 1)
+        # project the sorted list ONCE; referencing array_sort(ids) inside
+        # the nested transform re-sorts per outer element (~12% of d03)
+        .select(F.array_sort("ids").alias("ids"))
         .select(
             F.explode(
                 F.expr(
-                    "flatten(transform(array_sort(ids), (x, i) -> "
-                    "transform(slice(array_sort(ids), i + 2, size(ids)), "
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
                     "y -> struct(x AS id_a, y AS id_b))))"
                 )
             ).alias("p")
@@ -314,17 +317,35 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     ngram: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (>= threshold).
 
     Distinct shingle hashes per doc -> self-join on shingle -> pair
     intersection counts -> |A ∪ B| = |A| + |B| - |A ∩ B|. The shingle join
     shuffles on the shingle hash (analogous to an inverted index); document
-    set sizes ride along via a broadcast-joined per-doc count."""
+    set sizes ride along via a broadcast-joined per-doc count.
+
+    ``max_doc_freq`` is the 100 TB skew valve: a shingle appearing in more
+    than that many docs (boilerplate, stop-grams) contributes a posting
+    list whose pairwise join output is quadratic in its length — one hot
+    shingle becomes one straggler shuffle partition. Capping drops those
+    shingles from BOTH the intersection AND the per-doc set sizes, so the
+    result is exact Jaccard over the capped shingle universe (high-freq
+    grams carry ~no similarity signal — the same reason IDF discounts
+    them). Default None = exact over all shingles (the oracle setting)."""
     shingles = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(char_ngram_hashes_fast(text_col, ngram))).alias("sh"),
     )
+    if max_doc_freq is not None:
+        keep = (
+            shingles.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("sh")
+        )
+        shingles = shingles.join(keep, "sh", "left_semi")
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = shingles.select(F.col(id_col).alias("id_a"), "sh")
     b = shingles.select(F.col(id_col).alias("id_b"), "sh")

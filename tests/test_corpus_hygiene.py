@@ -158,3 +158,43 @@ class TestStarEdges:
             for r in D.connected_components(star).collect()
         }
         assert cc_clique == cc_star
+
+
+class TestDocFreqCap:
+    def test_capped_jaccard_is_exact_over_capped_universe(self, spark):
+        """max_doc_freq semantics: the capped operator computes EXACT
+        Jaccard over the shingle universe with hot shingles removed —
+        verified against an independent pure-Python computation of the
+        same definition (and the corpus genuinely has hot shingles)."""
+        from liq_stream_spark.operators.text import char_ngram_hashes_fast
+        from liq_stream_spark.plans.tables import load
+
+        cap = 40
+        docs = load(spark, "/root/testdata/sf0.001", "documents")
+        sh_rows = docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(char_ngram_hashes_fast("text", 3))
+            ).alias("sh"),
+        ).collect()
+        from collections import Counter, defaultdict
+
+        dfreq = Counter(r["sh"] for r in sh_rows)
+        assert any(c > cap for c in dfreq.values())  # hot shingles exist
+        sets = defaultdict(set)
+        for r in sh_rows:
+            if dfreq[r["sh"]] <= cap:
+                sets[r["doc_id"]].add(r["sh"])
+        ids = sorted(sets)
+        expected = set()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                inter = len(sets[a] & sets[b])
+                if inter and inter / len(sets[a] | sets[b]) >= 0.7:
+                    expected.add((a, b))
+
+        capped = D.ngram_jaccard_pairs(
+            docs, threshold=0.7, max_doc_freq=cap
+        )
+        got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+        assert got == expected
