@@ -15,7 +15,11 @@ from pyspark.sql import functions as F
 from liq_stream_spark.operators import dedup as D
 from liq_stream_spark.operators import text as X
 from liq_stream_spark.plans import register
-from liq_stream_spark.plans.llm_ops import DUCK_TOKENS, _duck_minhash_cte
+from liq_stream_spark.plans.llm_ops import (
+    DUCK_SHINGLES,
+    DUCK_TOKENS,
+    _duck_minhash_cte,
+)
 from liq_stream_spark.plans.tables import load
 
 # DuckDB token 2-grams / n-grams over T (1-based list ops mirror Spark's
@@ -201,3 +205,84 @@ def d07_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = D.minhash_sig_arrays(docs)
     edges = D.lsh_star_edges(sigs)
     return D.dedup_survivors(docs, edges)
+
+
+_D08_CAP = 40
+_D08_SQL = f"""
+    WITH sh0 AS (
+      SELECT doc_id, unnest(list_distinct({DUCK_SHINGLES})) AS sh
+      FROM documents
+    ), kept AS (
+      SELECT sh FROM (SELECT sh, COUNT(*) AS c FROM sh0 GROUP BY sh)
+      WHERE c <= {_D08_CAP}
+    ), sh AS (
+      SELECT doc_id, sh FROM sh0 JOIN kept USING (sh)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+           n_common::DOUBLE / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.7
+    """
+
+
+@register(
+    "d08_ngram_jaccard_capped",
+    _D08_SQL,
+    doc="the d04 inverted-index Jaccard with the max_doc_freq skew valve "
+    "engaged (operators/dedup.ngram_jaccard_pairs(max_doc_freq=40)): hot "
+    "shingles whose posting lists would join quadratically are dropped "
+    "from intersection AND set sizes, so the result is EXACT Jaccard over "
+    "the capped shingle universe — and therefore still fully "
+    "DuckDB-oracled. This is the parameterization that survives 100 TB; "
+    "d04 (uncapped) remains the reference setting.",
+)
+def d08_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"),
+        threshold=0.7,
+        max_doc_freq=_D08_CAP,
+    )
+
+
+_BPE_RE_SQL_2 = X.BPE_PRETOKEN_RE.replace("'", "''")
+_P05_SQL = f"""
+    WITH b AS (
+      SELECT doc_id, lang, text,
+             (('0x' || substr(md5('sample-v1:' || doc_id::VARCHAR), 1, 8))::BIGINT
+              % {X.SPLIT_MOD})::BIGINT AS bucket
+      FROM documents
+    ), kept AS (
+      SELECT * FROM b
+      WHERE bucket < CASE WHEN lang = 'en' THEN 8000 ELSE 2000 END
+    )
+    SELECT lang,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(coalesce(len(regexp_extract_all(text, '{_BPE_RE_SQL_2}')), 0))::BIGINT
+               AS total_bpe_tokens
+    FROM kept GROUP BY lang
+    """
+
+
+@register(
+    "p05_corpus_mix_budget",
+    _P05_SQL,
+    doc="corpus-mix budget report: after the p04 stratified sample, the "
+    "per-language document count and total BPE-pretoken budget — the "
+    "number a training-data pipeline actually plans against. Integer "
+    "sums, hence oracle-exact; one narrow projection + one small agg.",
+)
+def p05_corpus_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    kept = X.stratified_sample(docs, "lang", {"en": 8000}, default_bp=2000)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(X.bpe_token_count("text")).cast("long").alias("total_bpe_tokens"),
+    )
