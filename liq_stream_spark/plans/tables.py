@@ -16,11 +16,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # us a vanilla session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is TIMESTAMP(NANOS) parquet, read as long nanos under
-    # spark.sql.legacy.parquet.nanosAsLong; convert to a µs timestamp the
-    # same way DuckDB does (truncate ns -> µs).
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        # ts arrives either as TIMESTAMP(NANOS) (read as long nanos under
+        # spark.sql.legacy.parquet.nanosAsLong — truncate ns -> µs like
+        # DuckDB) or as µs TIMESTAMP_NTZ (newer fixture vintage). Normalize
+        # both to a session-UTC TIMESTAMP so unix_micros()/INTERVAL math
+        # downstream sees one type regardless of fixture vintage.
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -15,13 +15,16 @@ from liq_stream_spark.operators.asof import asof_join, asof_join_bucketed
 
 
 def _clicks_errors(spark):
+    # events.ts is parquet TIMESTAMP_NTZ, which Spark refuses to cast
+    # straight to long — go NTZ -> LTZ -> unix_micros (exact integers)
     ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", F.col("ts").cast("long").alias("t")
+        "event_id", "user_id", t_us.alias("t")
     )
     errors = ev.filter(F.col("event_type") == "error").select(
         "user_id",
-        F.col("ts").cast("long").alias("err_t"),
+        t_us.alias("err_t"),
         F.col("event_id").alias("error_event_id"),
     )
     return clicks, errors
