@@ -392,6 +392,191 @@ def cosine_near_dup_pairs(
     )
 
 
+# ---------------------------------------------------------------------------
+# PQ (product quantization) ANN — the memory-compression scale path
+# ---------------------------------------------------------------------------
+
+
+def _l2sq(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _unit(vec_col: str) -> Column:
+    """L2-normalize so squared-L2 ordering == cosine ordering
+    (||a-b||^2 = 2 - 2 cos on the unit sphere). Zero vectors stay zero."""
+    n = _norm(vec_col)
+    v = F.col(vec_col).cast("array<double>")
+    return F.when(n == 0, v).otherwise(F.transform(v, lambda x: x / n))
+
+
+def _subspaces(df: DataFrame, id_alias: str, m: int, d_sub: int) -> DataFrame:
+    """(id, s, subvec): each unit vector split into m contiguous slices."""
+    subs = F.array(
+        *[
+            F.slice(F.col("__u"), s * d_sub + 1, d_sub)
+            for s in range(m)
+        ]
+    )
+    return df.select(
+        F.col("__vid").alias(id_alias), F.posexplode(subs).alias("s", "subvec")
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace L2 k-means codebooks for product quantization.
+
+    Vectors are unit-normalized, split into ``m`` contiguous subspaces,
+    and each subspace learns ``n_codes`` centroids (seeds = the smallest-id
+    vectors' subvectors, then ``iters`` Lloyd rounds; argmin ties break
+    toward the smaller code). Returns a tiny (s, code, centroid) DataFrame
+    collected and re-created driver-side — the offline index build. Every
+    Lloyd round is one broadcast join + one map-side-combinable mean: the
+    corpus never shuffles its vectors."""
+    spark = corpus.sparkSession
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    base = corpus.select(
+        F.col(id_col).alias("__vid"), _unit(vec_col).alias("__u")
+    )
+    sub = _subspaces(base, "vid", m, d_sub)
+
+    seeds = (
+        _subspaces(
+            base.orderBy(F.col("__vid").asc()).limit(n_codes), "vid", m, d_sub
+        )
+        .withColumn(
+            "code",
+            F.row_number()
+            .over(W.partitionBy("s").orderBy(F.col("vid").asc()))
+            .cast("long")
+            - 1,
+        )
+        .select("s", "code", F.col("subvec").alias("centroid"))
+    )
+    schema = "s int, code long, centroid array<double>"
+    books = spark.createDataFrame(seeds.collect(), schema)
+    for _ in range(iters):
+        assigned = _pq_assign(sub, books)
+        means = (
+            assigned.select(
+                "s", "code", F.posexplode("subvec").alias("pos", "x")
+            )
+            .groupBy("s", "code", "pos")
+            .agg(F.avg("x").alias("mval"))
+            .groupBy("s", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mval"))),
+                    lambda st: st["mval"],
+                ).alias("centroid")
+            )
+        )
+        books = spark.createDataFrame(means.collect(), schema)
+    return books
+
+
+def _pq_assign(sub: DataFrame, books: DataFrame) -> DataFrame:
+    """(vid, s, code, subvec): nearest centroid per (vector, subspace) by
+    squared L2; the codebooks are broadcast, min_by avoids any window."""
+    joined = sub.join(F.broadcast(books), "s").withColumn(
+        "__d", _l2sq("subvec", "centroid")
+    )
+    return (
+        joined.groupBy("vid", "s")
+        .agg(
+            F.min_by(
+                F.struct("code", "subvec"), F.struct("__d", "code")
+            ).alias("__best")
+        )
+        .select(
+            "vid",
+            "s",
+            F.col("__best.code").alias("code"),
+            F.col("__best.subvec").alias("subvec"),
+        )
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """Product-quantization approximate top-k via asymmetric distance
+    computation (ADC): the corpus is stored as ``m`` small codes per
+    vector (here 8 codes x 16 centroids = 4 bytes vs 256 bytes of float32,
+    a 64x memory/IO compression — THE reason PQ survives 100 TB of
+    embeddings); each query precomputes a (s, code) -> partial-distance
+    table against the broadcast codebooks and candidate distances are one
+    equi-join + sum, never touching raw corpus floats.
+
+    Output shape matches cosine_topk: (query_id, neighbor_id, rank), rank
+    by ascending approximate distance (== descending approximate cosine on
+    unit vectors), neighbor_id tiebreak. Approximate by construction —
+    recall is the measured trade (tests/test_llm_ops.py); combine with the
+    IVF router (ivf_topk) for IVF-PQ when candidate pruning is also needed.
+
+    Pass a prebuilt ``codebooks`` (pq_codebooks) to amortize one index
+    across query batches."""
+    dim = len(corpus.select(vec_col).first()[0])
+    d_sub = dim // m
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, m, n_codes, iters, id_col, vec_col)
+
+    cbase = corpus.select(
+        F.col(id_col).alias("__vid"), _unit(vec_col).alias("__u")
+    )
+    codes = _pq_assign(_subspaces(cbase, "vid", m, d_sub), codebooks)
+
+    qbase = queries.select(
+        F.col(id_col).alias("__vid"), _unit(vec_col).alias("__u")
+    )
+    qtable = (
+        _subspaces(qbase, "query_id", m, d_sub)
+        .join(F.broadcast(codebooks), "s")
+        .select(
+            "query_id", "s", "code", _l2sq("subvec", "centroid").alias("pd")
+        )
+    )
+    scored = (
+        codes.select(F.col("vid").alias("neighbor_id"), "s", "code")
+        .join(F.broadcast(qtable), ["s", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("pd").alias("adist"), F.count(F.lit(1)).alias("__m"))
+        # only vectors scored in every subspace (always true by construction)
+        .filter(F.col("__m") == m)
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
 def cosine_near_dup_pairs_exact(
     df: DataFrame,
     threshold: float = 0.95,

@@ -45,3 +45,4 @@ from liq_stream_spark.plans import llm_ops  # noqa: E402,F401
 from liq_stream_spark.plans import llm_ops2  # noqa: E402,F401
 from liq_stream_spark.plans import relational4  # noqa: E402,F401
 from liq_stream_spark.plans import relational5  # noqa: E402,F401
+from liq_stream_spark.plans import llm_ops3  # noqa: E402,F401

@@ -1,0 +1,198 @@
+"""Third tranche of LLM-data-pipeline queries: corpus shaping.
+
+Sequence packing (the GPT concat-then-chunk map), overlapping retrieval
+chunking, PII redaction, C4-style line cleaning — all DuckDB-oracled with
+exact integers / identical RE2-safe regexes — and product-quantization ANN
+(rows-only; recall gated in tests/test_llm_ops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from liq_stream_spark.operators import corpus as C
+from liq_stream_spark.operators import similarity as S
+from liq_stream_spark.operators.corpus import (
+    PII_EMAIL_RE,
+    PII_IPV4_RE,
+    PII_PHONE_RE,
+    _PACK_BUCKETS,
+)
+from liq_stream_spark.plans import register
+from liq_stream_spark.plans.llm_ops import DUCK_TOKENS
+from liq_stream_spark.plans.tables import load
+from liq_stream_spark.operators.text import BPE_PRETOKEN_RE
+
+_P06_CTX = 512
+_BPE_SQL = BPE_PRETOKEN_RE.replace("'", "''")
+
+_P06_SQL = f"""
+    WITH b AS (
+      SELECT doc_id,
+             coalesce(len(regexp_extract_all(text, '{_BPE_SQL}')), 0)::BIGINT
+                 AS n_tokens,
+             ('0x' || substr(md5('pack-v1:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                 AS h
+      FROM documents
+    ), l AS (
+      SELECT doc_id, n_tokens, h, h % {_PACK_BUCKETS} AS bkt,
+             SUM(n_tokens) OVER (
+               PARTITION BY h % {_PACK_BUCKETS} ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS local_end
+      FROM b
+    ), t AS (
+      SELECT bkt, SUM(n_tokens) AS tot FROM l GROUP BY bkt
+    ), o AS (
+      SELECT bkt,
+             coalesce(SUM(tot) OVER (
+               ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS base
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           (base + local_end - n_tokens)::BIGINT AS start_offset,
+           ((base + local_end - n_tokens) // {_P06_CTX})::BIGINT AS first_chunk,
+           ((base + local_end - n_tokens + greatest(n_tokens - 1, 0))
+             // {_P06_CTX})::BIGINT AS last_chunk
+    FROM l JOIN o USING (bkt)
+    """
+
+
+@register(
+    "p06_pack_offsets",
+    _P06_SQL,
+    doc="GPT-style sequence-packing map (operators/corpus.pack_offsets): "
+    "docs concatenate in deterministic md5 order and the token stream cuts "
+    f"into {_P06_CTX}-token windows; each doc reports (start_offset, "
+    "first_chunk, last_chunk). The global prefix sum is DISTRIBUTED — 256 "
+    "md5 buckets with parallel per-bucket windows + a 256-row base-offset "
+    "join — no single global sort task, which is what makes a corpus-wide "
+    "running offset survive 100 TB. All exact integers, oracle-exact.",
+)
+def p06_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.pack_offsets(load(spark, sf_dir, "documents"), _P06_CTX)
+
+
+_P07_CHUNK, _P07_STRIDE = 128, 96
+
+_P07_SQL = f"""
+    WITH T AS (
+      SELECT doc_id, {DUCK_TOKENS} AS T FROM documents WHERE trim(text) != ''
+    ), st AS (
+      SELECT doc_id, T, unnest(range(0, len(T), {_P07_STRIDE})) AS cs
+      FROM T
+    )
+    SELECT doc_id,
+           (cs // {_P07_STRIDE})::BIGINT AS chunk_id,
+           cs::BIGINT AS chunk_start,
+           len(T[cs + 1 : cs + {_P07_CHUNK}])::BIGINT AS n_chunk_tokens,
+           array_to_string(T[cs + 1 : cs + {_P07_CHUNK}], ' ') AS chunk_text
+    FROM st
+    """
+
+
+@register(
+    "p07_doc_chunks",
+    _P07_SQL,
+    doc="overlapping retrieval-chunking (operators/corpus.doc_chunks): "
+    f"{_P07_CHUNK}-token windows at stride {_P07_STRIDE} "
+    f"({_P07_CHUNK - _P07_STRIDE}-token overlap), final chunk short, empty "
+    "docs emit nothing. Per-row sequence/slice + posexplode — narrow, "
+    "shuffle-free, the chunk id is start//stride in both engines.",
+)
+def p07_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.doc_chunks(load(spark, sf_dir, "documents"), _P07_CHUNK, _P07_STRIDE)
+
+
+_T08_SQL = f"""
+    WITH a AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{PII_EMAIL_RE}'))::BIGINT AS n_emails,
+             regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n_emails,
+             len(regexp_extract_all(t1, '{PII_IPV4_RE}'))::BIGINT AS n_ips,
+             regexp_replace(t1, '{PII_IPV4_RE}', '<IP>', 'g') AS t2
+      FROM a
+    )
+    SELECT doc_id,
+           regexp_replace(t2, '{PII_PHONE_RE}', '<PHONE>', 'g') AS redacted_text,
+           n_emails, n_ips,
+           len(regexp_extract_all(t2, '{PII_PHONE_RE}'))::BIGINT AS n_phones
+    FROM b
+    """
+
+
+@register(
+    "t08_pii_redaction",
+    _T08_SQL,
+    doc="PII redaction (operators/corpus.pii_redact): emails -> <EMAIL>, "
+    "IPv4 -> <IP>, phone-like digit runs -> <PHONE>, applied sequentially "
+    "so an email's digits never double-count as a phone; counts per "
+    "category. RE2-safe patterns (no lookarounds) run bit-identically in "
+    "Java regex and DuckDB; the cross-engine behavior on real PII strings "
+    "is pinned in tests/test_corpus_shaping.py (the fixture itself is "
+    "PII-free — zero counts are still value-hashed over 500 rows).",
+)
+def t08_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.pii_redact(load(spark, sf_dir, "documents"))
+
+
+_T09_MIN_WORDS = 3
+
+_T09_SQL = f"""
+    WITH L AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+    ), K AS (
+      SELECT doc_id, ls,
+             list_filter(ls, ln ->
+               len(list_filter(regexp_split_to_array(trim(ln), '\\s+'),
+                               w -> w != '')) >= {_T09_MIN_WORDS}
+               AND NOT contains(lower(ln), '{{')
+               AND NOT contains(lower(ln), '}}')
+               AND NOT contains(lower(ln), 'lorem ipsum')
+               AND NOT contains(lower(ln), 'javascript')
+             ) AS kept
+      FROM L
+    )
+    SELECT doc_id, len(ls)::BIGINT AS n_lines,
+           len(kept)::BIGINT AS n_kept_lines,
+           array_to_string(kept, chr(10)) AS clean_text
+    FROM K
+    """
+
+
+@register(
+    "t09_line_quality_filter",
+    _T09_SQL,
+    doc="C4-style line cleaning (operators/corpus.quality_line_filter): "
+    f"keep lines with >= {_T09_MIN_WORDS} words, no curly braces, no "
+    "'lorem ipsum'/'javascript'; rejoin survivors. Higher-order filter "
+    "over the line array, per-row, shuffle-free. The fixture is "
+    "single-line (n_lines=1 everywhere) — multi-line and terminal-punct "
+    "semantics are pinned by unit tests.",
+)
+def t09_line_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.quality_line_filter(
+        load(spark, sf_dir, "documents"), min_words=_T09_MIN_WORDS
+    )
+
+
+@register(
+    "s07_pq_topk",
+    None,
+    doc="product-quantization ANN top-k (operators/similarity.pq_topk): "
+    "unit-normalized vectors split into 16 subspaces x 16 L2-k-means "
+    "codes -> 8-byte codes (32x smaller than float32, THE memory/IO win "
+    "that lets 100 TB of embeddings fit an executor fleet); queries rank "
+    "by asymmetric distance against broadcast codebooks — the corpus "
+    "never ships raw floats. Approximate: rows-only here; recall vs the "
+    "exact baseline is gated in tests/test_llm_ops.py.",
+)
+def s07_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return S.pq_topk(queries, emb, k=10, m=16, n_codes=16)
