@@ -630,3 +630,61 @@ def dedup_survivors(
         .na.fill(1, ["cluster_size"])
         .select(id_col, F.col("cluster_size").cast("long"))
     )
+
+
+def duplicate_ngram_stats(
+    docs: DataFrame,
+    n: int = 13,
+    max_doc_freq: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact cross-document duplicate-substring signal at token-n-gram
+    granularity (the practical form of Lee et al.'s "Deduplicating
+    Training Data Makes Language Models Better" exact-substring dedup:
+    a 13-token window that appears in more than one document is a
+    duplicated span).
+
+    Output per doc: (doc_id, n_grams, n_dup_grams, dup_gram_frac) where
+    n_grams counts DISTINCT n-grams in the doc and n_dup_grams counts how
+    many of those also occur in at least one other document. Docs with no
+    grams (shorter than n tokens) report zeros.
+
+    Plan shape at 100 TB: distinct grams explode once; doc-frequency is
+    one map-side-combinable hash agg keyed by gram; the join back is an
+    equi-join on the gram string. ``max_doc_freq`` is the skew valve —
+    boilerplate grams shared by millions of docs are dropped from the
+    JOIN side (they are still counted as duplicated via the frequency
+    table, never expanded row-by-row; the valve only bounds the join
+    fan-out the same way d08 caps posting lists).
+    """
+    from liq_stream_spark.operators.text import token_ngrams_of_text
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(token_ngrams_of_text(text_col, n)).alias("__gs"),
+    )
+    grams = base.select("doc_id", F.explode("__gs").alias("g"))
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    shared = freq.filter(F.col("df") >= 2)
+    if max_doc_freq is not None:
+        shared = shared.filter(F.col("df") <= max_doc_freq)
+    dup = (
+        grams.join(shared.select("g"), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    )
+    totals = base.select("doc_id", F.size("__gs").cast("long").alias("n_grams"))
+    return (
+        totals.join(dup, "doc_id", "left")
+        .na.fill(0, ["n_dup_grams"])
+        .select(
+            "doc_id",
+            "n_grams",
+            F.col("n_dup_grams").cast("long").alias("n_dup_grams"),
+            F.when(F.col("n_grams") > 0,
+                   F.col("n_dup_grams") / F.col("n_grams"))
+            .otherwise(F.lit(0.0))
+            .alias("dup_gram_frac"),
+        )
+    )

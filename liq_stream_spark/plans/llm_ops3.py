@@ -196,3 +196,46 @@ def s07_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return S.pq_topk(queries, emb, k=10, m=16, n_codes=16)
+
+
+_D09_N = 13
+_D09_NGRAMS = (
+    f"list_transform(range(1, greatest(len(T)-{_D09_N - 1}, 0)+1), "
+    f"i -> array_to_string(T[i:i+{_D09_N - 1}], ' '))"
+)
+_D09_SQL = f"""
+    WITH T AS (
+      SELECT doc_id, {DUCK_TOKENS} AS T FROM documents
+    ), base AS (
+      SELECT doc_id, list_distinct({_D09_NGRAMS}) AS gs FROM T
+    ), g AS (
+      SELECT doc_id, unnest(gs) AS g FROM base
+    ), f AS (
+      SELECT g FROM (SELECT g, COUNT(*) AS c FROM g GROUP BY g) WHERE c >= 2
+    ), dup AS (
+      SELECT doc_id, COUNT(*) AS n_dup FROM g JOIN f USING (g) GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           len(b.gs)::BIGINT AS n_grams,
+           coalesce(dup.n_dup, 0)::BIGINT AS n_dup_grams,
+           CASE WHEN len(b.gs) > 0
+                THEN coalesce(dup.n_dup, 0)::DOUBLE / len(b.gs)
+                ELSE 0.0 END AS dup_gram_frac
+    FROM base b LEFT JOIN dup ON dup.doc_id = b.doc_id
+    """
+
+
+@register(
+    "d09_duplicate_ngrams",
+    _D09_SQL,
+    doc="exact duplicate-substring signal at 13-token-gram granularity "
+    "(operators/dedup.duplicate_ngram_stats — the practical form of Lee "
+    "et al.'s exact-substring dedup): per doc, how many of its distinct "
+    "13-grams appear in any other document. One map-side-combinable "
+    "doc-frequency agg + one gram equi-join; max_doc_freq is the "
+    "boilerplate skew valve. Integer counts + one division — oracle-exact.",
+)
+def d09_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.operators.dedup import duplicate_ngram_stats
+
+    return duplicate_ngram_stats(load(spark, sf_dir, "documents"), n=_D09_N)
