@@ -78,3 +78,63 @@ def read_store(
         if val is not None:
             df = df.filter(F.col(col) == val)
     return df
+
+
+# the reference's CSV schema and file naming (writer_csv.py:7-21): one
+# file per UTC day across ALL venues, header row, these columns in order
+CSV_SCHEMA = [
+    "exchange", "market", "symbol", "side", "qty", "price", "notional",
+    "ts_exch_ms", "ts_ingest_ms", "raw",
+]
+
+
+def export_daily_csv(
+    spark: SparkSession,
+    src_path: str,
+    outdir: str,
+    dates: list[str] | None = None,
+) -> list[str]:
+    """Bridge utility for consumers of the reference's CSV layout
+    (``liquidations_YYYY-MM-DD.csv``, writer_csv.py:17-19): folds the
+    lake's (exchange, market, date) partition dirs back into one
+    single-header CSV per UTC day, reference column order, rows sorted by
+    (ts_exch_ms, exchange, symbol) for determinism. Quotes are doubled
+    (``""``) like Python's csv module, so existing awk/pandas dashboards
+    parse the ``raw`` JSON column unchanged.
+
+    Returns the written file paths. This is an EDGE export — one file per
+    day is the reference's contract, so parallelism is capped at one
+    write task per day by design; the lake remains the scale path.
+    """
+    import glob
+    import os
+    import shutil
+
+    df = read_store(spark, src_path)
+    if dates is None:
+        dates = sorted(
+            r["date"] for r in df.select("date").distinct().collect()
+        )
+    out: list[str] = []
+    os.makedirs(outdir, exist_ok=True)
+    for d in dates:
+        day = (
+            df.filter(F.col("date") == d)
+            .select(*CSV_SCHEMA)
+            .sort("ts_exch_ms", "exchange", "symbol")
+        )
+        tmp = os.path.join(outdir, f".export_{d}.tmp")
+        (
+            day.coalesce(1)
+            .write.mode("overwrite")
+            .option("header", "true")
+            .option("quote", '"')
+            .option("escape", '"')  # doubled quotes, csv-module style
+            .csv(tmp)
+        )
+        part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+        final = os.path.join(outdir, f"liquidations_{d}.csv")
+        shutil.move(part, final)
+        shutil.rmtree(tmp)
+        out.append(final)
+    return out

@@ -119,3 +119,48 @@ def test_d07_cluster_sets_broadcast_back(spark):
     plan = plan_of(spark, "d07_dedup_survivors")
     assert count("BroadcastHashJoin", plan) >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_p06_prefix_sum_is_distributed(spark):
+    """The packing map's running offset must never serialize onto one
+    task: every window Exchange partitions on the md5 bucket (or the
+    256-row bucket-total side), NOT SinglePartition over the corpus."""
+    plan = plan_of(spark, "p06_pack_offsets")
+    # the doc-level window runs over hashpartitioning(__b)
+    assert "hashpartitioning" in plan
+    # SinglePartition may appear only for the 256-row bucket-offset window;
+    # the corpus-side window must not be under it: check that the FileScan
+    # feeding a SinglePartition exchange projects only bucket totals
+    for seg in plan.split("Exchange SinglePartition")[1:]:
+        # segment after the exchange shows its child; corpus scans carry
+        # the text column, the bucket-total side never does
+        child = seg.split("Exchange")[0]
+        assert "text#" not in child
+
+
+def test_p07_chunks_are_shuffle_free(spark):
+    plan = plan_of(spark, "p07_doc_chunks")
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["t08_pii_redaction", "t09_line_quality_filter"]
+)
+def test_per_row_projections_are_shuffle_free(spark, name):
+    plan = plan_of(spark, name)
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_s07_pq_adc_broadcasts_never_cross_joins(spark):
+    """ADC scoring joins corpus codes against the broadcast query table on
+    (s, code) — no cartesian products, no sort-merge over raw vectors."""
+    plan = plan_of(spark, "s07_pq_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_d09_gram_join_no_cross_join(spark):
+    plan = plan_of(spark, "d09_duplicate_ngrams")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
