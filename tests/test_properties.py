@@ -386,3 +386,102 @@ def test_token_ngrams_match_python_spec(spark, texts, n):
             " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
         ]
         assert got[i] == exp, (i, text, n)
+
+
+# ---------------------------------------------------------------------------
+# corpus shaping vs pure-Python specs
+# ---------------------------------------------------------------------------
+
+
+def ref_bpe_count(text):
+    # lookahead-free GPT-2-style pretokens (operators/text.BPE_PRETOKEN_RE),
+    # ASCII form: explicit classes so '_' lands in the punct run exactly as
+    # Java's [^\s\p{L}\p{N}] puts it there (python \w would claim it)
+    return len(
+        re.findall(
+            r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+",
+            text,
+        )
+    )
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        # ASCII only: the python spec below and Java regex agree there;
+        # Unicode-class drift across engine Unicode versions is t05's
+        # cross-engine oracle's job, not this packing-arithmetic spec's
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=64),
+)
+def test_pack_offsets_matches_python_concat_spec(spark, texts, ctx):
+    """pack_offsets == naive spec: sort docs by (md5-hash, id), walk the
+    running token total. The distributed 256-bucket prefix sum must be
+    indistinguishable from the sequential walk."""
+    import hashlib
+
+    from liq_stream_spark.operators.corpus import pack_offsets
+    from liq_stream_spark.operators.text import bpe_token_count  # noqa: F401
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["start_offset"], r["first_chunk"], r["last_chunk"]
+        )
+        for r in pack_offsets(df, ctx).collect()
+    }
+
+    def h(i):
+        return int(
+            hashlib.md5(f"pack-v1:{i}".encode()).hexdigest()[:15], 16
+        )
+
+    # spark counts pretokens with Java \p{L}/\p{N}; the python spec below
+    # matches for this alphabet (letters/digits/punct/space only)
+    order = sorted(rows, key=lambda r: (h(r[0]) % 256, h(r[0]), r[0]))
+    pos = 0
+    want = {}
+    for i, t in order:
+        n = ref_bpe_count(t)
+        end = pos + max(n - 1, 0)
+        want[i] = (n, pos, pos // ctx, end // ctx)
+        pos += n
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    # ASCII only: engine \s is ASCII whitespace; python's is Unicode-wide
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=80,
+    ),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=8),
+)
+def test_doc_chunks_match_python_spec(spark, text, chunk, stride):
+    from liq_stream_spark.operators.corpus import doc_chunks
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = sorted(
+        (r["chunk_id"], r["chunk_start"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in doc_chunks(df, chunk, stride).collect()
+    )
+    toks = ref_ws_tokens(text)
+    want = sorted(
+        (
+            s // stride,
+            s,
+            len(toks[s : s + chunk]),
+            " ".join(toks[s : s + chunk]),
+        )
+        for s in range(0, len(toks), stride)
+    )
+    assert got == want
