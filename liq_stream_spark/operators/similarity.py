@@ -577,6 +577,98 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ: the ivf_topk router composed with pq_topk's compression —
+    the shape production ANN engines (FAISS IVFPQ) run at billions of
+    vectors. The inverted file prunes WHICH vectors are scored
+    (~nprobe/n_cells of the corpus); PQ codes shrink WHAT is stored and
+    shipped (8 codes = 8 bytes vs 256 bytes float32). Candidate scoring is
+    ADC: corpus codes equi-join the broadcast per-query distance table on
+    (s, code) after the cell-probe join — raw corpus floats appear nowhere
+    downstream of the (offline) encode.
+
+    Plain-PQ variant (codes quantize raw unit vectors, not cell
+    residuals): simpler, and at nprobe = n_cells it is EXACTLY pq_topk —
+    the plumbing invariant tested in tests/test_corpus_shaping.py.
+    Residual encoding is the standard refinement when cells are tight.
+
+    Queries whose probed cells hold fewer than k coded vectors return
+    fewer than k rows (standard IVF semantics, same as ivf_topk)."""
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, n_cells, iters, id_col, vec_col)
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, m, n_codes, iters, id_col, vec_col)
+    dim = len(corpus.select(vec_col).first()[0])
+    d_sub = dim // m
+
+    # offline: cell per vector (router) + PQ codes per (vector, subspace)
+    cells = _assign_cells(corpus, centroids, id_col, vec_col).select(
+        F.col("vid").alias("neighbor_id"), "cell"
+    )
+    cbase = corpus.select(
+        F.col(id_col).alias("__vid"), _unit(vec_col).alias("__u")
+    )
+    codes = (
+        _pq_assign(_subspaces(cbase, "vid", m, d_sub), codebooks)
+        .select(F.col("vid").alias("neighbor_id"), "s", "code")
+        .join(cells, "neighbor_id")
+    )
+
+    # online: probe cells, build the ADC table, score candidates
+    qscored = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("cos", cosine_fast("qv", "centroid"))
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cell"))
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "cell")
+    )
+    qbase = queries.select(
+        F.col(id_col).alias("__vid"), _unit(vec_col).alias("__u")
+    )
+    qtable = (
+        _subspaces(qbase, "query_id", m, d_sub)
+        .join(F.broadcast(codebooks), "s")
+        .select(
+            "query_id", "s", "code", _l2sq("subvec", "centroid").alias("pd")
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(qtable), ["query_id", "s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("pd").alias("adist"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
 def cosine_near_dup_pairs_exact(
     df: DataFrame,
     threshold: float = 0.95,

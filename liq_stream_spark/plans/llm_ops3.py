@@ -239,3 +239,19 @@ def d09_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from liq_stream_spark.operators.dedup import duplicate_ngram_stats
 
     return duplicate_ngram_stats(load(spark, sf_dir, "documents"), n=_D09_N)
+
+
+@register(
+    "s08_ivfpq_topk",
+    None,
+    doc="IVF-PQ ANN (operators/similarity.ivfpq_topk — the FAISS-IVFPQ "
+    "shape): the IVF router prunes WHICH vectors get scored (nprobe/16 of "
+    "the corpus), PQ codes shrink WHAT is stored/shipped (8-byte codes, "
+    "32x); candidates score by ADC against broadcast per-query distance "
+    "tables. nprobe=all is proven EXACTLY equal to s07's full PQ scan; "
+    "recall vs the exact baseline is gated in tests.",
+)
+def s08_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return S.ivfpq_topk(queries, emb, k=10, n_cells=16, nprobe=4, m=16)

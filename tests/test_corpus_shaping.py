@@ -168,3 +168,31 @@ def test_pq_topk_recall_and_shape(spark):
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, 11)) for v in per_q.values())
     assert len(per_q) == 20
+
+
+def test_ivfpq_nprobe_all_equals_pq_and_recall(spark):
+    """Plumbing invariant: with every cell probed, IVF-PQ is EXACTLY the
+    full-PQ scan (the router only prunes, never rescores). At nprobe=4 the
+    probe must keep recall above the no-router PQ floor."""
+    from liq_stream_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    full = {tuple(r) for r in pq_topk(q, emb, k=10, m=16).collect()}
+    ivf_all = {
+        tuple(r)
+        for r in ivfpq_topk(
+            q, emb, k=10, n_cells=16, nprobe=16, m=16
+        ).collect()
+    }
+    assert ivf_all == full
+    exact = {(r[0], r[1]) for r in cosine_topk(q, emb, k=10).collect()}
+    got = {
+        (r[0], r[1])
+        for r in ivfpq_topk(q, emb, k=10, n_cells=16, nprobe=4, m=16).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.3
