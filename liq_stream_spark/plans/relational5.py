@@ -116,3 +116,41 @@ def q38_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("first_purchase").isNotNull().alias("converted"),
         )
     )
+
+
+@register(
+    "q39_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    doc="explicit GROUPING SETS — the general form behind q20's ROLLUP and "
+    "q28's CUBE: (flag, status) detail, per-flag subtotal, grand total in "
+    "ONE pass (one shuffle; Spark expands the sets map-side instead of "
+    "re-scanning per level). grouping_id/GROUPING bitmask disambiguates "
+    "subtotal rows from genuine NULL keys identically in both engines; "
+    "sums are decimal-exact.",
+)
+def q39_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "gid", "n_items", "sum_qty"
+        )
+    )

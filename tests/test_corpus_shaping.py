@@ -196,3 +196,59 @@ def test_ivfpq_nprobe_all_equals_pq_and_recall(spark):
         for r in ivfpq_topk(q, emb, k=10, n_cells=16, nprobe=4, m=16).collect()
     }
     assert len(got & exact) / len(exact) >= 0.3
+
+
+def test_corpus_pipeline_runs_under_structured_streaming(spark, tmp_path):
+    """The corpus-shaping operators are stateless Column projections, so
+    the SAME functions run unchanged on a readStream: stream docs ->
+    C4 line filter -> PII redact -> per-batch output equals the batch run
+    of the identical composition."""
+    import json
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows = [
+        (1, "Email me at a@b.co please do.\nbad {tpl} line"),
+        (2, "Call 555-123-4567 for a good time today"),
+        (3, "short"),
+    ]
+    (src / "batch0.json").write_text(
+        "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in rows) + "\n"
+    )
+
+    def compose(df):
+        cleaned = quality_line_filter(df).select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
+        return pii_redact(cleaned)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(src))
+    )
+    q = (
+        compose(stream)
+        .writeStream.format("memory")
+        .queryName("corpus_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            tuple(r)
+            for r in spark.sql("SELECT * FROM corpus_stream").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        tuple(r)
+        for r in compose(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert got == batch
+    by_id = {r[0]: r for r in got}
+    assert by_id[1][1] == "Email me at <EMAIL> please do."
+    assert by_id[2][1] == "Call <PHONE> for a good time today"
+    assert by_id[3][1] == ""  # 'short' fails the min-words line gate
