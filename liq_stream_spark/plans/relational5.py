@@ -154,3 +154,49 @@ def q39_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag", "l_linestatus", "gid", "n_items", "sum_qty"
         )
     )
+
+
+@register(
+    "q40_native_session_window",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+    doc="Spark's NATIVE session_window aggregation (the engine operator "
+    "behind streaming sessionization) over the events table — one hash "
+    "agg keyed (user_id, merged session), no window-function pass at all. "
+    "The oracle reconstructs the gap semantics with the q15 lag/cumsum "
+    "spec and the native end = last event + gap convention, so this "
+    "query PROVES the built-in operator equals the hand-rolled "
+    "sessionization semantics bit-for-bit.",
+)
+def q40_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
