@@ -688,3 +688,65 @@ def duplicate_ngram_stats(
             .alias("dup_gram_frac"),
         )
     )
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Incremental-ingest dedup — the production shape for corpus updates:
+    a (small) new crawl batch checked against the (huge) existing corpus.
+    Per new doc: ``exact_dup`` (same text exists in the corpus) and
+    ``near_dup`` (shares at least one MinHash LSH band key with a corpus
+    doc — the same b=4, r=4 banding as d03, so the collision threshold
+    matches the batch pipeline). Survivors = both flags false; in-batch
+    duplicates are the batch pipeline's job (d01/d07), not this check's.
+
+    Plan shape at 100 TB: the corpus computes band keys ONCE (in practice
+    persisted as the dedup index and bucketed by (band, band_key)); the
+    NEW side is broadcast into both probes, so the corpus never
+    reshuffles for an ingest batch — the exact probe is a broadcast
+    semi-join on text, the near probe a broadcast join on short band-key
+    strings.
+    """
+    nb = _banded_keys(
+        minhash_sig_arrays(new_docs, id_col=id_col, text_col=text_col),
+        id_col, bands, rows_per_band,
+    )
+    cb = _banded_keys(
+        minhash_sig_arrays(corpus, id_col=id_col, text_col=text_col),
+        id_col, bands, rows_per_band,
+    ).select("band", "band_key").distinct()
+    near = (
+        cb.join(F.broadcast(nb), ["band", "band_key"])
+        .select(F.col(id_col).alias("__near_id"))
+        .distinct()
+    )
+    exact = (
+        corpus.select(F.col(text_col).alias("__t")).distinct()
+        .join(
+            F.broadcast(
+                new_docs.select(
+                    F.col(id_col).alias("__exact_id"),
+                    F.col(text_col).alias("__t"),
+                )
+            ),
+            "__t",
+        )
+        .select("__exact_id")
+        .distinct()
+    )
+    return (
+        new_docs.select(id_col)
+        .join(F.broadcast(exact), F.col(id_col) == F.col("__exact_id"), "left")
+        .join(F.broadcast(near), F.col(id_col) == F.col("__near_id"), "left")
+        .select(
+            id_col,
+            F.col("__exact_id").isNotNull().alias("exact_dup"),
+            F.col("__near_id").isNotNull().alias("near_dup"),
+        )
+    )

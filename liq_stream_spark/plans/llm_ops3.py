@@ -255,3 +255,56 @@ def s08_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return S.ivfpq_topk(queries, emb, k=10, n_cells=16, nprobe=4, m=16)
+
+
+_D10_SQL = None  # assembled below (needs the minhash CTE from llm_ops)
+
+
+def _d10_sql() -> str:
+    from liq_stream_spark.plans.llm_ops import _duck_minhash_cte
+
+    return f"""
+    WITH {_duck_minhash_cte()},
+    bands AS (
+      SELECT doc_id, (perm_id // 4) AS band,
+             string_agg(minhash::VARCHAR, ',' ORDER BY perm_id) AS band_key
+      FROM sigs GROUP BY doc_id, (perm_id // 4)
+    ),
+    newb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+    corpb AS (
+      SELECT DISTINCT band, band_key FROM bands WHERE doc_id % 5 != 0
+    ),
+    near AS (SELECT DISTINCT doc_id FROM newb JOIN corpb USING (band, band_key)),
+    exact AS (
+      SELECT DISTINCT n.doc_id
+      FROM documents n JOIN documents c
+        ON n.text = c.text AND c.doc_id % 5 != 0
+      WHERE n.doc_id % 5 = 0
+    )
+    SELECT d.doc_id,
+           (exact.doc_id IS NOT NULL) AS exact_dup,
+           (near.doc_id IS NOT NULL) AS near_dup
+    FROM documents d
+    LEFT JOIN exact ON exact.doc_id = d.doc_id
+    LEFT JOIN near ON near.doc_id = d.doc_id
+    WHERE d.doc_id % 5 = 0
+    """
+
+
+@register(
+    "d10_incremental_dedup",
+    _d10_sql(),
+    doc="incremental-ingest dedup (operators/dedup.dedup_incremental): "
+    "docs with doc_id %% 5 == 0 stand in for the new crawl batch, the "
+    "rest for the existing corpus; per new doc, exact_dup (text match) "
+    "and near_dup (shares an LSH band key, same b=4/r=4 banding as d03). "
+    "The NEW side broadcasts into both probes — the 100-TB corpus never "
+    "reshuffles for an ingest batch. Fully DuckDB-oracled.",
+)
+def d10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.operators.dedup import dedup_incremental
+
+    docs = load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return dedup_incremental(new, corpus)

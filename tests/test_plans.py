@@ -164,3 +164,13 @@ def test_d09_gram_join_no_cross_join(spark):
     plan = plan_of(spark, "d09_duplicate_ngrams")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_d10_corpus_never_reshuffles_for_ingest(spark):
+    """Incremental dedup: the new batch broadcasts into both probes —
+    no cartesian/nested-loop joins, and the join of corpus band keys
+    against the batch is a BroadcastHashJoin."""
+    plan = plan_of(spark, "d10_incremental_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count("BroadcastHashJoin", plan) >= 3  # near probe + exact + flags
