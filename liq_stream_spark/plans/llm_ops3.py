@@ -308,3 +308,49 @@ def d10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     return dedup_incremental(new, corpus)
+
+
+_P08_SHARDS = 64
+_P08_SQL = f"""
+    WITH b AS (
+      SELECT doc_id,
+             coalesce(len(regexp_extract_all(text, '{_BPE_SQL}')), 0)::BIGINT
+                 AS n_tokens,
+             (('0x' || substr(md5('shard-v1:' || doc_id::VARCHAR), 1, 15))::BIGINT
+              % {_P08_SHARDS}) AS shard_id
+      FROM documents
+    )
+    SELECT shard_id::BIGINT AS shard_id,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(n_tokens)::BIGINT AS n_tokens
+    FROM b GROUP BY shard_id
+    """
+
+
+@register(
+    "p08_shard_manifest",
+    _P08_SQL,
+    doc="training-shard manifest — the write-side of the pipeline: every "
+    "doc lands in one of 64 shards by md5 (pure function of id: stable "
+    "under repartition/growth, and uniform so no shard becomes the "
+    "straggler file); the manifest reports per-shard doc count and BPE "
+    "token budget. One narrow projection + one small agg; the actual "
+    "write is `repartition(shard_id).write.partitionBy(shard_id)` on the "
+    "same column. Integer sums — oracle-exact.",
+)
+def p08_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.operators.corpus import _order_hash
+    from liq_stream_spark.operators.text import bpe_token_count
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            (_order_hash("doc_id", "shard-v1") % _P08_SHARDS).alias("shard_id"),
+            bpe_token_count("text").alias("n_tokens"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
