@@ -468,3 +468,75 @@ def liq_sixhour_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("notional").alias("max_notional"),
         )
     )
+
+
+_CASCADE_GAP_MS = 60_000
+
+
+@register(
+    "liq_cascades",
+    f"""
+    WITH {_duck_liq_union()},
+    base AS (
+      SELECT exchange, symbol, ts_exch_ms, notional
+      FROM liq WHERE ts_exch_ms IS NOT NULL
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN LAG(ts_exch_ms) OVER w IS NULL
+                       OR ts_exch_ms - LAG(ts_exch_ms) OVER w > {_CASCADE_GAP_MS}
+                     THEN 1 ELSE 0 END AS ns
+      FROM base
+      WINDOW w AS (PARTITION BY exchange, symbol ORDER BY ts_exch_ms)
+    ),
+    numbered AS (
+      SELECT *, SUM(ns) OVER (PARTITION BY exchange, symbol
+                 ORDER BY ts_exch_ms
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT exchange, symbol,
+           MIN(ts_exch_ms) AS cascade_start_ms,
+           MAX(ts_exch_ms) AS cascade_end_ms,
+           COUNT(*)::BIGINT AS n_liqs,
+           CAST(SUM(CAST(notional AS DECIMAL(25,6))) AS DOUBLE)
+             AS total_notional
+    FROM numbered GROUP BY exchange, symbol, sid
+    """,
+    doc="liquidation-cascade detection: gap-based sessions (60 s) per "
+    "(exchange, symbol) over the normalized union — consecutive "
+    "liquidations closer than the gap chain into one cascade with its "
+    "span, count and decimal-exact notional. The domain analytics the "
+    "reference's consumers build downstream, here first-class and "
+    "DuckDB-oracled (no tie-break needed: equal-ts rows chain into the "
+    "same cascade whatever their order, and the outputs are order-free "
+    "min/max/count/decimal-sum; same lag/cumsum spec as q15).",
+)
+def liq_cascades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    liq = unified_liquidations(spark).filter(F.col("ts_exch_ms").isNotNull())
+    w = W.partitionBy("exchange", "symbol").orderBy("ts_exch_ms")
+    gap = F.col("ts_exch_ms") - F.lag("ts_exch_ms").over(w)
+    numbered = liq.withColumn(
+        "__ns",
+        F.when(
+            F.lag("ts_exch_ms").over(w).isNull()
+            | (gap > _CASCADE_GAP_MS),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "__sid",
+        F.sum("__ns").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        numbered.groupBy("exchange", "symbol", "__sid")
+        .agg(
+            F.min("ts_exch_ms").alias("cascade_start_ms"),
+            F.max("ts_exch_ms").alias("cascade_end_ms"),
+            F.count(F.lit(1)).cast("long").alias("n_liqs"),
+            F.sum(F.col("notional").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_notional"),
+        )
+        .drop("__sid")
+    )
