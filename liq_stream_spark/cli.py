@@ -87,6 +87,10 @@ def parse_args(argv=None):
     p.add_argument("--hl-dedup-ring-shards", type=int, default=1,
                    help="shard the ring across N state groups (1 = the "
                    "reference's single sequential ring)")
+    p.add_argument("--drain", action="store_true",
+                   help="availableNow trigger: process the existing "
+                   "backlog (only files NEW since the last checkpoint) "
+                   "and exit — backfill/catch-up mode")
     return p.parse_args(argv)
 
 
@@ -172,6 +176,7 @@ def main(argv=None) -> None:
         hl_dedup_watermark=args.hl_dedup_watermark or None,
         normalizer_kwargs=normalizer_kwargs,
         dashboard_console=args.dashboard,
+        available_now=args.drain,
     )
     query.awaitTermination()
 

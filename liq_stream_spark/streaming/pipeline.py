@@ -237,10 +237,18 @@ def run_pipeline(
     max_files_per_trigger: int | None = None,
     normalizer_kwargs: dict[str, dict] | None = None,
     dashboard_console: bool = False,
+    available_now: bool = False,
 ):
     """Build the unioned multi-venue stream and start ONE StreamingQuery
     (the reference's asyncio.gather of tasks -> one incrementalized plan;
     trigger interval ≙ the PG flush interval, ST4).
+
+    ``available_now=True`` switches to the drain trigger: process every
+    file already in the source dirs (checkpoint-aware, so only NEW files
+    since the last run), then stop — the backfill/catch-up mode the
+    reference has no analogue for. awaitTermination() returns when the
+    backlog is drained; re-running after more files arrive drains just
+    the delta.
 
     ``source_dirs`` is keyed by (exchange, market) pair — a venue streamed
     under two markets needs two directories (exchange-only keys are
@@ -302,7 +310,13 @@ def run_pipeline(
             .option(
                 "checkpointLocation", checkpoint_dir.rstrip("/") + "_dashboard"
             )
-            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .trigger(
+                **(
+                    {"availableNow": True}
+                    if available_now
+                    else {"processingTime": f"{trigger_seconds} seconds"}
+                )
+            )
             .queryName("sixhour_dashboard")
             .start()
         )
@@ -310,6 +324,12 @@ def run_pipeline(
     return (
         unioned.writeStream.foreachBatch(fan_out(sink_config))
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .trigger(
+            **(
+                {"availableNow": True}
+                if available_now
+                else {"processingTime": f"{trigger_seconds} seconds"}
+            )
+        )
         .start()
     )

@@ -276,3 +276,37 @@ def test_sixhour_dashboard_stream_equals_batch(spark, tmp_path):
         assert len(got) > 0
     finally:
         q.stop()
+
+
+def test_drain_mode_processes_backlog_and_stops(spark, tmp_path):
+    """availableNow drain (--drain): the query consumes the existing
+    backlog and TERMINATES ITSELF; a second drain after new files arrive
+    processes only the delta (checkpoint-aware) and stops again."""
+    src = tmp_path / "okx"
+    src.mkdir()
+    shutil.copy(FIXTURES / "okx_liquidation_orders.jsonl", src / "f1.jsonl")
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    sink = FanOutConfig(parquet_path=str(out / "parquet"))
+
+    q = run_pipeline(
+        spark, [("okx", "usdt")], {"okx": str(src)}, sink,
+        checkpoint_dir=ckpt, available_now=True,
+    )
+    assert q.awaitTermination(120), "drain query did not self-terminate"
+    assert spark.read.parquet(str(out / "parquet")).count() == 4
+
+    extra = {
+        "arg": {"channel": "liquidation-orders", "instType": "SWAP"},
+        "data": [{"instType": "SWAP", "instId": "DOGE-USDT-SWAP",
+                  "details": [{"posSide": "long", "side": "sell",
+                               "bkPx": "0.2", "fillPx": "0.21",
+                               "sz": "50", "ts": "1710000009123"}]}],
+    }
+    (src / "f2.jsonl").write_text(json.dumps(extra) + "\n")
+    q2 = run_pipeline(
+        spark, [("okx", "usdt")], {"okx": str(src)}, sink,
+        checkpoint_dir=ckpt, available_now=True,
+    )
+    assert q2.awaitTermination(120), "second drain did not self-terminate"
+    assert spark.read.parquet(str(out / "parquet")).count() == 5
