@@ -61,6 +61,20 @@ def main() -> None:
 
     # warm-up: file listing, parquet footer reads, scan codegen
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # ...and the Python/Arrow worker pool (daemon startup + Arrow codec
+    # import otherwise lands inside the first pandas_udf query's timing)
+    from pyspark.sql import functions as F
+
+    from liq_stream_spark.operators.similarity import cosine_fast
+
+    (
+        spark.range(1000)
+        .select(F.array(F.rand(), F.rand()).alias("a"))
+        .select(cosine_fast("a", "a"))
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
 
     runs = max(1, int(os.environ.get("BENCH_RUNS", "2")))
     cold: dict[str, float] = {}
