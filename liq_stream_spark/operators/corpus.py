@@ -34,9 +34,10 @@ _PACK_BUCKETS = 256
 
 
 def _order_hash(id_col: str, salt: str) -> Column:
-    """Deterministic shuffle key: first 16 hex digits of md5(salt || id).
-    Pure function of (salt, id) — stable under repartitioning and corpus
-    growth, reproducible in DuckDB."""
+    """Deterministic shuffle key: first 15 hex digits of md5(salt || id)
+    (15, not 16, so the value stays within signed-long range — matching
+    the DuckDB oracle). Pure function of (salt, id) — stable under
+    repartitioning and corpus growth, reproducible in DuckDB."""
     return F.conv(
         F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 15),
         16,

@@ -653,10 +653,12 @@ def duplicate_ngram_stats(
     Plan shape at 100 TB: distinct grams explode once; doc-frequency is
     one map-side-combinable hash agg keyed by gram; the join back is an
     equi-join on the gram string. ``max_doc_freq`` is the skew valve —
-    boilerplate grams shared by millions of docs are dropped from the
-    JOIN side (they are still counted as duplicated via the frequency
-    table, never expanded row-by-row; the valve only bounds the join
-    fan-out the same way d08 caps posting lists).
+    boilerplate grams shared by more than ``max_doc_freq`` docs are
+    dropped from the join side and therefore EXCLUDED from n_dup_grams /
+    dup_gram_frac entirely (docs dominated by ultra-common boilerplate
+    under-report duplication when the valve is engaged; the default
+    ``None`` counts every shared gram exactly). The valve bounds the
+    join fan-out the same way d08 caps posting lists.
     """
     from liq_stream_spark.operators.text import token_ngrams_of_text
 

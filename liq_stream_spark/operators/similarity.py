@@ -414,6 +414,19 @@ def _unit(vec_col: str) -> Column:
     return F.when(n == 0, v).otherwise(F.transform(v, lambda x: x / n))
 
 
+def _corpus_dim(corpus: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first corpus row, with a
+    descriptive error on an empty corpus (instead of the opaque
+    TypeError that ``first()[0]`` would raise)."""
+    row = corpus.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            "PQ/IVF index build requires a non-empty corpus with non-null "
+            f"'{vec_col}' vectors (got an empty corpus or null first vector)"
+        )
+    return len(row[0])
+
+
 def _subspaces(df: DataFrame, id_alias: str, m: int, d_sub: int) -> DataFrame:
     """(id, s, subvec): each unit vector split into m contiguous slices."""
     subs = F.array(
@@ -443,9 +456,14 @@ def pq_codebooks(
     toward the smaller code). Returns a tiny (s, code, centroid) DataFrame
     collected and re-created driver-side — the offline index build. Every
     Lloyd round is one broadcast join + one map-side-combinable mean: the
-    corpus never shuffles its vectors."""
+    corpus never shuffles its vectors.
+
+    A Lloyd round that leaves a cluster empty drops that (s, code) row —
+    the codebook may end up with fewer than ``n_codes`` centroids per
+    subspace (standard k-means behavior; assignment stays correct since
+    codes are looked up by value, never assumed dense)."""
     spark = corpus.sparkSession
-    dim = len(corpus.select(vec_col).first()[0])
+    dim = _corpus_dim(corpus, vec_col)
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     d_sub = dim // m
@@ -538,7 +556,7 @@ def pq_topk(
 
     Pass a prebuilt ``codebooks`` (pq_codebooks) to amortize one index
     across query batches."""
-    dim = len(corpus.select(vec_col).first()[0])
+    dim = _corpus_dim(corpus, vec_col)
     d_sub = dim // m
     if codebooks is None:
         codebooks = pq_codebooks(corpus, m, n_codes, iters, id_col, vec_col)
@@ -611,7 +629,7 @@ def ivfpq_topk(
         centroids = kmeans_centroids(corpus, n_cells, iters, id_col, vec_col)
     if codebooks is None:
         codebooks = pq_codebooks(corpus, m, n_codes, iters, id_col, vec_col)
-    dim = len(corpus.select(vec_col).first()[0])
+    dim = _corpus_dim(corpus, vec_col)
     d_sub = dim // m
 
     # offline: cell per vector (router) + PQ codes per (vector, subspace)

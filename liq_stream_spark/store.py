@@ -123,6 +123,11 @@ def export_daily_csv(
             .select(*CSV_SCHEMA)
             .sort("ts_exch_ms", "exchange", "symbol")
         )
+        if day.isEmpty():
+            # A caller-supplied date with no rows: the reference's CSV
+            # writer creates files lazily on the first row, so an empty
+            # day produces NO file — mirror that and skip the date.
+            continue
         tmp = os.path.join(outdir, f".export_{d}.tmp")
         (
             day.coalesce(1)
@@ -132,7 +137,11 @@ def export_daily_csv(
             .option("escape", '"')  # doubled quotes, csv-module style
             .csv(tmp)
         )
-        part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+        parts = glob.glob(os.path.join(tmp, "part-*.csv"))
+        if not parts:  # defensive: no part file for an empty write
+            shutil.rmtree(tmp)
+            continue
+        part = parts[0]
         final = os.path.join(outdir, f"liquidations_{d}.csv")
         shutil.move(part, final)
         shutil.rmtree(tmp)

@@ -302,7 +302,7 @@ def run_pipeline(
         # feature first.
         from liq_stream_spark.streaming.dashboard import sixhour_dashboard
 
-        (
+        dash_query = (
             sixhour_dashboard(unioned)
             .writeStream.format("console")
             .outputMode("update")
@@ -320,6 +320,11 @@ def run_pipeline(
             .queryName("sixhour_dashboard")
             .start()
         )
+        if available_now:
+            # Drain mode self-terminates: the caller awaits only the main
+            # query, so block here until the dashboard drains too —
+            # otherwise process exit can kill it mid-flight.
+            dash_query.awaitTermination()
 
     return (
         unioned.writeStream.foreachBatch(fan_out(sink_config))
