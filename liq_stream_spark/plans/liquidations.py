@@ -509,34 +509,37 @@ _CASCADE_GAP_MS = 60_000
     "reference's consumers build downstream, here first-class and "
     "DuckDB-oracled (no tie-break needed: equal-ts rows chain into the "
     "same cascade whatever their order, and the outputs are order-free "
-    "min/max/count/decimal-sum; same lag/cumsum spec as q15).",
+    "min/max/count/decimal-sum; same lag/cumsum spec as q15). Built on "
+    "the hot-key-safe two-phase sessionize_bucketed: the event-level "
+    "window partitions on (exchange, symbol, hour bucket) so one hot "
+    "symbol on a cascade day — exactly when this query matters — is "
+    "span/bucket parallel tasks, not one straggler; only boundary "
+    "sessions take the small per-key merge pass. Output-equivalence of "
+    "the two forms is pinned by tests/test_asof_skew.py and the "
+    "unchanged oracle (decimal sums are exactly associative).",
 )
 def liq_cascades(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from liq_stream_spark.operators.sessionize import sessionize_bucketed
 
-    liq = unified_liquidations(spark).filter(F.col("ts_exch_ms").isNotNull())
-    w = W.partitionBy("exchange", "symbol").orderBy("ts_exch_ms")
-    gap = F.col("ts_exch_ms") - F.lag("ts_exch_ms").over(w)
-    numbered = liq.withColumn(
-        "__ns",
-        F.when(
-            F.lag("ts_exch_ms").over(w).isNull()
-            | (gap > _CASCADE_GAP_MS),
-            1,
-        ).otherwise(0),
-    ).withColumn(
-        "__sid",
-        F.sum("__ns").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    liq = (
+        unified_liquidations(spark)
+        .filter(F.col("ts_exch_ms").isNotNull())
+        .withColumn("__ts", F.timestamp_millis(F.col("ts_exch_ms")))
     )
-    return (
-        numbered.groupBy("exchange", "symbol", "__sid")
-        .agg(
-            F.min("ts_exch_ms").alias("cascade_start_ms"),
-            F.max("ts_exch_ms").alias("cascade_end_ms"),
-            F.count(F.lit(1)).cast("long").alias("n_liqs"),
-            F.sum(F.col("notional").cast("decimal(25,6)"))
-            .cast("double")
-            .alias("total_notional"),
-        )
-        .drop("__sid")
+    sessions = sessionize_bucketed(
+        liq,
+        on=["exchange", "symbol"],
+        ts_col="__ts",
+        gap_seconds=_CASCADE_GAP_MS // 1000,
+        value_col="notional",
+        tiebreak_col="ts_exch_ms",
+        bucket_seconds=3600,
+    )
+    return sessions.select(
+        "exchange",
+        "symbol",
+        F.unix_millis("session_start").alias("cascade_start_ms"),
+        F.unix_millis("session_end").alias("cascade_end_ms"),
+        F.col("n_events").cast("long").alias("n_liqs"),
+        F.col("session_value").alias("total_notional"),
     )

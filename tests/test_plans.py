@@ -166,6 +166,33 @@ def test_d09_gram_join_no_cross_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_liq_cascades_event_windows_are_bucketed(spark):
+    """The cascade sessionization must be the two-phase hot-key-safe
+    shape: every window that runs over EVENT rows partitions on
+    (exchange, symbol, __b) — a hot symbol parallelizes across hour
+    buckets — and per-(exchange, symbol)-only windows run only above the
+    session-level boundary merge, never over raw events."""
+    plan = plan_of(spark, "liq_cascades")
+    event_windows = [
+        seg
+        for seg in plan.splitlines()
+        if "Window" in seg and "windowspecdefinition" in seg
+        and "__ts" in seg  # event-level: orders by the event timestamp
+    ]
+    assert event_windows, "expected event-level window operators"
+    for seg in event_windows:
+        assert "__b" in seg.split("windowspecdefinition")[1].split(")")[0] or (
+            "__b" in seg
+        ), f"event-level window not bucket-partitioned: {seg[:200]}"
+    # the session_id helper window (row_number over session_start) is
+    # dropped by column pruning — liq_cascades doesn't select it
+    assert not [
+        seg
+        for seg in plan.splitlines()
+        if "row_number" in seg and "session_start" in seg
+    ]
+
+
 def test_d10_corpus_never_reshuffles_for_ingest(spark):
     """Incremental dedup: the new batch broadcasts into both probes —
     no cartesian/nested-loop joins, and the join of corpus band keys
