@@ -41,6 +41,7 @@ it is unavailable).
 from __future__ import annotations
 
 import json
+import os
 import queue
 import threading
 import time
@@ -78,18 +79,38 @@ def _now_ms() -> int:
     return int(time.time() * 1000)
 
 
-def fetch_bybit_symbols(category: str) -> list[str]:
+def fetch_bybit_symbols(
+    category: str, base_url: str = "https://api.bybit.com"
+) -> list[str]:
     """REST symbol discovery (S3, bybit_adapter.py:108-122). Driver-side,
-    once at stream start; the result ships to the reader via options."""
-    import requests  # gated: not in the test container
+    once at stream start; the result ships to the reader via options.
 
-    r = requests.get(
-        "https://api.bybit.com/v5/market/instruments-info",
-        params={"category": category},
-        timeout=20,
-    )
-    r.raise_for_status()
-    items = (r.json() or {}).get("result", {}).get("list", []) or []
+    ``base_url`` override lets tests (and ops mirrors) point at a local
+    instruments-info server. Prefers ``requests`` like the reference and
+    falls back to stdlib urllib when it isn't installed. Deviation from
+    the reference: errors propagate instead of logging-and-returning []
+    — a silent empty subscription is useless to a batch-planned stream,
+    and the caller decides whether to retry."""
+    from urllib.parse import urlencode
+
+    url = f"{base_url.rstrip('/')}/v5/market/instruments-info"
+    params = {"category": category}
+    try:
+        import requests  # preferred when installed (reference parity)
+    except ImportError:
+        from urllib.request import urlopen
+
+        with urlopen(f"{url}?{urlencode(params)}", timeout=20) as resp:
+            if resp.status >= 400:
+                raise OSError(
+                    f"instruments-info HTTP {resp.status} from {url}"
+                )
+            data = json.loads(resp.read().decode("utf-8"))
+    else:
+        r = requests.get(url, params=params, timeout=20)
+        r.raise_for_status()
+        data = r.json()
+    items = (data or {}).get("result", {}).get("list", []) or []
     return [it["symbol"] for it in items if it.get("symbol")]
 
 
@@ -125,6 +146,10 @@ class _WSPump:
         import asyncio
 
         try:
+            if os.environ.get("LIQ_FORCE_MINIWS") == "1":
+                # opt-out for deployments that want the CI-tested client
+                # even with the websockets package installed
+                raise ImportError("LIQ_FORCE_MINIWS=1")
             import websockets  # preferred when installed
 
             ws_connect = websockets.connect
@@ -228,7 +253,11 @@ class LiquidationWSReader(SimpleDataSourceStreamReader):
         opts = dict(options)
         if self.venue == "bybit" and not opts.get("symbols"):
             category = "linear" if self.market == "usdt" else "inverse"
-            opts["symbols"] = ",".join(fetch_bybit_symbols(category))
+            discovered = fetch_bybit_symbols(
+                category,
+                base_url=opts.get("discovery_url", "https://api.bybit.com"),
+            )
+            opts["symbols"] = ",".join(discovered)
         self._opts = opts
         # the pump (thread + queue) is created lazily in read(): Spark
         # pickles the reader at plan time, and live runtime state must not

@@ -227,6 +227,133 @@ def test_bybit_live_chunked_subscribe(spark):
     assert got == batch_golden(spark, normalize_bybit, "bybit_liquidation.jsonl")
 
 
+class InstrumentsInfoServer:
+    """Stdlib http.server speaking Bybit's v5 instruments-info shape
+    (reference bybit_adapter.py:108-122): GET
+    /v5/market/instruments-info?category=linear -> {"result": {"list":
+    [{"symbol": ...}, ...]}}. Records request paths for assertions."""
+
+    def __init__(self, symbols_by_category):
+        import http.server
+
+        outer = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                from urllib.parse import parse_qs, urlparse
+
+                outer.paths.append(self.path)
+                u = urlparse(self.path)
+                if u.path != "/v5/market/instruments-info":
+                    self.send_error(404)
+                    return
+                cat = parse_qs(u.query).get("category", [""])[0]
+                body = json.dumps(
+                    {
+                        "retCode": 0,
+                        "retMsg": "OK",
+                        "result": {
+                            "category": cat,
+                            "list": [
+                                {"symbol": s, "status": "Trading"}
+                                for s in outer.symbols_by_category.get(cat, [])
+                            ]
+                            # a list entry without a symbol key must be
+                            # skipped (reference: `if it.get("symbol")`)
+                            + [{"status": "PreLaunch"}],
+                        },
+                    }
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # keep pytest output clean
+                pass
+
+        self.symbols_by_category = symbols_by_category
+        self.paths: list[str] = []
+        self._httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._httpd.shutdown()
+        self._thread.join(timeout=10)
+
+
+def test_bybit_rest_symbol_discovery_unit():
+    """S3 executes: fetch_bybit_symbols parses the instruments-info page
+    served by a local HTTP mock, skipping symbol-less entries."""
+    from liq_stream_spark.sources.ws_datasource import fetch_bybit_symbols
+
+    http_srv = InstrumentsInfoServer(
+        {"linear": ["BTCUSDT", "ETHUSDT", "XRPUSDT"], "inverse": ["BTCUSD"]}
+    ).start()
+    try:
+        base = f"http://127.0.0.1:{http_srv.port}"
+        assert fetch_bybit_symbols("linear", base_url=base) == [
+            "BTCUSDT", "ETHUSDT", "XRPUSDT",
+        ]
+        assert fetch_bybit_symbols("inverse", base_url=base) == ["BTCUSD"]
+        assert http_srv.paths == [
+            "/v5/market/instruments-info?category=linear",
+            "/v5/market/instruments-info?category=inverse",
+        ]
+    finally:
+        http_srv.stop()
+
+
+@pytest.mark.slow
+def test_bybit_discovery_wires_into_subscribe(spark):
+    """S3 end-to-end: with no explicit symbols option, the reader fetches
+    the symbol list from the (mock) REST endpoint at stream start and the
+    pump subscribes exactly those symbols, chunked (S4); frames then flow
+    through the normalizer."""
+    from liq_stream_spark.operators import normalize_bybit
+
+    frames = (FIXTURES / "bybit_liquidation.jsonl").read_text().splitlines()
+    discovered = ["BTCUSDT", "ETHUSDT", "ROSEUSDT"]
+    http_srv = InstrumentsInfoServer({"linear": discovered}).start()
+
+    async def handler(sv, ws, idx):
+        for _ in range(2):  # 3 symbols / chunk 2 -> 2 subscribe messages
+            sub = json.loads(await asyncio.wait_for(ws.recv(), 15))
+            sv.received.append((idx, json.dumps(sub)))
+            await ws.send(json.dumps({"success": True, "op": "subscribe"}))
+        for line in frames:
+            await ws.send(line)
+        await asyncio.sleep(3600)
+
+    server = VenueServer(handler).start()
+    try:
+        rows = drive(
+            spark, "bybit", "usdt", server, "ws_bybit_disc", 8,
+            ws_options={
+                "discovery_url": f"http://127.0.0.1:{http_srv.port}",
+                "subscribe_chunk": "2",
+            },
+        )
+    finally:
+        server.stop()
+        http_srv.stop()
+    assert any("category=linear" in p for p in http_srv.paths)
+    subs = [json.loads(m) for _, m in server.received]
+    flat = [a.split(".", 1)[1] for s in subs for a in s["args"]]
+    assert flat == discovered
+    assert [len(s["args"]) for s in subs] == [2, 1]
+    got = sorted(normalized_key(r) for r in rows)
+    assert got == batch_golden(spark, normalize_bybit, "bybit_liquidation.jsonl")
+
+
 @pytest.mark.slow
 def test_bybit_legacy_channel_prefix(spark):
     """use_all=false subscribes the legacy liquidation.<SYM> channel
