@@ -564,18 +564,35 @@ def s05_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s06_ivf_topk",
-    None,  # approximate by design: probed-cell recall < 1 at nprobe < n_cells
-    doc="IVF approximate top-k (operators/similarity.ivf_topk): "
-    "deterministic DataFrame k-means builds the centroid index, the corpus "
-    "lives in nearest-centroid cells (the inverted file), queries probe "
-    "their nprobe nearest cells and rescore only there. Rows-only check; "
-    "the nprobe=n_cells degeneration is asserted EQUAL to the exact s01 "
-    "and recall at nprobe=4/16 is measured in tests/test_llm_ops.py.",
+    f"""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_DUCK_COS} AS cos
+      FROM q, embeddings c WHERE q.vec_id != c.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+    doc="IVF top-k (operators/similarity.ivf_topk): deterministic "
+    "DataFrame k-means builds the centroid index, the corpus lives in "
+    "nearest-centroid cells (the inverted file), queries probe their "
+    "nprobe nearest cells and rescore only there. Registered at its "
+    "nprobe = n_cells degeneration, where probing every cell makes IVF "
+    "provably EQUAL to the exact brute-force top-k — so the oracle is "
+    "the s01 SQL and the driver check exercises the full IVF machinery "
+    "(centroid build, inverted-file routing, per-cell rescore) with an "
+    "exact gate, no fake precision. The PRUNED path (nprobe=4/16) keeps "
+    "its recall + plan-shape gates in tests/test_llm_ops.py.",
 )
 def s06_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return S.ivf_topk(
-        emb.filter(F.col("vec_id") < 20), emb, k=10, n_cells=16, nprobe=4
+        emb.filter(F.col("vec_id") < 20), emb, k=10, n_cells=16, nprobe=16
     )
 
 
