@@ -98,6 +98,14 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                # comparison basis for cross-round ratios: r1 was
+                # single cold runs; r2+ report warm min-of-N with the
+                # cold series riding along under cold_queries
+                "basis": (
+                    "cold-single-run"
+                    if runs == 1
+                    else f"warm-min-of-{runs}"
+                ),
                 "queries": steady,
                 "sf": sf,
                 "runs_per_query": runs,
