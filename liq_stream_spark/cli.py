@@ -91,6 +91,11 @@ def parse_args(argv=None):
                    help="availableNow trigger: process the existing "
                    "backlog (only files NEW since the last checkpoint) "
                    "and exit — backfill/catch-up mode")
+    p.add_argument("--rocksdb-state", action="store_true",
+                   help="keep streaming state (watermark dedup, windowed "
+                   "aggs) in the RocksDB state store instead of the "
+                   "default in-JVM-heap HDFS-backed store — the config "
+                   "for long-lived / high-cardinality state at scale")
     return p.parse_args(argv)
 
 
@@ -98,6 +103,12 @@ def main(argv=None) -> None:
     args = parse_args(argv)
     pairs = resolve_streams(args.all, args.streams, args.exchange, args.market)
     spark = get_spark(app_name="liq_stream_spark_cli")
+    if args.rocksdb_state:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
 
     sink = FanOutConfig(console=True, console_color=not args.no_color)
     if not args.no_write:

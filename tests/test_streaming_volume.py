@@ -1,15 +1,19 @@
 """Checkpoint recovery at volume (SURVEY.md §2.7 delivery upgrade):
 
-replay >=100k events through the full pipeline (JSON parse -> normalize ->
+replay 10^6 events through the full pipeline (JSON parse -> normalize ->
 watermarked union dedup on RocksDB state -> epoch-partitioned parquet),
 kill the query mid-stream, simulate the worst-case crash window (sink write
 committed, checkpoint commit lost) by deleting the newest commit file, then
 restart from the same checkpoint and assert EXACTLY-once: the replayed
 epoch overwrites its own epoch_id= partition (sinks.write_parquet) instead
 of appending duplicates, and compact_store folds the epoch level back into
-the canonical layout with nothing lost or doubled."""
+the canonical layout with nothing lost or doubled.
+
+Scale knob: LIQ_VOLUME_ROWS_PER_FILE (default 50_000 -> 1M rows total;
+set lower for a quick smoke)."""
 
 import json
+import os
 import time
 from pathlib import Path
 
@@ -20,7 +24,7 @@ from liq_stream_spark.store import compact_store
 from liq_stream_spark.streaming.pipeline import run_pipeline
 
 N_FILES = 20
-ROWS_PER_FILE = 5_000
+ROWS_PER_FILE = int(os.environ.get("LIQ_VOLUME_ROWS_PER_FILE", "50000"))
 TOTAL = N_FILES * ROWS_PER_FILE
 T0 = 1_710_000_000_000
 SYMBOLS = ["BTCUSDT", "ETHUSDT", "SOLUSDT", "DOGEUSDT", "XRPUSDT"]
