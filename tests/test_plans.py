@@ -166,6 +166,28 @@ def test_d09_gram_join_no_cross_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_d11_pairs_never_leave_a_cell(spark):
+    """SemDeDup's quadratic term must be cell-bounded: no cartesian
+    products — the candidate self-join keys on cell (equi), and the
+    k-means assignment runs ONCE (localCheckpoint) instead of once per
+    consumer, so no BroadcastNestedLoopJoin survives into the final
+    plan either."""
+    plan = plan_of(spark, "d11_semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the pair join is an equi-join keyed on cell
+    joins = [l for l in plan.splitlines()
+             if "SortMergeJoin" in l or "ShuffledHashJoin" in l
+             or "BroadcastHashJoin" in l]
+    assert any("cell" in l for l in joins)
+
+
+def test_t10_topk_never_sorts_full_vocab(spark):
+    plan = plan_of(spark, "t10_vocab_coverage")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_liq_cascades_event_windows_are_bucketed(spark):
     """The cascade sessionization must be the two-phase hot-key-safe
     shape: every window that runs over EVENT rows partitions on
