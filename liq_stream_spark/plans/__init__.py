@@ -59,6 +59,7 @@ _PRIORITY = [
     # tier 0 — brand-new this round
     "d11_semantic_dedup",
     "t10_vocab_coverage",
+    "liq_raw_variant",
     # tier 1 — never harness-sampled (registered after the r2 sample window)
     "q34_customer_order_gaps",
     "q35_customers_no_finished_orders",

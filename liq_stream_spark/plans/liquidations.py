@@ -543,3 +543,86 @@ def liq_cascades(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_liqs"),
         F.col("session_value").alias("total_notional"),
     )
+
+
+_LIQ_RAW_SQL = f"""
+    WITH raw_binance AS (
+      SELECT unnest(string_split(content, chr(10))) AS value
+      FROM read_text('{_FIXTURES.as_posix()}/binance_force_order.jsonl')
+    ),
+    bin_ev AS (
+      SELECT unnest(json_transform(
+               CASE WHEN json_type(value::JSON) = 'ARRAY' THEN value::JSON
+                    ELSE ('[' || value || ']')::JSON END, '["JSON"]')) AS ev
+      FROM raw_binance WHERE json_valid(value)
+    ),
+    kept AS (
+      -- the same keep-filter as the normalizer: o present and non-empty,
+      -- truthy-coalesced price/qty castable (binance_adapter.py:41-94)
+      SELECT ev FROM bin_ev
+      WHERE json_extract(ev::JSON, '$.o') IS NOT NULL
+        AND json_extract(ev::JSON, '$.o') != 'null'::JSON
+        AND json_extract(ev::JSON, '$.o') != '{{}}'::JSON
+        AND TRY_CAST(COALESCE(
+              NULLIF(json_extract_string(ev::JSON, '$.o.ap'), ''),
+              NULLIF(json_extract_string(ev::JSON, '$.o.p'), ''),
+              '0.0') AS DOUBLE) IS NOT NULL
+        AND TRY_CAST(COALESCE(
+              NULLIF(json_extract_string(ev::JSON, '$.o.l'), ''),
+              NULLIF(json_extract_string(ev::JSON, '$.o.z'), ''),
+              NULLIF(json_extract_string(ev::JSON, '$.o.q'), ''),
+              '0.0') AS DOUBLE) IS NOT NULL
+    ),
+    m AS (
+      SELECT json_extract_string(ev::JSON, '$.o.s') AS rs,
+             TRY_CAST(json_extract_string(ev::JSON, '$.E') AS BIGINT) AS re
+      FROM kept
+    )
+    SELECT ex.exchange,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN rs IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_symbol_roundtrip,
+           CAST(COUNT(re) AS BIGINT) AS n_with_event_ts,
+           CAST(SUM(re) AS BIGINT) AS sum_event_ts
+    FROM m CROSS JOIN (VALUES ('binance'), ('aster')) ex(exchange)
+    GROUP BY ex.exchange
+    """
+
+
+@register(
+    "liq_raw_variant",
+    _LIQ_RAW_SQL,
+    doc="VARIANT analytics over the raw JSON column (SURVEY.md §1.4's "
+    "Spark-4 mapping for the reference's JSONB `raw`; consumers of "
+    "writer_pg.py query raw in Postgres the same way): parse_json turns "
+    "raw into a VariantType once, then try_variant_get path extraction "
+    "checks the normalize/serialize round-trip — extracted $.o.s must "
+    "equal the symbol column wherever the wire carried a symbol — and "
+    "aggregates the $.E event timestamps (exact BIGINT sums). Binance + "
+    "aster arms (their raw is the whole wire event). The oracle "
+    "re-derives the same numbers from the original fixture JSONL with "
+    "DuckDB's JSON functions — path extraction is insensitive to the "
+    "documented struct-order/dropped-null-keys deviation of raw.",
+)
+def liq_raw_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    liq = unified_liquidations(spark).filter(
+        F.col("exchange").isin("binance", "aster")
+    )
+    v = liq.select(
+        "exchange",
+        "symbol",
+        F.parse_json("raw").alias("v"),
+    ).select(
+        "exchange",
+        "symbol",
+        F.expr("try_variant_get(v, '$.o.s', 'string')").alias("rs"),
+        F.expr("try_variant_get(v, '$.E', 'bigint')").alias("re"),
+    )
+    return v.groupBy("exchange").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("rs") == F.col("symbol"), 1).otherwise(0)
+        ).cast("long").alias("n_symbol_roundtrip"),
+        F.count("re").cast("long").alias("n_with_event_ts"),
+        F.sum("re").cast("long").alias("sum_event_ts"),
+    )
