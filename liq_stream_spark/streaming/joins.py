@@ -1,0 +1,75 @@
+"""Streaming joins: stream-static enrichment and stream-stream interval
+joins over the liquidation stream.
+
+The reference has no joins at all (SURVEY.md §2.8) — these are the two
+join shapes its downstream consumers would otherwise hand-roll:
+
+- ``enrich_stream``: attach a static dimension (symbol metadata, venue
+  config, instrument sector) to every streaming row. The dim is
+  broadcast, so the stream never shuffles and no state store is
+  involved — each micro-batch plans a BroadcastHashJoin exactly like
+  the batch q03 shape. At cluster scale refresh-by-restart (or a Delta
+  dim re-read per trigger) is the standard pattern; the join itself is
+  stateless.
+
+- ``interval_join_streams``: correlate two live streams (e.g.
+  liquidations vs mark-price ticks) on a key within a bounded
+  event-time window. Both sides carry watermarks and the join predicate
+  carries the time-range condition — that pair is what lets Spark
+  expire buffered state instead of holding both streams forever
+  (state per side is bounded by watermark + range). Inner matches emit
+  eagerly; the watermark only gates state cleanup (and outer-side
+  nulls, if used with outer joins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str] | str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: broadcast the (small) dimension onto the
+    unbounded stream. Stateless — safe in any output mode."""
+    keys = [on] if isinstance(on, str) else list(on)
+    return stream.join(F.broadcast(dim), keys, how)
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: int,
+    upper_seconds: int,
+    left_watermark: str = "1 minute",
+    right_watermark: str = "1 minute",
+) -> DataFrame:
+    """Watermarked stream-stream interval join:
+
+    match left and right rows with equal ``on`` keys where
+    ``right_ts`` lies in [left_ts - lower_seconds, left_ts + upper_seconds].
+
+    Both inputs must be streaming DataFrames with event-time timestamp
+    columns; watermarks bound the buffered state on each side (Spark
+    drops buffered rows once the other side's watermark passes the
+    range edge). The equality key keeps the join an equi-shuffle on
+    ``on`` — the range condition only prunes within matched key groups,
+    so the plan survives scale the same way the batch interval join
+    (q32) does."""
+    lw = left.withWatermark(left_ts, left_watermark)
+    rw = right.withWatermark(right_ts, right_watermark)
+    lcol = F.col(f"__l.{left_ts}")
+    rcol = F.col(f"__r.{right_ts}")
+    cond = (
+        (F.col(f"__l.{on}") == F.col(f"__r.{on}"))
+        & (rcol >= lcol - F.expr(f"INTERVAL {lower_seconds} SECONDS"))
+        & (rcol <= lcol + F.expr(f"INTERVAL {upper_seconds} SECONDS"))
+    )
+    return lw.alias("__l").join(rw.alias("__r"), cond)
