@@ -67,14 +67,24 @@ def q14_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM numbered
     GROUP BY user_id, session_id
     """,
-    doc="gap-based sessionization (30 min): lag + cumulative flag sum.",
+    doc="gap-based sessionization (30 min): lag + cumulative flag sum — "
+    "on the hot-key-safe two-phase sessionize_bucketed (event-level "
+    "windows partition on (user_id, day bucket); only boundary sessions "
+    "take the per-key merge), output-equivalence-tested against the "
+    "single-window form and unchanged under the oracle.",
 )
 def q15_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from liq_stream_spark.operators.sessionize import sessionize
+    from liq_stream_spark.operators.sessionize import sessionize_bucketed
 
     ev = load(spark, sf_dir, "events")
-    return sessionize(
-        ev, "user_id", "ts", 30 * 60, value_col="value", tiebreak_col="event_id"
+    return sessionize_bucketed(
+        ev,
+        "user_id",
+        "ts",
+        30 * 60,
+        value_col="value",
+        tiebreak_col="event_id",
+        bucket_seconds=86_400,  # day buckets >> the 30 min gap
     )
 
 
