@@ -223,3 +223,20 @@ def test_d10_corpus_never_reshuffles_for_ingest(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert count("BroadcastHashJoin", plan) >= 3  # near probe + exact + flags
+
+
+def test_bench_headline_names_resolve():
+    """bench.py's HEADLINE list must stay in sync with the registry —
+    the external harness runs bench.py blind, so a rename that breaks a
+    headline query would only surface as a missing BENCH record."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", "/root/repo/bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    from liq_stream_spark.plans import REGISTRY
+
+    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert not missing, f"bench HEADLINE references unknown queries: {missing}"
