@@ -345,7 +345,11 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") <= max_doc_freq)
             .select("sh")
         )
-        shingles = shingles.join(keep, "sh", "left_semi")
+        # materialize the capped shingle table once: three consumers
+        # (sizes, both join sides) would otherwise each recompute the
+        # explode + doc-frequency + semi-join subtree — one checkpoint
+        # write beats three shingle-table shuffles
+        shingles = shingles.join(keep, "sh", "left_semi").localCheckpoint()
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = shingles.select(F.col(id_col).alias("id_a"), "sh")
     b = shingles.select(F.col(id_col).alias("id_b"), "sh")
