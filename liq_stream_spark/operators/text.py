@@ -507,7 +507,14 @@ def tfidf_top_terms(
     from pyspark.sql.window import Window
 
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # materialize the per-doc term counts once: both the document
+    # frequency and the scoring join consume tf, and recomputing it
+    # means two explode+groupBy passes over the corpus
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
