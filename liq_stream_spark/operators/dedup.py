@@ -620,7 +620,10 @@ def dedup_survivors(
     with a left join — the full corpus is never shuffled on anything but
     the id equi-keys.
     """
-    clusters = dedup_clusters(pairs)
+    # the cluster frame is tiny (only docs appearing in pairs) but its
+    # lineage is the full Pregel iteration — materialize once for the
+    # two consumers (drop set + survivor sizes)
+    clusters = dedup_clusters(pairs).localCheckpoint()
     drop = clusters.filter(~F.col("is_canonical")).select(
         F.col("doc_id").alias(id_col)
     )

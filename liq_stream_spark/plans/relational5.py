@@ -86,10 +86,15 @@ def q37_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q38_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # each stage frame feeds BOTH the next stage and the final stitch;
+    # without materialization the nesting recompiles earlier stages per
+    # consumer (events would be scanned 1+2+3 times). The checkpointed
+    # frames are per-user aggregates — tiny relative to the event log.
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_view"))
+        .localCheckpoint()
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -97,6 +102,7 @@ def q38_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("first_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_click"))
+        .localCheckpoint()
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
