@@ -56,10 +56,11 @@ from liq_stream_spark.plans import llm_ops4  # noqa: E402,F401
 # reaches as deep as possible.  This is a pure reordering — the set of queries
 # and their semantics are unchanged.
 _PRIORITY = [
-    # tier 0 — brand-new this round
-    "d11_semantic_dedup",
+    # tier 0 — brand-new this round (cheap JVM-only entries first so the
+    # cold-session Arrow/daemon spin-up doesn't land on the k-means query)
     "t10_vocab_coverage",
     "liq_raw_variant",
+    "d11_semantic_dedup",
     # tier 1 — never harness-sampled (registered after the r2 sample window)
     "q34_customer_order_gaps",
     "q35_customers_no_finished_orders",
