@@ -244,6 +244,48 @@ def _banded_keys(
     )
 
 
+def minhash_jaccard_estimates(
+    sig_wide: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    n_perms: int = 16,
+) -> DataFrame:
+    """Per-candidate-pair MinHash Jaccard ESTIMATE — the number MinHash
+    signatures exist to produce: the fraction of the k permutations on
+    which two docs' minima agree is an unbiased estimator of their set
+    Jaccard (Broder 1997). Input: array-form signatures
+    (minhash_sig_arrays) and a candidate pair list (id_a < id_b, e.g.
+    lsh_candidate_pairs*); output (id_a, id_b, n_agree, jaccard_est)
+    with n_agree an exact integer and jaccard_est = n_agree / k (a
+    ratio of exact integers — engine-exact).
+
+    Scale shape: two id equi-joins ship one k-long array per side of
+    each CANDIDATE pair (never all pairs); the agreement count is an
+    in-row zip_with — no explode, no extra shuffle beyond the joins."""
+    a = sig_wide.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("__sa")
+    )
+    b = sig_wide.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("__sb")
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("__sa", "__sb", lambda x, y: x == y),
+            lambda v: v,
+        )
+    ).cast("long")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            agree.alias("n_agree"),
+            (agree / F.lit(float(n_perms))).alias("jaccard_est"),
+        )
+    )
+
+
 def lsh_star_edges(
     sig_wide: DataFrame,
     id_col: str = "doc_id",

@@ -60,6 +60,7 @@ _PRIORITY = [
     # cold-session Arrow/daemon spin-up doesn't land on the k-means query)
     "t10_vocab_coverage",
     "liq_raw_variant",
+    "d12_minhash_jaccard_est",
     "d11_semantic_dedup",
     # tier 1 — never harness-sampled (registered after the r2 sample window)
     "q34_customer_order_gaps",

@@ -5,6 +5,8 @@
   GENUINELY DuckDB-oracled by reproducing the deterministic Lloyd
   clustering in SQL (same technique as the s07 PQ oracle).
 - t10: vocabulary coverage — the tokenizer-training planning query.
+- d12: MinHash Jaccard estimation over the LSH candidate pairs —
+  integer agreement counts, fully oracled.
 """
 
 from __future__ import annotations
@@ -142,3 +144,53 @@ def t10_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from liq_stream_spark.operators.text import vocab_coverage
 
     return vocab_coverage(load(spark, sf_dir, "documents"), k=_T10_K)
+
+
+# -- d12: MinHash Jaccard estimation over the LSH candidates ---------------
+def _d12_sql() -> str:
+    from liq_stream_spark.plans.llm_ops import _duck_minhash_cte
+
+    return f"""
+    WITH {_duck_minhash_cte()},
+    bands AS (
+      SELECT doc_id, (perm_id // 4) AS band,
+             string_agg(minhash::VARCHAR, ',' ORDER BY perm_id) AS band_key
+      FROM sigs GROUP BY doc_id, (perm_id // 4)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band, band_key)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(COUNT(*) FILTER (WHERE a.minhash = b.minhash) AS BIGINT)
+             AS n_agree,
+           COUNT(*) FILTER (WHERE a.minhash = b.minhash) / 16.0
+             AS jaccard_est
+    FROM pairs p
+    JOIN sigs a ON a.doc_id = p.id_a
+    JOIN sigs b ON b.doc_id = p.id_b AND b.perm_id = a.perm_id
+    GROUP BY p.id_a, p.id_b
+    """
+
+
+@register(
+    "d12_minhash_jaccard_est",
+    _d12_sql(),
+    doc="MinHash Jaccard ESTIMATION over the d03 LSH candidate pairs "
+    "(operators/dedup.minhash_jaccard_estimates; Broder 1997): the "
+    "fraction of the 16 permutations on which two docs' signature "
+    "minima agree — the number MinHash exists to produce, and the "
+    "cheap similarity that real pipelines threshold on INSTEAD of "
+    "exact n-gram Jaccard (d04's exact join is the verifier; this "
+    "never touches raw shingles after signing). Integer agreement "
+    "counts + a ratio of exact integers — fully oracled. Scale shape: "
+    "two id equi-joins ship one 16-long array per candidate-pair side; "
+    "agreement is an in-row zip_with, no explode, no extra shuffle.",
+)
+def d12_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.operators import dedup as D
+
+    sigs = D.minhash_sig_arrays(load(spark, sf_dir, "documents"))
+    pairs = D.lsh_candidate_pairs_banded(sigs, max_bucket=None)
+    return D.minhash_jaccard_estimates(sigs, pairs)
