@@ -248,7 +248,6 @@ def minhash_jaccard_estimates(
     sig_wide: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
-    n_perms: int = 16,
 ) -> DataFrame:
     """Per-candidate-pair MinHash Jaccard ESTIMATE — the number MinHash
     signatures exist to produce: the fraction of the k permutations on
@@ -257,7 +256,10 @@ def minhash_jaccard_estimates(
     (minhash_sig_arrays) and a candidate pair list (id_a < id_b, e.g.
     lsh_candidate_pairs*); output (id_a, id_b, n_agree, jaccard_est)
     with n_agree an exact integer and jaccard_est = n_agree / k (a
-    ratio of exact integers — engine-exact).
+    ratio of exact integers — engine-exact). k is derived IN-ROW from
+    the signature length (size of the array), never from a parameter —
+    a caller who signed with a non-default permutation count cannot get
+    a silently wrong estimate.
 
     Scale shape: two id equi-joins ship one k-long array per side of
     each CANDIDATE pair (never all pairs); the agreement count is an
@@ -281,7 +283,7 @@ def minhash_jaccard_estimates(
             "id_a",
             "id_b",
             agree.alias("n_agree"),
-            (agree / F.lit(float(n_perms))).alias("jaccard_est"),
+            (agree / F.size("__sa").cast("double")).alias("jaccard_est"),
         )
     )
 
@@ -391,7 +393,9 @@ def ngram_jaccard_pairs(
         # (sizes, both join sides) would otherwise each recompute the
         # explode + doc-frequency + semi-join subtree — one checkpoint
         # write beats three shingle-table shuffles
-        shingles = shingles.join(keep, "sh", "left_semi").localCheckpoint()
+        shingles = shingles.join(keep, "sh", "left_semi").localCheckpoint(
+            eager=False
+        )
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = shingles.select(F.col(id_col).alias("id_a"), "sh")
     b = shingles.select(F.col(id_col).alias("id_b"), "sh")
@@ -665,7 +669,7 @@ def dedup_survivors(
     # the cluster frame is tiny (only docs appearing in pairs) but its
     # lineage is the full Pregel iteration — materialize once for the
     # two consumers (drop set + survivor sizes)
-    clusters = dedup_clusters(pairs).localCheckpoint()
+    clusters = dedup_clusters(pairs).localCheckpoint(eager=False)
     drop = clusters.filter(~F.col("is_canonical")).select(
         F.col("doc_id").alias(id_col)
     )

@@ -154,7 +154,15 @@ def _plane_component(p: int, j: str) -> str:
 
 def lsh_bucket(vec_col: str, n_planes: int, table: int = 0) -> Column:
     """Sign-LSH bucket id for one hash table: bit p = 1 iff
-    dot(vec, plane_{table,p}) > 0."""
+    dot(vec, plane_{table,p}) > 0.
+
+    ``n_planes = 0`` is the EXACT DEGENERATION: zero sign bits means one
+    bucket holding everything, so the candidate set is every pair and the
+    LSH operators become provably equal to their exact baselines — the
+    verification parameterization (small corpora only: the single bucket
+    is a single shuffle partition)."""
+    if n_planes == 0:
+        return F.lit(0).cast("long")
     bits = []
     for p in range(n_planes):
         comp = _plane_component(table * n_planes + p, "i")
@@ -280,7 +288,12 @@ def _assign_cells(
             F.col(vec_col).cast("array<double>").alias("vec"),
         )
         .crossJoin(F.broadcast(centroids))
-        .withColumn("cos", cosine_fast("vec", "centroid"))
+        # rank on the 9-dp-rounded cosine so the argmax is robust to
+        # ulp-level engine differences (Spark's partition-order avg can
+        # move a centroid by 1 ulp vs the oracle's sequential sum);
+        # within 1e-9 the deterministic cell tiebreak decides on BOTH
+        # engines instead of an unstable float comparison
+        .withColumn("cos", F.round(cosine_fast("vec", "centroid"), 9))
     )
     w = W.partitionBy("vid").orderBy(F.desc("cos"), F.asc("cell"))
     return (
@@ -392,14 +405,27 @@ def cosine_near_dup_pairs(
     )
 
 
+def auto_n_cells(n_rows: int, target_cell_size: int = 4096) -> int:
+    """Cluster count that keeps the within-cell quadratic bounded as the
+    corpus grows: ``max(16, ceil(n / target_cell_size))``. At fixture
+    scale (hundreds of rows) this floors at 16; at 1B vectors it yields
+    ~244k cells — the SemDeDup paper's regime (~100k clusters at LAION
+    scale) — so per-cell work stays ~target_cell_size² and the cell join's
+    parallelism grows with the data instead of relying on the caller."""
+    if n_rows < 0 or target_cell_size < 1:
+        raise ValueError("n_rows >= 0 and target_cell_size >= 1 required")
+    return max(16, -(-n_rows // target_cell_size))
+
+
 def semantic_dedup(
     corpus: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     threshold: float = 0.95,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    target_cell_size: int = 4096,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by embedding — cluster the corpus with k-means, then
@@ -422,14 +448,28 @@ def semantic_dedup(
     skew valve, exactly the paper's recipe (they run ~100k clusters at
     LAION scale).
 
+    ``n_cells=None`` (the default) derives the cluster count from the
+    corpus size via :func:`auto_n_cells` — one count() at build time —
+    so callers can't accidentally shuffle a 100 TB corpus into 16
+    partitions by leaving the valve at its fixture setting.
+
     Output: (vec_id, cell, is_kept) for EVERY corpus vector."""
+    if n_cells is None:
+        n_cells = auto_n_cells(corpus.count(), target_cell_size)
     if centroids is None:
         centroids = kmeans_centroids(corpus, n_cells, iters, id_col, vec_col)
     # one assignment pass, materialized: the cells frame feeds three
     # consumers (both pair sides + the final output) and DataFrame
     # lineage has no common-subexpression reuse — without the checkpoint
-    # the corpus would be assigned (scanned + shuffled) three times
-    cells = _assign_cells(corpus, centroids, id_col, vec_col).localCheckpoint()
+    # the corpus would be assigned (scanned + shuffled) three times.
+    # eager=False: the checkpoint itself adds no construction-time job
+    # (the k-means build above is inherently eager — it collects tiny
+    # centroid frames); the block is computed once, on first action, and
+    # reused. localCheckpoint blocks are unreplicated — executor loss
+    # recomputes from scratch (see ARCHITECTURE.md "Materialization").
+    cells = _assign_cells(corpus, centroids, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
     a = cells.select(
         "cell", F.col("vid").alias("id_a"), F.col("vec").alias("va")
     )
@@ -571,9 +611,12 @@ def pq_codebooks(
 
 def _pq_assign(sub: DataFrame, books: DataFrame) -> DataFrame:
     """(vid, s, code, subvec): nearest centroid per (vector, subspace) by
-    squared L2; the codebooks are broadcast, min_by avoids any window."""
+    squared L2; the codebooks are broadcast, min_by avoids any window.
+    The argmin compares the 9-dp-rounded distance (same rounding in the
+    DuckDB oracle) so near-ties fall to the deterministic code tiebreak
+    on both engines instead of an ulp-sensitive float comparison."""
     joined = sub.join(F.broadcast(books), "s").withColumn(
-        "__d", _l2sq("subvec", "centroid")
+        "__d", F.round(_l2sq("subvec", "centroid"), 9)
     )
     return (
         joined.groupBy("vid", "s")
@@ -634,8 +677,13 @@ def pq_topk(
     qtable = (
         _subspaces(qbase, "query_id", m, d_sub)
         .join(F.broadcast(codebooks), "s")
+        # partial distances round to 9 dp (mirrored in the oracle SQL) so
+        # the summed ADC distance is built from engine-identical addends
         .select(
-            "query_id", "s", "code", _l2sq("subvec", "centroid").alias("pd")
+            "query_id",
+            "s",
+            "code",
+            F.round(_l2sq("subvec", "centroid"), 9).alias("pd"),
         )
     )
     scored = (
@@ -643,7 +691,12 @@ def pq_topk(
         .join(F.broadcast(qtable), ["s", "code"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("pd").alias("adist"), F.count(F.lit(1)).alias("__m"))
+        # re-round the sum: addition order differs per engine/partition,
+        # so the last ulp of the raw sum is not comparison-safe
+        .agg(
+            F.round(F.sum("pd"), 9).alias("adist"),
+            F.count(F.lit(1)).alias("__m"),
+        )
         # only vectors scored in every subspace (always true by construction)
         .filter(F.col("__m") == m)
     )
@@ -728,8 +781,12 @@ def ivfpq_topk(
     qtable = (
         _subspaces(qbase, "query_id", m, d_sub)
         .join(F.broadcast(codebooks), "s")
+        # same 9-dp rounding of pd / adist as pq_topk (oracle-mirrored)
         .select(
-            "query_id", "s", "code", _l2sq("subvec", "centroid").alias("pd")
+            "query_id",
+            "s",
+            "code",
+            F.round(_l2sq("subvec", "centroid"), 9).alias("pd"),
         )
     )
     scored = (
@@ -737,7 +794,7 @@ def ivfpq_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .join(F.broadcast(qtable), ["query_id", "s", "code"])
         .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("pd").alias("adist"))
+        .agg(F.round(F.sum("pd"), 9).alias("adist"))
     )
     w = W.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
     return (

@@ -513,7 +513,9 @@ def tfidf_top_terms(
     tf = (
         toks.groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()
+        # lazy: computed once on first action, reused by both consumers;
+        # eager=False keeps DataFrame construction job-free (plan audits)
+        .localCheckpoint(eager=False)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))

@@ -451,9 +451,7 @@ def d06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUCK_COS = "list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
 
 
-@register(
-    "s01_cosine_topk",
-    f"""
+_S01_SQL = f"""
     WITH q AS (SELECT * FROM embeddings WHERE vec_id < 20),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_DUCK_COS} AS cos
@@ -466,7 +464,19 @@ _DUCK_COS = "list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]
     )
     SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= 10
-    """,
+    """
+
+_S03_SQL = """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    """
+
+
+@register(
+    "s01_cosine_topk",
+    _S01_SQL,
     doc="brute-force cosine top-10 for 20 query vectors; integer outputs "
     "(operators/similarity.cosine_topk).",
 )
@@ -510,12 +520,7 @@ def s02_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s03_cosine_near_dup_pairs",
-    """
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b
-    FROM embeddings a, embeddings b
-    WHERE a.vec_id < b.vec_id
-      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
-    """,
+    _S03_SQL,
     doc="embedding-cosine near-duplicate pairs, EXACT crossJoin variant — "
     "VERIFIER ONLY (threshold 0.4; the fixture embeddings are "
     "near-orthogonal, so the exact answer is checkable by the oracle while "
@@ -531,34 +536,43 @@ def s03_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s04_cosine_topk_lsh",
-    None,  # approximate by design: bucket recall differs from exact top-k
+    _S01_SQL,
     doc="sign-LSH bucketed approximate top-k (operators/similarity."
-    "cosine_topk_lsh) — the equi-join shape that scales; rows-only check, "
-    "recall measured in tests/test_llm_ops.py.",
+    "cosine_topk_lsh) — the equi-join shape that scales. Registered at "
+    "its n_planes = 0 EXACT DEGENERATION (zero sign bits -> one bucket "
+    "-> the candidate set is every pair), where the full LSH machinery "
+    "(posexplode bucketing, (table, bucket) equi-join, candidate dedup, "
+    "rescore, rank) is provably EQUAL to the exact s01 top-k — so the "
+    "oracle is the s01 SQL and the driver check gates the operator "
+    "exactly, no fake precision. The PRUNED path (6 planes x 4 tables) "
+    "keeps its recall + plan-shape gates in tests/test_llm_ops.py.",
 )
 def s04_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    return S.cosine_topk_lsh(emb.filter(F.col("vec_id") < 20), emb, k=10)
+    return S.cosine_topk_lsh(
+        emb.filter(F.col("vec_id") < 20), emb, k=10, n_planes=0, n_tables=1
+    )
 
 
 @register(
     "s05_cosine_near_dup_lsh",
-    None,  # approximate by design: sign-LSH recall < 1 at this threshold
+    _S03_SQL,
     doc="embedding-cosine near-dup pairs, bucketed DEFAULT path "
     "(operators/similarity.cosine_near_dup_pairs): sign-LSH candidate "
     "equi-join + exact rescore, no crossJoin anywhere in the plan. "
-    "Precision is exact; recall vs the s03 verifier is asserted in "
-    "tests/test_llm_ops.py.",
+    "Registered at its n_planes = 0 EXACT DEGENERATION (one bucket -> "
+    "every pair is a candidate), where the bucketed pipeline is provably "
+    "EQUAL to the exact s03 pair set — the driver check gates the "
+    "operator with the s03 oracle. Precision is exact at ANY "
+    "parameterization; recall of the pruned 3x8 path vs the s03 verifier "
+    "stays asserted in tests/test_llm_ops.py.",
 )
 def s05_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # 3 planes x 8 tables: recall-leaning parameterization for the
-    # near-orthogonal fixture (threshold 0.4); production near-dup at
-    # ~0.95 would use the 6x4 default
     return S.cosine_near_dup_pairs(
         load(spark, sf_dir, "embeddings"),
         threshold=0.4,
-        n_planes=3,
-        n_tables=8,
+        n_planes=0,
+        n_tables=1,
     )
 
 

@@ -203,11 +203,15 @@ def _pq_dist2(a: str, b: str) -> str:
 
 
 def _pq_assign_sql(sub: str, books: str) -> str:
+    # distances round to 9 dp before the argmin rank (mirroring Spark's
+    # _pq_assign) so near-ties fall to the deterministic code tiebreak on
+    # both engines instead of an ulp-sensitive float comparison
     return f"""(
       SELECT vec_id, s, code, subvec FROM (
         SELECT t.vec_id, t.s, b.code, t.subvec,
                row_number() OVER (PARTITION BY t.vec_id, t.s
-                   ORDER BY {_pq_dist2("t.subvec", "b.centroid")}, b.code)
+                   ORDER BY round({_pq_dist2("t.subvec", "b.centroid")}, 9),
+                            b.code)
                    AS rn
         FROM {sub} t JOIN {books} b USING (s)
       ) WHERE rn = 1
@@ -263,11 +267,14 @@ def _pq_oracle_sql() -> str:
     qsub AS (SELECT * FROM sub WHERE vec_id < 20),
     qtable AS (
       SELECT q.vec_id AS query_id, q.s, b.code,
-             {_pq_dist2("q.subvec", "b.centroid")} AS pd
+             round({_pq_dist2("q.subvec", "b.centroid")}, 9) AS pd
       FROM qsub q JOIN m2 b USING (s)
     ),
     scored AS (
-      SELECT qt.query_id, c.neighbor_id, sum(qt.pd) AS adist,
+      -- pd and the re-rounded sum mirror Spark's pq_topk: identical
+      -- addends per engine, and the last ulp of the sum (addition order
+      -- differs) never decides a rank
+      SELECT qt.query_id, c.neighbor_id, round(sum(qt.pd), 9) AS adist,
              count(*) AS nm
       FROM codes c JOIN qtable qt ON qt.s = c.s AND qt.code = c.code
       WHERE qt.query_id != c.neighbor_id

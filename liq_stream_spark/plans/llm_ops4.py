@@ -31,12 +31,16 @@ _D11_COS = "list_cosine_similarity(%s, %s)"
 
 
 def _d11_assign_sql(vecs: str, books: str) -> str:
-    """Nearest centroid by cosine, tie toward the smaller cell id."""
+    """Nearest centroid by cosine, tie toward the smaller cell id.
+    The cosine rounds to 9 dp before ranking — mirroring Spark's
+    _assign_cells — so ulp-level engine differences in centroid means
+    fall to the deterministic cell tiebreak on both engines."""
     return f"""(
       SELECT vec_id, vec, cell FROM (
         SELECT t.vec_id, t.vec, b.cell,
                row_number() OVER (PARTITION BY t.vec_id
-                   ORDER BY list_cosine_similarity(t.vec, b.centroid) DESC,
+                   ORDER BY round(list_cosine_similarity(t.vec, b.centroid), 9)
+                            DESC,
                             b.cell) AS rn
         FROM {vecs} t JOIN {books} b ON true
       ) WHERE rn = 1
@@ -99,9 +103,11 @@ def d11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from liq_stream_spark.operators.similarity import semantic_dedup
 
     emb = load(spark, sf_dir, "embeddings")
-    return semantic_dedup(
-        emb, n_cells=_D11_CELLS, threshold=_D11_THRESHOLD
-    )
+    # n_cells=None exercises the auto_n_cells sizing; at every fixture SF
+    # (<= 65536 embeddings) the formula floors at the oracle's pinned 16
+    # cells, so the SQL above stays exact (unit-pinned in
+    # tests/test_llm_ops.py::test_auto_n_cells)
+    return semantic_dedup(emb, n_cells=None, threshold=_D11_THRESHOLD)
 
 
 # -- t10: vocabulary coverage ----------------------------------------------

@@ -98,14 +98,18 @@ def fetch_bybit_symbols(
     try:
         import requests  # preferred when installed (reference parity)
     except ImportError:
+        from urllib.error import HTTPError
         from urllib.request import urlopen
 
-        with urlopen(f"{url}?{urlencode(params)}", timeout=20) as resp:
-            if resp.status >= 400:
-                raise OSError(
-                    f"instruments-info HTTP {resp.status} from {url}"
-                )
-            data = json.loads(resp.read().decode("utf-8"))
+        # urlopen raises HTTPError for status >= 400 before any body read
+        # — re-raise with a descriptive message (requests parity)
+        try:
+            with urlopen(f"{url}?{urlencode(params)}", timeout=20) as resp:
+                data = json.loads(resp.read().decode("utf-8"))
+        except HTTPError as e:
+            raise OSError(
+                f"instruments-info HTTP {e.code} from {url}"
+            ) from e
     else:
         r = requests.get(url, params=params, timeout=20)
         r.raise_for_status()

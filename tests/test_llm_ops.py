@@ -171,6 +171,55 @@ def test_ivf_exact_when_probing_all_cells(spark):
     assert full_probe == exact
 
 
+def test_lsh_exact_when_zero_planes(spark):
+    """Degeneration invariant (the s04/s05 driver-oracle basis): with
+    n_planes=0 every vector lands in ONE bucket, the candidate set is
+    every pair, and the full LSH machinery (bucketing, equi-join,
+    candidate dedup, rescore, rank) must EQUAL the exact baselines."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact_topk = {
+        tuple(r) for r in S.cosine_topk(queries, emb, k=10).collect()
+    }
+    degen_topk = {
+        tuple(r)
+        for r in S.cosine_topk_lsh(
+            queries, emb, k=10, n_planes=0, n_tables=1
+        ).collect()
+    }
+    assert degen_topk == exact_topk
+    exact_pairs = {
+        tuple(r)
+        for r in S.cosine_near_dup_pairs_exact(emb, threshold=0.4).collect()
+    }
+    degen_pairs = {
+        tuple(r)
+        for r in S.cosine_near_dup_pairs(
+            emb, threshold=0.4, n_planes=0, n_tables=1
+        ).collect()
+    }
+    assert degen_pairs == exact_pairs
+
+
+def test_auto_n_cells():
+    """SemDeDup cell auto-sizing: floors at 16 for fixture-scale corpora
+    (keeps the d11 oracle's pinned 16 cells exact at every fixture SF) and
+    grows linearly so per-cell work stays ~target_cell_size^2."""
+    assert S.auto_n_cells(0) == 16
+    assert S.auto_n_cells(500) == 16
+    assert S.auto_n_cells(2000) == 16
+    assert S.auto_n_cells(16 * 4096) == 16
+    assert S.auto_n_cells(16 * 4096 + 1) == 17
+    assert S.auto_n_cells(10**9) == 244141
+    assert S.auto_n_cells(10**6, target_cell_size=1000) == 1000
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        S.auto_n_cells(-1)
+    with _pytest.raises(ValueError):
+        S.auto_n_cells(10, target_cell_size=0)
+
+
 def test_ivf_pruned_probe_recall_and_plan(spark):
     """At nprobe=4/16 the probe join must stay an equi-join on cell (no
     cross join of query x corpus) and recall a meaningful share of the
