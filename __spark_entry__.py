@@ -30,8 +30,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.build for name, q in REGISTRY.items()}
+    # iteration order IS the harness's bounded-budget sampling order:
+    # changed-since-green queries first, then stalest driver signal first
+    # (plans/priority.py documents the rules)
+    from liq_stream_spark.plans.priority import verification_order
+
+    return {name: REGISTRY[name].build for name in verification_order()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    from liq_stream_spark.plans.priority import verification_order
+
+    return {
+        name: REGISTRY[name].oracle
+        for name in verification_order()
+        if REGISTRY[name].oracle is not None
+    }

@@ -48,67 +48,11 @@ from liq_stream_spark.plans import relational5  # noqa: E402,F401
 from liq_stream_spark.plans import llm_ops3  # noqa: E402,F401
 from liq_stream_spark.plans import llm_ops4  # noqa: E402,F401
 
-# Verification priority: the external correctness harness samples registry
-# entries in insertion order with a bounded budget (~50), so entries that have
-# not yet received a harness-green row must register FIRST.  Tier 1 = never
-# sampled by the harness (r1/r2), tier 2 = sampled only in r1, tier 3 = green
-# in r2.  Within a tier, keep a stable, cheap-first ordering so the budget
-# reaches as deep as possible.  This is a pure reordering — the set of queries
-# and their semantics are unchanged.
-_PRIORITY = [
-    # tier 0 — brand-new this round (cheap JVM-only entries first so the
-    # cold-session Arrow/daemon spin-up doesn't land on the k-means query)
-    "t10_vocab_coverage",
-    "liq_raw_variant",
-    "d12_minhash_jaccard_est",
-    "d11_semantic_dedup",
-    # tier 1 — never harness-sampled (registered after the r2 sample window)
-    "q34_customer_order_gaps",
-    "q35_customers_no_finished_orders",
-    "q36_spend_deciles",
-    "q37_unpivot_measures",
-    "q38_event_funnel",
-    "q39_grouping_sets",
-    "q40_native_session_window",
-    "t07_repetition_signals",
-    "t08_pii_redaction",
-    "t09_line_quality_filter",
-    "p01_training_prep",
-    "p02_hash_split",
-    "p03_contamination",
-    "p04_stratified_sample",
-    "p05_corpus_mix_budget",
-    "p06_pack_offsets",
-    "p07_doc_chunks",
-    "p08_shard_manifest",
-    "d06_dedup_clusters",
-    "d07_dedup_survivors",
-    "d08_ngram_jaccard_capped",
-    "d09_duplicate_ngrams",
-    "d10_incremental_dedup",
-    "s05_cosine_near_dup_lsh",
-    "s06_ivf_topk",
-    "s07_pq_topk",
-    "s08_ivfpq_topk",
-    "m01_multimodal_pipeline",
-    # tier 2 — sampled in r1 only
-    "s01_cosine_topk",
-    "s02_knn_label_vote",
-    "s03_cosine_near_dup_pairs",
-    "s04_cosine_topk_lsh",
-    # tier 3 (everything else, i.e. the r2-green tranche) keeps its original
-    # relative order and goes last.
-]
-
-
-def _reorder_registry() -> None:
-    missing = [n for n in _PRIORITY if n not in REGISTRY]
-    if missing:  # defensive: a renamed query must fail loudly, not silently
-        raise RuntimeError(f"priority list references unknown queries: {missing}")
-    ordered = {n: REGISTRY[n] for n in _PRIORITY}
-    ordered.update({n: q for n, q in REGISTRY.items() if n not in ordered})
-    REGISTRY.clear()
-    REGISTRY.update(ordered)
-
-
-_reorder_registry()
+# REGISTRY iterates in registration order for every in-library consumer.
+# The external correctness harness samples entries in the order
+# `__spark_entry__.queries()` yields them with a bounded budget (~50), so
+# the harness-facing adapter — and ONLY the adapter — applies the explicit
+# verification-priority ordering from liq_stream_spark.plans.priority
+# (changed-since-green first, then by staleness of the latest driver
+# signal). The ordering lives outside the registry so library iteration
+# order never couples to the evaluator (ADVICE r3).

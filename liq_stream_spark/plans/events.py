@@ -284,3 +284,67 @@ def q32_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value").alias("total_value"),
     )
+
+
+@register(
+    "sj01_interval_join_batch_parity",
+    """
+    SELECT e.user_id,
+           e.event_id AS err_id,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           CAST(MIN(c.event_id) AS BIGINT) AS first_click_id
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = e.user_id
+     AND c.ts BETWEEN e.ts - INTERVAL 300 SECOND
+                  AND e.ts + INTERVAL 300 SECOND
+    GROUP BY 1, 2
+    """,
+    doc="batch parity gate for the STREAMING interval join "
+    "(streaming/joins.interval_join_streams): clicks within ±300 s of "
+    "each error by the same user, aggregated per error. The builder runs "
+    "the streaming operator itself on batch inputs — Spark's "
+    "EliminateEventTimeWatermark rule erases the watermark and the join "
+    "predicate (user_id equality + time range) is IDENTICAL in both "
+    "modes, so this oracle-gates the operator's join semantics the same "
+    "way the pipeline-parity tests gate the normalizers; the live "
+    "stream-stream leg (state expiry, eager inner emission) is driven in "
+    "tests/test_streaming_joins.py. Scale shape: one keyed shuffle on "
+    "user_id, range prunes within key groups; streaming state is bounded "
+    "by watermark + range.",
+)
+def sj01_interval_join_batch_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from liq_stream_spark.streaming.joins import interval_join_streams
+
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("err_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("clk_id"),
+        F.col("ts").alias("clk_ts"),
+    )
+    joined = interval_join_streams(
+        errors,
+        clicks.withColumnRenamed("c_user_id", "user_id"),
+        on="user_id",
+        left_ts="err_ts",
+        right_ts="clk_ts",
+        lower_seconds=300,
+        upper_seconds=300,
+    )
+    return (
+        joined.select(
+            F.col("__l.user_id").alias("user_id"), "err_id", "clk_id"
+        )
+        .groupBy("user_id", "err_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.min("clk_id").alias("first_click_id"),
+        )
+    )

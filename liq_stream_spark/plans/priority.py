@@ -1,0 +1,84 @@
+"""Verification-priority ordering for the external correctness harness.
+
+The harness samples `__spark_entry__.queries()` in iteration order with a
+bounded per-round budget (~50 of 85+ entries), so the order decides which
+queries get a fresh driver-green row each round. The library REGISTRY
+itself stays in registration order (this module never mutates it — see
+ADVICE r3); `__spark_entry__` applies :func:`verification_order` at the
+harness boundary, and every other consumer (QUERIES.md, tests, bench)
+is order-independent.
+
+Ordering rules, most important first:
+
+1. **Changed since green** (`CHANGED_SINCE_GREEN`, hand-maintained each
+   round): any query whose builder or underlying operator changed AFTER
+   its last driver-green row goes first — a green row for code that no
+   longer exists is the worst kind of stale signal (the r3 lesson: q15 and
+   liq_cascades were rewritten onto sessionize_bucketed but kept riding
+   their r2 greens). Within the tier, cheap JVM-only entries come first so
+   cold-session Arrow/daemon spin-up doesn't land on a k-means query.
+2. **Staleness**: everything else orders by the round of its latest
+   driver signal (green row for oracled entries, clean rows-only run for
+   the rest), never-sampled first, oldest next — computed from the
+   `CORRECTNESS_r*.json` artifacts at the repo root via
+   :func:`liq_stream_spark.tools.green_ledger`. Oracled entries sort
+   before rows-only entries at equal staleness (a value-hash re-check
+   beats a rows-ran re-check), and registration order breaks the
+   remaining ties.
+
+With ~50 budget and this ordering, every entry's hard signal refreshes
+roughly every other round, and a rewrite can never coast on a pre-rewrite
+green row.
+"""
+
+from __future__ import annotations
+
+# Queries whose builder or underlying operator changed after their last
+# driver-green row. Reset this list each round to the queries the round
+# actually touched (the commit log is the source of truth).
+#
+# Round 4: q15/liq_cascades were rewritten onto sessionize_bucketed late
+# in r3 (their greens predate the rewrite); s04/s05 were re-registered at
+# their exact LSH degenerations with oracles; d12's jaccard denominator
+# is now derived in-row; d11 gained auto_n_cells and the quantized cell
+# assignment; s07/s08 gained the quantized PQ argmin/ADC ranking (oracle
+# SQL mirrored); sj01 is new this round.
+CHANGED_SINCE_GREEN: list[str] = [
+    # JVM-only first (no Arrow/pandas worker spin-up)
+    "q15_sessionization",
+    "liq_cascades",
+    "sj01_interval_join_batch_parity",
+    "d12_minhash_jaccard_est",
+    # pandas-UDF / k-means entries after
+    "s04_cosine_topk_lsh",
+    "s05_cosine_near_dup_lsh",
+    "s07_pq_topk",
+    "s08_ivfpq_topk",
+    "d11_semantic_dedup",
+]
+
+
+def verification_order() -> list[str]:
+    """All registry names, harness-priority first. Pure function of the
+    REGISTRY and the CORRECTNESS_r*.json artifacts; raises loudly if
+    CHANGED_SINCE_GREEN references a renamed/unknown query."""
+    from liq_stream_spark.plans import REGISTRY
+    from liq_stream_spark.tools import green_ledger
+
+    missing = [n for n in CHANGED_SINCE_GREEN if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(
+            f"CHANGED_SINCE_GREEN references unknown queries: {missing}"
+        )
+    ledger = green_ledger()
+    reg_index = {n: i for i, n in enumerate(REGISTRY)}
+    changed = set(CHANGED_SINCE_GREEN)
+
+    def staleness_key(name: str):
+        entry = ledger.get(name)
+        latest = entry["round"] if entry else -1  # never sampled -> first
+        oracled = REGISTRY[name].oracle is not None
+        return (latest, 0 if oracled else 1, reg_index[name])
+
+    rest = sorted((n for n in REGISTRY if n not in changed), key=staleness_key)
+    return list(CHANGED_SINCE_GREEN) + rest

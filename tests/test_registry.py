@@ -1,0 +1,65 @@
+"""Registry / verification-priority invariants (plans/priority.py) and
+doc-drift gates for the generated artifacts."""
+
+from pathlib import Path
+
+from liq_stream_spark.plans import REGISTRY
+from liq_stream_spark.plans.priority import (
+    CHANGED_SINCE_GREEN,
+    verification_order,
+)
+from liq_stream_spark.tools import (
+    _LEDGER_BEGIN,
+    _LEDGER_END,
+    green_ledger,
+    ledger_md,
+    queries_md,
+)
+
+ROOT = Path(__file__).resolve().parents[1]
+
+
+def test_verification_order_is_a_permutation_of_the_registry():
+    order = verification_order()
+    assert sorted(order) == sorted(REGISTRY)
+    assert len(set(order)) == len(order)
+
+
+def test_changed_since_green_goes_first():
+    order = verification_order()
+    assert order[: len(CHANGED_SINCE_GREEN)] == CHANGED_SINCE_GREEN
+    # every listed query must exist (verification_order raises otherwise,
+    # but assert the registry side too so a rename fails in BOTH places)
+    assert all(n in REGISTRY for n in CHANGED_SINCE_GREEN)
+
+
+def test_stalest_signal_orders_before_fresher():
+    """After the changed tier: never-sampled entries precede sampled
+    ones, and an entry green in r2 precedes one green in r3."""
+    ledger = green_ledger()
+    order = verification_order()
+    rest = order[len(CHANGED_SINCE_GREEN) :]
+    rounds = [ledger[n]["round"] if n in ledger else -1 for n in rest]
+    assert rounds == sorted(rounds)
+
+
+def test_registry_iteration_order_is_registration_order():
+    """The library registry must NOT be priority-ordered (ADVICE r3):
+    the first registered module is relational.py, so q01 leads."""
+    assert next(iter(REGISTRY)) == "q01_pricing_summary"
+
+
+def test_queries_md_in_sync():
+    assert (ROOT / "QUERIES.md").read_text() == queries_md(), (
+        "QUERIES.md drifted — run python -m liq_stream_spark.tools"
+    )
+
+
+def test_coverage_green_ledger_in_sync():
+    text = (ROOT / "COVERAGE.md").read_text()
+    assert _LEDGER_BEGIN in text and _LEDGER_END in text
+    current = text.split(_LEDGER_BEGIN)[1].split(_LEDGER_END)[0].strip()
+    assert current == ledger_md().strip(), (
+        "COVERAGE.md green ledger drifted — run "
+        "python -m liq_stream_spark.tools ledger"
+    )

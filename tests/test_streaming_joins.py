@@ -138,3 +138,53 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert all(r["px"] == 1.0 for r in rows)
     matched_symbols = {r["symbol"] for r in rows}
     assert matched_symbols == {r["symbol"] for r in picked}
+
+
+def test_interval_join_batch_stream_parity(spark, tmp_path):
+    """The sj01 gate from the other side: the SAME operator over the SAME
+    rows must produce the SAME match pairs whether the inputs are bounded
+    (batch — what the DuckDB oracle checks) or unbounded (file streams).
+    Uses a small slice of the events fixture so the stream drains in a
+    couple of micro-batches."""
+    from liq_stream_spark.plans.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").filter(
+        F.col("user_id") < 40
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("err_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("clk_id"),
+        F.col("ts").alias("clk_ts"),
+    )
+    err_dir, clk_dir = tmp_path / "errors", tmp_path / "clicks"
+    errors.coalesce(1).write.parquet(str(err_dir))
+    clicks.coalesce(1).write.parquet(str(clk_dir))
+
+    def run(left, right):
+        return interval_join_streams(
+            left,
+            right,
+            on="user_id",
+            left_ts="err_ts",
+            right_ts="clk_ts",
+            lower_seconds=300,
+            upper_seconds=300,
+        ).select(
+            F.col("__l.user_id").alias("user_id"), "err_id", "clk_id"
+        )
+
+    batch_pairs = {tuple(r) for r in run(errors, clicks).collect()}
+    assert batch_pairs, "fixture slice produced no in-window pairs"
+
+    s_err = spark.readStream.schema(errors.schema).parquet(str(err_dir))
+    s_clk = spark.readStream.schema(clicks.schema).parquet(str(clk_dir))
+    streamed = run(s_err, s_clk)
+    assert streamed.isStreaming
+    rows = _drain(streamed, spark, "sj01_parity")
+    stream_pairs = {(r["user_id"], r["err_id"], r["clk_id"]) for r in rows}
+    assert stream_pairs == batch_pairs
