@@ -121,3 +121,69 @@ def test_hl_stream_ring_mode_end_to_end(spark, tmp_path):
         assert spark.sql("SELECT * FROM ring_hl").count() == 1  # deduped
     finally:
         q.stop()
+
+
+def test_ring_eviction_at_reference_volume(spark, tmp_path):
+    """Volume parity with the reference's 50,000-key ring
+    (hyperliquid_adapter.py:149-164): >50k distinct keys force real
+    evictions, evicted keys re-admit, in-ring keys still drop, and the
+    emitted sequence matches a pure-Python set+deque simulation of the
+    reference bit-for-bit. Three micro-batches so eviction state crosses
+    batch boundaries."""
+    from collections import deque
+
+    RING = 50_000
+    src = tmp_path / "voly"
+    src.mkdir()
+
+    def keys(rng):
+        return [f"k{i:06d}" for i in rng]
+
+    # batch 1: 60k distinct -> all admitted, k0..k9999 evicted by the end
+    b1 = keys(range(60_000))
+    # batch 2: the 10k evicted keys re-admit (evicting k10000..k19999);
+    # the 10k newest keys are still in the ring -> dropped
+    b2 = keys(range(10_000)) + keys(range(50_000, 60_000))
+    # batch 3: keys evicted by batch 2's re-admissions come back; keys
+    # batch 2 just re-admitted are in-ring -> dropped
+    b3 = keys(range(10_000, 15_000)) + keys(range(0, 5_000))
+    ts = 0
+    batches = []
+    for rows in (b1, b2, b3):
+        stamped = []
+        for k in rows:
+            stamped.append((k, ts))
+            ts += 1
+        batches.append(stamped)
+
+    # reference simulation: membership set + FIFO deque of maxlen RING
+    ring, seen, expected = deque(), set(), []
+    for stamped in batches:
+        for k, _t in stamped:
+            if k in seen:
+                continue
+            expected.append(k)
+            seen.add(k)
+            ring.append(k)
+            if len(ring) > RING:
+                seen.discard(ring.popleft())
+
+    _write(src, "f1.json", batches[0])
+    q = _start(spark, src, "ring_vol", ring_size=RING)
+    try:
+        q.processAllAvailable()
+        _write(src, "f2.json", batches[1])
+        q.processAllAvailable()
+        _write(src, "f3.json", batches[2])
+        q.processAllAvailable()
+        got = [
+            r["k"]
+            for r in spark.sql("SELECT k FROM ring_vol ORDER BY ts").collect()
+        ]
+    finally:
+        q.stop()
+    assert len(expected) == 75_000  # 60k + 10k re-admits + 5k re-admits
+    assert got == expected
+    # evictions really happened: batch-2/3 re-admissions only exist if
+    # the ring dropped oldest keys past 50k
+    assert got.count("k000000") == 2  # admitted, evicted, re-admitted
