@@ -127,7 +127,15 @@ def sessionize_bucketed(
             wl.rowsBetween(W.unboundedPreceding, W.currentRow)
         ),
     )
-    local = _sessions_agg(numbered.groupBy(*keys, "__b", "__sid"))
+    # the local-session frame feeds TWO consumers (interior + boundary)
+    # and DataFrame lineage has no common-subexpression reuse — without
+    # materialization the EVENT-level scan + shuffle + window runs twice,
+    # which at 100 TB doubles the dominant cost of the operator. persist()
+    # (not localCheckpoint) keeps the lineage in the plan: session rows
+    # are orders of magnitude smaller than events, both union branches
+    # read the same InMemoryRelation (the shared stage runs once), and an
+    # executor loss recomputes from lineage instead of failing the query.
+    local = _sessions_agg(numbered.groupBy(*keys, "__b", "__sid")).persist()
 
     # a session can cross a bucket edge only if it starts within `gap` of
     # its bucket's lower edge or ends within `gap` of the upper edge;
