@@ -745,6 +745,79 @@ def duplicate_ngram_stats(
     )
 
 
+def duplicate_span_removal(
+    docs: DataFrame,
+    n: int = 13,
+    max_doc_freq: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring dedup in REWRITE form (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    token covered by ANY occurrence of a cross-document duplicated
+    token-n-gram is removed from the doc; the survivors rejoin with
+    single spaces. d09 is the measurement form of the same signal; this
+    is the form a training pipeline actually writes out.
+
+    Output per doc: (doc_id, n_tokens, n_removed_tokens, cleaned_text).
+    A doc shorter than ``n`` tokens has no grams and passes through
+    unchanged (cleaned_text = tokens rejoined; '' for empty text).
+    Duplication is cross-document: a gram repeated only WITHIN one doc
+    is kept (in-doc repetition is t07's signal, not a dedup target).
+
+    Plan shape at 100 TB: gram occurrences explode once with their start
+    positions; doc frequency is one map-side-combinable agg keyed on the
+    gram (countDistinct doc_id); the cover join is an equi-join on the
+    gram string; span expansion (p .. p+n-1) is in-row; the per-doc cover
+    set is bounded by doc length. ``max_doc_freq`` is the same
+    boilerplate valve as d09 — grams shared by more docs than the cap
+    are treated as boilerplate NOT to remove (excluded from covers).
+    """
+    from liq_stream_spark.operators.text import (
+        token_ngrams_of_text,
+        tokens,
+    )
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(text_col).alias("__t"),
+        token_ngrams_of_text(text_col, n).alias("__gs"),
+    )
+    occ = base.select("doc_id", F.posexplode("__gs").alias("p", "g"))
+    shared = (
+        occ.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+    )
+    if max_doc_freq is not None:
+        shared = shared.filter(F.col("df") <= max_doc_freq)
+    covered = (
+        occ.join(shared.select("g"), "g")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(p, p + {n - 1})")).alias("pos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("__cov"))
+    )
+    cov = "coalesce(__cov, CAST(array() AS array<int>))"
+    cleaned = (
+        f"CASE WHEN size(__t) = 0 THEN '' ELSE "
+        f"concat_ws(' ', transform(filter(sequence(1, size(__t)), "
+        f"i -> NOT array_contains({cov}, CAST(i - 1 AS INT))), "
+        f"i -> element_at(__t, CAST(i AS INT)))) END"
+    )
+    return (
+        base.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("__t").cast("long").alias("n_tokens"),
+            F.expr(f"size({cov})").cast("long").alias("n_removed_tokens"),
+            F.expr(cleaned).alias("cleaned_text"),
+        )
+    )
+
+
 def dedup_incremental(
     new_docs: DataFrame,
     corpus: DataFrame,

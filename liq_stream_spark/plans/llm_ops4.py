@@ -200,3 +200,65 @@ def d12_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = D.minhash_sig_arrays(load(spark, sf_dir, "documents"))
     pairs = D.lsh_candidate_pairs_banded(sigs, max_bucket=None)
     return D.minhash_jaccard_estimates(sigs, pairs)
+
+
+# -- d13: exact-substring dedup, rewrite form ------------------------------
+_D13_N = 13
+_D13_SQL = f"""
+    WITH T AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE {DUCK_TOKENS} END AS T
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, T,
+             list_transform(range(1, greatest(len(T) - {_D13_N - 1}, 0) + 1),
+                 i -> struct_pack(p := i - 1,
+                                  g := array_to_string(T[i:i+{_D13_N - 1}], ' ')))
+                 AS ps
+      FROM T
+    ),
+    occ AS (SELECT doc_id, unnest(ps, recursive := true) FROM base),
+    dup AS (
+      SELECT g FROM (SELECT DISTINCT doc_id, g FROM occ)
+      GROUP BY g HAVING COUNT(*) >= 2
+    ),
+    cov AS (
+      SELECT o.doc_id,
+             list_sort(list_distinct(flatten(list(range(o.p, o.p + {_D13_N})))))
+                 AS cov
+      FROM occ o JOIN dup USING (g) GROUP BY o.doc_id
+    )
+    SELECT t.doc_id,
+           len(t.T)::BIGINT AS n_tokens,
+           coalesce(len(c.cov), 0)::BIGINT AS n_removed_tokens,
+           CASE WHEN len(t.T) = 0 THEN '' ELSE
+             -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+             -- concat_ws over an empty array is '' (fully-covered docs)
+             coalesce(array_to_string(
+                 list_transform(list_filter(range(1, len(t.T) + 1),
+                     i -> NOT list_contains(coalesce(c.cov, []), i - 1)),
+                     i -> t.T[i]), ' '), '') END AS cleaned_text
+    FROM T t LEFT JOIN cov c USING (doc_id)
+    """
+
+
+@register(
+    "d13_dup_span_removal",
+    _D13_SQL,
+    doc="exact-substring dedup in REWRITE form (operators/dedup."
+    "duplicate_span_removal; Lee et al. 2022): every token covered by any "
+    "occurrence of a cross-document duplicated 13-token-gram is removed "
+    "and the survivors rejoin — the write-side companion to d09's "
+    "measurement form, i.e. what a training pipeline actually emits. "
+    "Gram occurrences explode once with start positions, doc frequency "
+    "is one map-side-combinable agg, the cover join is an equi-join on "
+    "the gram string, span expansion is in-row, and max_doc_freq is the "
+    "boilerplate valve. Integer counts + deterministic token rejoin — "
+    "fully oracled.",
+)
+def d13_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.operators.dedup import duplicate_span_removal
+
+    return duplicate_span_removal(load(spark, sf_dir, "documents"), n=_D13_N)

@@ -391,3 +391,37 @@ def test_vocab_coverage_spec(spark):
     ]
     cov = [r["coverage"] for r in rows]
     assert cov == [4 / 9, 7 / 9, 8 / 9]
+
+
+def test_duplicate_span_removal_semantics(spark):
+    """Rewrite-form exact-substring dedup (d13): cross-doc duplicated
+    n-gram occurrences cover their full span; within-doc repetition is
+    NOT a dedup target; short docs pass through; the boilerplate valve
+    excludes ultra-common grams from removal."""
+    from liq_stream_spark.operators.dedup import duplicate_span_removal
+
+    rows = [
+        (0, "a b c d e f"),     # shares "a b c" with doc 1 -> pos 0..2 go
+        (1, "x y a b c q"),     # -> pos 2..4 go
+        (2, "r r r r"),         # "r r r" repeats only WITHIN this doc
+        (3, "p q"),             # shorter than n: no grams
+        (4, ""),                # empty
+        (5, "m m m"), (6, "m m m"), (7, "m m m"),  # df=3 boilerplate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed_tokens"], r["cleaned_text"])
+        for r in duplicate_span_removal(df, n=3).collect()
+    }
+    assert got[0] == (6, 3, "d e f")
+    assert got[1] == (6, 3, "x y q")
+    assert got[2] == (4, 0, "r r r r")   # in-doc repeat kept
+    assert got[3] == (2, 0, "p q")
+    assert got[4] == (0, 0, "")
+    assert got[5] == (3, 3, "")          # df=3 removed by default
+    capped = {
+        r["doc_id"]: r["n_removed_tokens"]
+        for r in duplicate_span_removal(df, n=3, max_doc_freq=2).collect()
+    }
+    assert capped[5] == 0                # valve: boilerplate NOT removed
+    assert capped[0] == 3                # df=2 pair still removed
