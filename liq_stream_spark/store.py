@@ -147,3 +147,79 @@ def export_daily_csv(
         shutil.rmtree(tmp)
         out.append(final)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Bucketed dedup band index — co-located joins without a shuffle
+# ---------------------------------------------------------------------------
+
+
+def write_band_index(
+    docs: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int = 64,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the corpus's MinHash LSH band keys as a BUCKETED table —
+    the physical form the dedup index takes at 100 TB.
+
+    Spark bucketing (`bucketBy` + `sortBy` on the join key) bakes the
+    shuffle INTO the storage layout: every (band, band_key) lives in a
+    deterministic bucket file, so any equi-join on the band key against
+    this table — self-joins for candidate generation, incremental-ingest
+    probes, re-dedup after a crawl merge — reads co-located buckets
+    instead of re-shuffling the corpus per run. The d03/d10 queries pay
+    one hash shuffle per execution because they index on the fly; a
+    pipeline that dedups every crawl drop amortizes that shuffle to ONCE
+    at index-build time (this function), which is the difference between
+    an O(corpus) and an O(batch) ingest job.
+
+    Uses `saveAsTable` because bucket metadata lives in the catalog;
+    `path` makes it an external table so the files survive catalog
+    resets."""
+    from liq_stream_spark.operators.dedup import (
+        _banded_keys,
+        minhash_sig_arrays,
+    )
+
+    keys = _banded_keys(
+        minhash_sig_arrays(docs, id_col=id_col, text_col=text_col),
+        id_col,
+        bands,
+        rows_per_band,
+    )
+    (
+        keys.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, "band", "band_key")
+        .sortBy("band", "band_key")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def band_collision_pairs_from_index(
+    spark: SparkSession, table: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """d03's candidate pairs from the PRE-BUCKETED index: the self-join on
+    (band, band_key) matches the table's bucketing spec, so the join
+    plans with ZERO Exchange under it (pinned in tests/test_store.py) —
+    the corpus is never shuffled at query time. Only the final
+    distinct-pairs agg shuffles, and it carries candidate PAIRS, not the
+    corpus."""
+    a = spark.table(table).select(
+        "band", "band_key", F.col(id_col).alias("id_a")
+    )
+    b = spark.table(table).select(
+        "band", "band_key", F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )

@@ -69,3 +69,47 @@ def test_export_daily_csv_reference_layout(spark, tmp_path):
             if r["raw"]:
                 json.loads(r["raw"])
     assert n_rows == liq.count()
+
+
+def test_band_index_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """The bucketed dedup index must (a) reproduce d03's candidate pairs
+    exactly and (b) plan its self-join with ZERO Exchange beneath the
+    join — the storage layout replaces the per-run corpus shuffle."""
+    from liq_stream_spark.operators.dedup import (
+        lsh_candidate_pairs_banded,
+        minhash_sig_arrays,
+    )
+    from liq_stream_spark.store import (
+        band_collision_pairs_from_index,
+        write_band_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    table = "band_index_test"
+    try:
+        write_band_index(docs, table, str(tmp_path / "band_index"))
+        expected = {
+            tuple(r)
+            for r in lsh_candidate_pairs_banded(
+                minhash_sig_arrays(docs), max_bucket=None
+            ).collect()
+        }
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            pairs_df = band_collision_pairs_from_index(spark, table)
+            plan = pairs_df._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            # the ONLY exchange is the distinct-pairs agg ABOVE the join;
+            # everything under the join reads co-located buckets
+            join_part = plan.split("SortMergeJoin", 1)[1]
+            assert "Exchange" not in join_part, join_part[:400]
+            assert plan.count("Exchange") == 1
+            got = {tuple(r) for r in pairs_df.collect()}
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", old_thresh
+            )
+        assert got == expected and got
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
