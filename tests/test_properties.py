@@ -485,3 +485,60 @@ def test_doc_chunks_match_python_spec(spark, text, chunk, stride):
         for s in range(0, len(toks), stride)
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# duplicate-span removal (d13) vs a transparent Python reference
+# ---------------------------------------------------------------------------
+
+
+def ref_span_removal(texts: list[str], n: int):
+    """Sequential spec: tokenize on whitespace (trim spaces only), find
+    n-grams occurring in >= 2 distinct docs, cover every occurrence's
+    span, rebuild from uncovered tokens."""
+    import re as _re
+
+    def toks(t):
+        t = t.strip(" ")
+        return [] if t == "" else _re.split(r"\s+", t, flags=_re.ASCII)
+
+    all_toks = [toks(t) for t in texts]
+    gram_docs: dict[tuple, set] = {}
+    for d, T in enumerate(all_toks):
+        for i in range(len(T) - n + 1):
+            gram_docs.setdefault(tuple(T[i : i + n]), set()).add(d)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    out = []
+    for d, T in enumerate(all_toks):
+        cov = set()
+        for i in range(len(T) - n + 1):
+            if tuple(T[i : i + n]) in dup:
+                cov.update(range(i, i + n))
+        kept = [tok for i, tok in enumerate(T) if i not in cov]
+        out.append((len(T), len(cov), " ".join(kept)))
+    return out
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("a b c d e".split()), min_size=0, max_size=12
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_duplicate_span_removal_matches_python_spec(spark, texts, n):
+    from liq_stream_spark.operators.dedup import duplicate_span_removal
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed_tokens"], r["cleaned_text"])
+        for r in duplicate_span_removal(df, n=n).collect()
+    }
+    expected = dict(enumerate(ref_span_removal(texts, n)))
+    assert got == expected
