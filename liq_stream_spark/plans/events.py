@@ -351,3 +351,46 @@ def sj01_interval_join_batch_parity(
             F.min("clk_id").alias("first_click_id"),
         )
     )
+
+
+@register(
+    "sj02_enrich_batch_parity",
+    """
+    SELECT e.event_id, e.user_id, e.event_type,
+           c.c_mktsegment AS segment,
+           n.n_name AS nation
+    FROM events e
+    LEFT JOIN customer c ON c.c_custkey = e.user_id
+    LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    """,
+    doc="batch parity gate for STREAM-STATIC enrichment "
+    "(streaming/joins.enrich_stream): every event row picks up its "
+    "user's market segment and nation via a two-level broadcast dim "
+    "chain (customer -> nation), the stream-side analog of a star-schema "
+    "lookup. The builder runs the streaming operator itself on batch "
+    "inputs — the join is stateless (no watermark, no state store) and "
+    "plans a BroadcastHashJoin in both modes, so this oracle-gates the "
+    "enrichment semantics while the live micro-batch leg is driven in "
+    "tests/test_streaming_joins.py. Scale shape: the unbounded side "
+    "never shuffles; each dim ships once per executor. LEFT join "
+    "semantics preserve stream rows with no dim match.",
+)
+def sj02_enrich_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.streaming.joins import enrich_stream
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        "c_nationkey",
+    )
+    nat = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("nation"),
+    )
+    dim = enrich_stream(cust, nat, on="c_nationkey", how="left")
+    return enrich_stream(ev, dim, on="user_id", how="left").select(
+        "event_id", "user_id", "event_type", "segment", "nation"
+    )
