@@ -340,7 +340,11 @@ def ivf_topk(
             F.col(vec_col).cast("array<double>").alias("qv"),
         )
         .crossJoin(F.broadcast(centroids))
-        .withColumn("cos", cosine_fast("qv", "centroid"))
+        # 9-dp rounding mirrors _assign_cells: probe ranking must agree
+        # with an oracle whose centroid means can differ at ulp level, so
+        # near-ties fall to the deterministic cell tiebreak on both
+        # engines (the s09 genuinely-pruned oracle relies on this)
+        .withColumn("cos", F.round(cosine_fast("qv", "centroid"), 9))
     )
     wq = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cell"))
     probes = (
@@ -767,7 +771,11 @@ def ivfpq_topk(
             F.col(vec_col).cast("array<double>").alias("qv"),
         )
         .crossJoin(F.broadcast(centroids))
-        .withColumn("cos", cosine_fast("qv", "centroid"))
+        # 9-dp rounding mirrors _assign_cells: probe ranking must agree
+        # with an oracle whose centroid means can differ at ulp level, so
+        # near-ties fall to the deterministic cell tiebreak on both
+        # engines (the s09 genuinely-pruned oracle relies on this)
+        .withColumn("cos", F.round(cosine_fast("qv", "centroid"), 9))
     )
     wq = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cell"))
     probes = (

@@ -339,3 +339,84 @@ def d14_verified_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     return D.dedup_clusters(verified)
+
+
+# -- s09: IVF top-k at a genuinely PRUNED nprobe -----------------------------
+_S09_NPROBE = 4
+_S09_K = 10
+
+
+def _s09_oracle_sql(dim: int = 64) -> str:
+    """Full DuckDB reproduction of the PRUNED IVF path: the deterministic
+    Lloyd build (d11's CTEs), nprobe-nearest-cell probe ranking (9-dp
+    rounded, tie toward the smaller cell — mirroring ivf_topk), and exact
+    cosine rescoring restricted to probed cells. Unlike s06's nprobe=all
+    degeneration, this verifies the APPROXIMATE answer itself."""
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cell, vec AS centroid
+      FROM (SELECT * FROM v ORDER BY vec_id LIMIT {_D11_CELLS})
+    ),
+    a1 AS {_d11_assign_sql("v", "seeds")},
+    m1 AS {_d11_means_sql("a1", dim)},
+    a2 AS {_d11_assign_sql("v", "m1")},
+    m2 AS {_d11_means_sql("a2", dim)},
+    cells AS {_d11_assign_sql("v", "m2")},
+    q AS (SELECT vec_id, vec FROM v WHERE vec_id < 20),
+    probes AS (
+      SELECT vec_id AS query_id, vec AS qv, cell FROM (
+        SELECT t.vec_id, t.vec, b.cell,
+               row_number() OVER (PARTITION BY t.vec_id
+                   ORDER BY round(list_cosine_similarity(t.vec, b.centroid), 9)
+                            DESC,
+                            b.cell) AS rn
+        FROM q t JOIN m2 b ON true
+      ) WHERE rn <= {_S09_NPROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, p.qv, c.vec_id AS neighbor_id, c.vec AS cv
+      FROM probes p JOIN cells c USING (cell)
+      WHERE c.vec_id != p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY list_cosine_similarity(qv, cv) DESC,
+                          neighbor_id) AS rank
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_S09_K}
+    """
+
+
+@register(
+    "s09_ivf_topk_pruned",
+    _s09_oracle_sql(),
+    doc="IVF top-k at a genuinely PRUNED nprobe "
+    f"(operators/similarity.ivf_topk, nprobe={_S09_NPROBE} of "
+    f"{_D11_CELLS} cells) — the first ANN entry whose APPROXIMATE "
+    "answer is driver-oracled, not just its exact degeneration: the "
+    "oracle reproduces the deterministic Lloyd centroid build (d11's "
+    "CTEs), the 9-dp-rounded nprobe probe ranking with the smaller-cell "
+    "tiebreak, and the exact rescoring restricted to probed cells, "
+    "end-to-end in DuckDB SQL. With s06 gating the machinery at "
+    "nprobe=all and this entry gating the pruned router itself, the "
+    "IVF operator is verified in BOTH regimes. Scale shape identical "
+    "to s06: broadcast centroids, inverted-file equi-join, ~nprobe/"
+    "n_cells of the corpus scored per query.",
+)
+def s09_ivf_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.operators import similarity as S
+
+    emb = load(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb.filter(F.col("vec_id") < 20),
+        emb,
+        k=_S09_K,
+        n_cells=_D11_CELLS,
+        nprobe=_S09_NPROBE,
+    )
