@@ -420,3 +420,48 @@ def s09_ivf_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=_D11_CELLS,
         nprobe=_S09_NPROBE,
     )
+
+
+# -- d15: candidate pairs from the PRE-BUCKETED band index -------------------
+def _d15_sql() -> str:
+    from liq_stream_spark.plans.llm_ops import _duck_minhash_cte
+
+    return f"""
+    WITH {_duck_minhash_cte()},
+    bands AS (
+      SELECT doc_id, (perm_id // 4) AS band,
+             string_agg(minhash::VARCHAR, ',' ORDER BY perm_id) AS band_key
+      FROM sigs GROUP BY doc_id, (perm_id // 4)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b USING (band, band_key)
+    WHERE a.doc_id < b.doc_id
+    """
+
+
+@register(
+    "d15_band_index_pairs",
+    _d15_sql(),
+    doc="d03's LSH candidate pairs served from the PRE-BUCKETED band "
+    "index (store.write_band_index + band_collision_pairs_from_index): "
+    "the builder persists the corpus's MinHash band keys as a "
+    "bucketBy/sortBy parquet table, then generates candidates by "
+    "self-joining the stored table — the join matches the bucketing "
+    "spec, so it plans with ZERO Exchange under it (pinned in "
+    "tests/test_store.py) and the corpus is never shuffled at query "
+    "time. Result set is IDENTICAL to d03 (same oracle SQL), which is "
+    "the point: at 100 TB a pipeline that dedups every crawl drop pays "
+    "the candidate-generation shuffle ONCE at index-build time instead "
+    "of per run. Note the builder writes the index table (to /tmp, "
+    "keyed by sf_dir) as an eager side effect of construction.",
+)
+def d15_band_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib as _hl
+
+    from liq_stream_spark import store
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    table = f"band_index_{tag}"
+    path = f"/tmp/liq_stream_band_index/{tag}"
+    store.write_band_index(load(spark, sf_dir, "documents"), table, path)
+    return store.band_collision_pairs_from_index(spark, table)

@@ -113,3 +113,39 @@ def test_band_index_bucketed_join_has_no_shuffle(spark, tmp_path):
         assert got == expected and got
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_bucketed_fact_join_has_no_shuffle(spark, tmp_path):
+    """write_bucketed_table must let the lineitem x orders equi-join plan
+    with ZERO Exchange beneath the SortMergeJoin (q41's claim): the fact
+    shuffle is paid once at write time, not per query."""
+    from liq_stream_spark.store import write_bucketed_table
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li_t, o_t = "li_bucketed_test", "orders_bucketed_test"
+    try:
+        write_bucketed_table(
+            li, li_t, str(tmp_path / "li"), 8, ["l_orderkey"], ["l_orderkey"]
+        )
+        write_bucketed_table(
+            orders, o_t, str(tmp_path / "o"), 8, ["o_orderkey"], ["o_orderkey"]
+        )
+        a, b = spark.table(li_t), spark.table(o_t)
+        joined = a.hint("merge").join(b, a.l_orderkey == b.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan[:400]
+        assert plan.count("Bucketed: true") == 2
+        # same rows as the plain shuffle join
+        assert joined.count() == li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {li_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {o_t}")
