@@ -210,12 +210,20 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
 
 def synth_assets(spark, n: int = 32, seed: int = 7) -> DataFrame:
     """Deterministic synthetic multimodal table for tests: FAKE-header
-    binaries with plausible metadata."""
+    binaries with plausible metadata.
+
+    The body is the ASCII sha256 HEXDIGEST of f"{seed}:{i}" repeated to
+    768 bytes (not the raw digest): every content byte outside the 12-byte
+    header is then valid UTF-8, which lets the m01 oracle rebuild the
+    exact byte stream as a DuckDB VARCHAR and reproduce the full decode ->
+    sha256 -> feature -> nearest-neighbor pipeline in SQL. The header's
+    two <I fields stay raw little-endian bytes; w/h < 128 keeps them
+    single-byte codepoints (chr(w) || chr(0)*3) on the SQL side."""
     rows = []
     for i in range(n):
         modality = ("image", "audio", "video")[i % 3]
         w, h = 16 + (i % 8) * 4, 12 + (i % 5) * 4
-        body_seed = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+        body_seed = hashlib.sha256(f"{seed}:{i}".encode()).hexdigest().encode()
         body = (body_seed * ((64 * 12) // len(body_seed) + 1))[: 64 * 12]
         content = b"FAKE" + struct.pack("<II", w, h) + body
         rows.append(

@@ -661,23 +661,81 @@ def p01_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_M01_SQL = """
+    WITH a AS (
+      SELECT i AS asset_id,
+             CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+             CAST(16 + (i % 8) * 4 AS INTEGER) AS width,
+             CAST(12 + (i % 5) * 4 AS INTEGER) AS height,
+             -- the exact synth_assets byte stream as a VARCHAR: the FAKE
+             -- header's <I fields are single-byte codepoints + NULs, the
+             -- body is the ASCII hexdigest of '7:<i>' repeated to 768 B
+             'FAKE' || chr(CAST(16 + (i % 8) * 4 AS INTEGER))
+                    || chr(0) || chr(0) || chr(0)
+                    || chr(CAST(12 + (i % 5) * 4 AS INTEGER))
+                    || chr(0) || chr(0) || chr(0)
+                    || repeat(sha256('7:' || i), 12) AS content
+      FROM (SELECT unnest(range(48)) AS i)
+    ),
+    dig AS (
+      SELECT asset_id, sha256(content) AS dg,
+             strlen(content) AS n_bytes
+      FROM a
+    ),
+    vec AS (
+      -- image_features: the first 16 little-endian uint16 of the content
+      -- digest, /65535 - 0.5, stored float32 (hence the REAL round-trip)
+      SELECT asset_id,
+             list_transform(range(0, 16), j ->
+               CAST(CAST(('0x' || substr(dg, CAST(4*j+3 AS INTEGER), 2)
+                                || substr(dg, CAST(4*j+1 AS INTEGER), 2)
+                         )::BIGINT / 65535.0 - 0.5 AS REAL) AS DOUBLE)) AS v
+      FROM dig
+    ),
+    nn AS (
+      SELECT x.asset_id, y.asset_id AS nearest_asset_id,
+             row_number() OVER (PARTITION BY x.asset_id
+                 ORDER BY list_cosine_similarity(x.v, y.v) DESC,
+                          y.asset_id) AS rn
+      FROM vec x JOIN vec y ON x.asset_id != y.asset_id
+    )
+    SELECT a.asset_id, a.modality, 'fake' AS format, a.width, a.height,
+           CAST(d.n_bytes AS BIGINT) AS n_bytes, d.dg AS content_sha256,
+           nn.nearest_asset_id
+    FROM a JOIN dig d USING (asset_id) JOIN nn USING (asset_id)
+    WHERE nn.rn = 1
+    """
+
+
 @register(
     "m01_multimodal_pipeline",
-    None,  # binary codec plumbing has no SQL analog; determinism is
-    # pinned by unit tests (content digests are seed-stable)
+    _M01_SQL,
     doc="multimodal pipeline drive: deterministic synthetic assets "
     "(binary + typed meta) -> mapInPandas decode (format/dims/bytes/"
     "sha256) -> feature extraction -> JVM-side cosine top-1 neighbor per "
     "asset (operators/multimodal.py feeding operators/similarity.py). "
-    "Rows-only: one row per asset with its decoded metadata and nearest "
-    "neighbor in feature space.",
+    "FULLY ORACLED since the synth bodies went ASCII: DuckDB rebuilds "
+    "the exact byte stream as a VARCHAR (NUL-safe), reproduces the "
+    "binary sha256, the 16 x LE-uint16 feature extraction with its "
+    "float32 storage round-trip, and the cosine nearest neighbor — so "
+    "the whole binary->decode->embed->ANN chain is value-checked, not "
+    "rows-only. The codec seam stays honest: a real deployment swaps "
+    "PIL/ffmpeg into _decode_* and the oracle then gates only the "
+    "plumbing-level columns.",
 )
 def m01_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from liq_stream_spark.operators import multimodal as M
 
     assets = M.synth_assets(spark, n=48)
     decoded = M.decode_images(assets).select(
-        "asset_id", "modality", "format", "width", "height", "n_bytes"
+        "asset_id",
+        "modality",
+        "format",
+        "width",
+        "height",
+        "n_bytes",
+        "content_sha256",
     )
     feats = M.image_features(assets).select(
         F.col("asset_id").alias("vec_id"), F.col("feature").alias("embedding")
