@@ -798,3 +798,54 @@ def stratified_sample(
         df.withColumn("bucket", bucket)
         .filter(F.col("bucket") < threshold)
     )
+
+
+def bpe_merge_pair_stats(
+    docs: DataFrame, k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Adjacent-symbol-pair frequencies — the inner loop of BPE tokenizer
+    TRAINING (round 0: every merge candidate is an adjacent character
+    pair inside a pretoken, weighted by how often the pretoken occurs in
+    the corpus). Output: the top-``k`` pairs as (rank, pair,
+    n_occurrences), ordered by count desc with the pair string as the
+    deterministic tiebreak — i.e. the order in which a BPE trainer would
+    consider merges.
+
+    Scale shape (the word-count trick real trainers use): the corpus
+    collapses to DISTINCT pretokens with counts first (one map-side-
+    combinable agg over ~vocabulary-sized keys), so the quadratic-ish
+    character-pair explode runs over the distinct-pretoken table —
+    bounded by vocabulary size — not over 100 TB of text. The pair agg
+    is another map-side-combinable integer sum, and the global top-k
+    plans as TakeOrderedAndProject, never a full sort."""
+    pre = docs.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(BPE_PRETOKEN_RE), F.lit(0)
+            )
+        ).alias("tok")
+    )
+    cnt = pre.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (
+        cnt.filter(F.length("tok") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(tok) - 1), "
+                    "i -> substring(tok, i, 2))"
+                )
+            ).alias("pair"),
+            "c",
+        )
+        .groupBy("pair")
+        .agg(F.sum("c").cast("long").alias("n_occurrences"))
+    )
+    from pyspark.sql.window import Window
+
+    top = pairs.orderBy(F.desc("n_occurrences"), F.asc("pair")).limit(k)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "pair",
+        "n_occurrences",
+    )

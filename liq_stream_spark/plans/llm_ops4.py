@@ -465,3 +465,56 @@ def d15_band_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"/tmp/liq_stream_band_index/{tag}"
     store.write_band_index(load(spark, sf_dir, "documents"), table, path)
     return store.band_collision_pairs_from_index(spark, table)
+
+
+# -- t11: BPE merge-pair statistics ------------------------------------------
+_T11_K = 100
+
+
+def _t11_sql() -> str:
+    from liq_stream_spark.plans.llm_ops3 import _BPE_SQL
+
+    return f"""
+    WITH pre AS (
+      SELECT unnest(regexp_extract_all(text, '{_BPE_SQL}')) AS tok
+      FROM documents
+    ),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM pre GROUP BY tok),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(tok)),
+                    i -> substr(tok, CAST(i AS INTEGER), 2))) AS pair,
+             c
+      FROM cnt WHERE length(tok) >= 2
+    ),
+    agg AS (
+      SELECT pair, SUM(c)::BIGINT AS n_occurrences
+      FROM pairs GROUP BY pair
+    ),
+    top AS (
+      SELECT pair, n_occurrences FROM agg
+      ORDER BY n_occurrences DESC, pair LIMIT {_T11_K}
+    )
+    SELECT row_number() OVER (ORDER BY n_occurrences DESC, pair)::BIGINT
+               AS rank,
+           pair, n_occurrences
+    FROM top
+    """
+
+
+@register(
+    "t11_bpe_merge_pairs",
+    _t11_sql(),
+    doc="BPE tokenizer-TRAINING round 0 "
+    "(operators/text.bpe_merge_pair_stats): adjacent character pairs "
+    "inside GPT-style pretokens, weighted by pretoken corpus frequency "
+    f"— the top-{_T11_K} merge candidates in trainer order. Uses the "
+    "word-count trick real trainers use at scale: the corpus collapses "
+    "to distinct pretokens + counts FIRST (map-side-combinable agg over "
+    "vocabulary-sized keys), so the character-pair explode is bounded "
+    "by vocabulary size, not corpus size; the top-k plans as "
+    "TakeOrderedAndProject. Exact integers — fully oracled.",
+)
+def t11_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.operators.text import bpe_merge_pair_stats
+
+    return bpe_merge_pair_stats(load(spark, sf_dir, "documents"), k=_T11_K)
