@@ -542,3 +542,58 @@ def test_duplicate_span_removal_matches_python_spec(spark, texts, n):
     }
     expected = dict(enumerate(ref_span_removal(texts, n)))
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair stats (t11) vs a transparent Python reference
+# ---------------------------------------------------------------------------
+
+
+def ref_bpe_merge_pairs(texts: list[str], k: int):
+    """Sequential spec on ASCII inputs (where Java's \\p{L}/\\p{N} equal
+    [A-Za-z]/[0-9]): pretokenize GPT-style, count distinct pretokens,
+    weight each adjacent char pair by its pretoken's count, take top-k
+    by (count desc, pair asc)."""
+    import re as _re
+    from collections import Counter
+
+    pre_re = _re.compile(
+        r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+    )
+    cnt = Counter(tok for t in texts for tok in pre_re.findall(t))
+    pairs = Counter()
+    for tok, c in cnt.items():
+        for i in range(len(tok) - 1):
+            pairs[tok[i : i + 2]] += c
+    ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [
+        (rank + 1, pair, n) for rank, (pair, n) in enumerate(ranked)
+    ]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet="ab1 .'stx",  # letters, digit, space, punct, 's suffix
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=20),
+)
+def test_bpe_merge_pairs_match_python_spec(spark, texts, k):
+    from liq_stream_spark.operators.text import bpe_merge_pair_stats
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = [
+        (r["rank"], r["pair"], r["n_occurrences"])
+        for r in bpe_merge_pair_stats(df, k=k)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == ref_bpe_merge_pairs(texts, k)
