@@ -37,23 +37,32 @@ from __future__ import annotations
 # driver-green row. Reset this list each round to the queries the round
 # actually touched (the commit log is the source of truth).
 #
-# Round 4: q15/liq_cascades were rewritten onto sessionize_bucketed late
-# in r3 (their greens predate the rewrite); s04/s05 were re-registered at
-# their exact LSH degenerations with oracles; d12's jaccard denominator
-# is now derived in-row; d11 gained auto_n_cells and the quantized cell
-# assignment; s07/s08 gained the quantized PQ argmin/ADC ranking (oracle
-# SQL mirrored); sj01 is new this round.
+# Round 4 additions: sj02 (new streaming-enrich parity), q41 (new
+# bucketed fact join), t11 (new BPE merge pairs), d15 (new bucketed
+# band-index pairs), s09 (new pruned-IVF oracle), m01 (synth bodies went
+# ASCII + gained a full oracle), s06/s08 (ivf/ivfpq probe ranking now
+# 9-dp-rounded — result-identical at their degenerations, but the
+# operator changed after their r3 green). Carried from late-r3 (their
+# greens still predate the change until CORRECTNESS_r04 lands): q15/
+# liq_cascades (sessionize_bucketed rewrite), sj01/d12/d11/s04/s05/s07.
 CHANGED_SINCE_GREEN: list[str] = [
     # JVM-only first (no Arrow/pandas worker spin-up)
     "q15_sessionization",
     "liq_cascades",
     "sj01_interval_join_batch_parity",
+    "sj02_enrich_batch_parity",
+    "q41_bucketed_revenue",
+    "t11_bpe_merge_pairs",
     "d12_minhash_jaccard_est",
+    "d15_band_index_pairs",
     # pandas-UDF / k-means entries after
+    "m01_multimodal_pipeline",
     "s04_cosine_topk_lsh",
     "s05_cosine_near_dup_lsh",
+    "s06_ivf_topk",
     "s07_pq_topk",
     "s08_ivfpq_topk",
+    "s09_ivf_topk_pruned",
     "d11_semantic_dedup",
 ]
 
