@@ -7,9 +7,11 @@ re-parses the SAME fixture JSONL with DuckDB's JSON functions, reproducing
 every normalizer semantic the aggregates depend on (array-or-object
 flatten, truthy coalescing, try-cast drop/keep rules, side maps, the HL
 timestamp heuristic and tid|user|coin dedup) — see ``_duck_liq_union``.
-Only ``liq_normalize_unified`` itself stays rows-only: its ``raw``
-re-serialization is wire-format-specific and is golden-tested in
-tests/test_normalizers.py instead.
+``liq_unified_rows`` value-gates the fan-in row set itself (all columns
+but ``raw``); only ``liq_normalize_unified`` — the full 10-column
+surface — stays rows-only, because the ``raw`` re-serialization is
+wire-format-specific (typed-struct key order, documented N21 deviation)
+and is golden-tested in tests/test_normalizers.py instead.
 """
 
 from __future__ import annotations
@@ -626,3 +628,27 @@ def liq_raw_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("re").cast("long").alias("n_with_event_ts"),
         F.sum("re").cast("long").alias("sum_event_ts"),
     )
+
+
+@register(
+    "liq_unified_rows",
+    f"""
+    WITH {_duck_liq_union()}
+    SELECT exchange, market, symbol, side, qty, price, notional,
+           ts_exch_ms, CAST({_INGEST} AS BIGINT) AS ts_ingest_ms
+    FROM liq
+    """,
+    doc="the five-venue normalize-and-union fan-in ROW SET itself "
+    "(unified_liquidations minus the raw column), value-gated: the "
+    "oracle re-parses the same fixture JSONL in DuckDB SQL and "
+    "reproduces every normalizer semantic per row — flatten modes, "
+    "truthy coalesce chains, try-cast drop/keep rules, side maps, "
+    "bybit dual-schema + us->ms, the HL ts heuristic and "
+    "tid|user|coin dedup — so 9 of the 10 unified-schema columns pass "
+    "rows+schema+hash (ts_ingest pinned). Only `raw` (typed-struct "
+    "re-serialization order, documented N21 deviation) stays "
+    "golden-tested; liq_normalize_unified keeps the full 10-column "
+    "surface as the rows-only companion.",
+)
+def liq_unified_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unified_liquidations(spark).drop("raw")

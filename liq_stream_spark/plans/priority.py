@@ -47,6 +47,7 @@ from __future__ import annotations
 # liq_cascades (sessionize_bucketed rewrite), sj01/d12/d11/s04/s05/s07.
 CHANGED_SINCE_GREEN: list[str] = [
     # JVM-only first (no Arrow/pandas worker spin-up)
+    "liq_unified_rows",
     "q15_sessionization",
     "liq_cascades",
     "sj01_interval_join_batch_parity",
