@@ -63,3 +63,22 @@ def test_malformed_binary(spark):
     got = {r["asset_id"]: r for r in MM.decode_images(df).collect()}
     assert got[0]["format"] == "unknown" and got[0]["width"] == 0
     assert got[1]["n_bytes"] == 0
+
+
+def test_synth_assets_bytes_match_independent_spec(spark):
+    """The m01 oracle rebuilds synth_assets' exact bytes in DuckDB SQL, so
+    the byte layout is contract: FAKE + <I w + <I h + ASCII hexdigest of
+    '7:<i>' repeated to 768 bytes. Pin it against hashlib/struct directly
+    so a synth change can't silently diverge from the oracle."""
+    import hashlib
+    import struct
+
+    rows = {r["asset_id"]: r for r in MM.synth_assets(spark, n=5).collect()}
+    for i in range(5):
+        w, h = 16 + (i % 8) * 4, 12 + (i % 5) * 4
+        body = (hashlib.sha256(f"7:{i}".encode()).hexdigest().encode() * 13)[
+            : 64 * 12
+        ]
+        expected = b"FAKE" + struct.pack("<II", w, h) + body
+        assert bytes(rows[i]["content"]) == expected
+        assert all(b < 128 for b in bytes(rows[i]["content"])[12:])
