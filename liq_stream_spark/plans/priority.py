@@ -48,6 +48,7 @@ from __future__ import annotations
 CHANGED_SINCE_GREEN: list[str] = [
     # JVM-only first (no Arrow/pandas worker spin-up)
     "liq_unified_rows",
+    "q42_recursive_month_spine",
     "q15_sessionization",
     "liq_cascades",
     "sj01_interval_join_batch_parity",

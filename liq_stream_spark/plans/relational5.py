@@ -280,3 +280,59 @@ def q41_bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(rev).alias("revenue"),
         )
     )
+
+
+@register(
+    "q42_recursive_month_spine",
+    """
+    WITH RECURSIVE bounds AS (
+      SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+             CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+      FROM orders
+    ),
+    months(m) AS (
+      SELECT lo FROM bounds
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE)
+      FROM months, bounds WHERE m < hi
+    )
+    SELECT CAST(m AS DATE) AS month,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))), 0)
+                AS DOUBLE) AS total_price
+    FROM months LEFT JOIN orders o
+      ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = months.m
+    GROUP BY 1
+    """,
+    doc="Spark 4's NATIVE recursive CTE (WITH RECURSIVE, new engine "
+    "surface in 4.x): a month spine from MIN to MAX order date built by "
+    "recursion, LEFT-joined to monthly order counts/revenue so months "
+    "with zero orders survive — the calendar-fill query every reporting "
+    "pipeline needs and the lateral move from d06's hand-rolled "
+    "pointer-jumping iteration (which predates engine recursion and "
+    "remains the scale path for graph-sized inputs: the spine here is "
+    "dozens of rows, driver-bounded depth). Oracled against DuckDB's "
+    "recursive CTE; decimal-exact totals, DATE-cast spine on both "
+    "engines.",
+)
+def q42_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("q42_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT to_date(date_trunc('month', MIN(o_orderdate)))
+          FROM q42_orders
+          UNION ALL
+          SELECT add_months(m, 1) FROM months
+          WHERE m < (SELECT to_date(date_trunc('month', MAX(o_orderdate)))
+                     FROM q42_orders)
+        )
+        SELECT m AS month,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+               CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))), 0)
+                    AS DOUBLE) AS total_price
+        FROM months LEFT JOIN q42_orders o
+          ON to_date(date_trunc('month', o.o_orderdate)) = months.m
+        GROUP BY m
+        """
+    )
