@@ -518,3 +518,48 @@ def t11_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from liq_stream_spark.operators.text import bpe_merge_pair_stats
 
     return bpe_merge_pair_stats(load(spark, sf_dir, "documents"), k=_T11_K)
+
+
+# -- d16: exact Jaccard pairs via prefix filtering ---------------------------
+def _d16_sql() -> str:
+    from liq_stream_spark.plans.llm_ops import DUCK_SHINGLES
+
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({DUCK_SHINGLES})) AS sh FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+           n_common::DOUBLE / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.7
+    """
+
+
+@register(
+    "d16_jaccard_prefix_filter",
+    _d16_sql(),
+    doc="exact n-gram Jaccard pairs >= 0.7 via PREFIX FILTERING "
+    "(operators/dedup.ngram_jaccard_pairs_prefix; SSJoin/PPJoin family, "
+    "Chaudhuri et al. 2006 / Bayardo et al. 2007): the candidate "
+    "equi-join ships only each doc's rarest-(1-t) tokens under a global "
+    "df-ascending order — provably no false negatives, and the "
+    "boilerplate hot shingles that force d04's lossy max_doc_freq valve "
+    "never reach the join. Candidates verify with an exact in-row set "
+    "intersection, so the RESULT is identical to d04's full "
+    "inverted-index join — same oracle SQL, cheaper plan class — the "
+    "lossless counterpart to the d08 cap.",
+)
+def d16_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    return ngram_jaccard_pairs_prefix(
+        load(spark, sf_dir, "documents"), threshold=0.7
+    )

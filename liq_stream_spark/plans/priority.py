@@ -57,6 +57,7 @@ CHANGED_SINCE_GREEN: list[str] = [
     "t11_bpe_merge_pairs",
     "d12_minhash_jaccard_est",
     "d15_band_index_pairs",
+    "d16_jaccard_prefix_filter",
     # pandas-UDF / k-means entries after
     "m01_multimodal_pipeline",
     "s04_cosine_topk_lsh",

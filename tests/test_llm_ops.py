@@ -425,3 +425,59 @@ def test_duplicate_span_removal_semantics(spark):
     }
     assert capped[5] == 0                # valve: boilerplate NOT removed
     assert capped[0] == 3                # df=2 pair still removed
+
+
+def test_prefix_filter_equals_inverted_index_and_prunes(spark):
+    """ngram_jaccard_pairs_prefix must (a) return EXACTLY the d04 pair set
+    at several thresholds and (b) generate strictly fewer candidate-join
+    rows than the all-token inverted index (the point of the prefix)."""
+    from pyspark.sql import functions as F
+
+    from liq_stream_spark.operators.dedup import (
+        char_ngram_hashes_fast,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for t in (0.5, 0.7, 0.9):
+        full = {
+            (r["id_a"], r["id_b"], r["n_common"])
+            for r in ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        pref = {
+            (r["id_a"], r["id_b"], r["n_common"])
+            for r in ngram_jaccard_pairs_prefix(docs, threshold=t).collect()
+        }
+        assert pref == full, f"t={t}: {len(pref)} vs {len(full)}"
+    # pruning: prefix token count is well below the full token count
+    sh = docs.select(
+        F.explode(
+            F.array_distinct(char_ngram_hashes_fast("text", 3))
+        ).alias("sh")
+    )
+    n_all = sh.count()
+    # rebuild just the prefix selection the operator uses internally
+    from pyspark.sql.window import Window as W
+
+    shingles = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(char_ngram_hashes_fast("text", 3))
+        ).alias("sh"),
+    )
+    dfreq = shingles.groupBy("sh").agg(F.count(F.lit(1)).alias("dfreq"))
+    wdoc = W.partitionBy("doc_id")
+    ranked = (
+        shingles.join(dfreq, "sh")
+        .withColumn("n_sh", F.count(F.lit(1)).over(wdoc))
+        .withColumn(
+            "rn",
+            F.row_number().over(wdoc.orderBy(F.asc("dfreq"), F.asc("sh"))),
+        )
+    )
+    n_prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("n_sh") - F.ceil(F.col("n_sh") * 0.7 - 1e-9) + 1
+    ).count()
+    assert 0 < n_prefix < 0.45 * n_all, (n_prefix, n_all)
