@@ -849,3 +849,48 @@ def bpe_merge_pair_stats(
         "pair",
         "n_occurrences",
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    ngram: int = 3,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003 — the MOSS algorithm): slide a ``window`` over the positional
+    character-``ngram`` hash sequence and keep each window's minimum; the
+    distinct selected hashes are the document's fingerprint set.
+
+    The winnowing guarantee: any substring match of length >=
+    ``window + ngram - 1`` characters between two documents produces at
+    least one SHARED fingerprint — so an inverted index over (fp ->
+    doc) finds every sufficiently long clone while storing only ~2/(w+1)
+    of the grams. This is the standard selection layer between raw
+    shingling (t03's rolling hash) and the index; docs shorter than one
+    window keep the minimum of what they have, empty docs emit nothing.
+
+    Scale shape: entirely in-row (one slice+min per window position,
+    O(len·w) inside the projection) followed by one explode — zero
+    shuffles; the output IS the (doc, fp) posting table you'd write
+    bucketed-by-fp (store.write_band_index's layout applies verbatim)."""
+    # materialize the Arrow-hashed gram array into a column FIRST: Spark
+    # rejects a Python UDF inside a higher-order-function lambda subtree,
+    # so the transform below must reference an attribute, not _sh(text)
+    base = docs.select(
+        F.col(id_col), char_ngram_hashes_fast(text_col, ngram).alias("__h")
+    )
+    h = F.col("__h")
+    m = F.size(h)
+    mins = F.transform(
+        F.sequence(F.lit(0), F.greatest(m - F.lit(window), F.lit(0))),
+        lambda i: F.array_min(F.slice(h, i + 1, window)),
+    )
+    return (
+        base.select(
+            F.col(id_col), F.array_distinct(mins).alias("__fps"), m.alias("__m")
+        )
+        .filter(F.col("__m") > 0)
+        .select(id_col, F.explode("__fps").alias("fp"))
+    )

@@ -563,3 +563,44 @@ def d16_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs_prefix(
         load(spark, sf_dir, "documents"), threshold=0.7
     )
+
+
+# -- t12: winnowing fingerprints ---------------------------------------------
+_T12_W = 4
+
+
+def _t12_sql() -> str:
+    from liq_stream_spark.plans.llm_ops import DUCK_SHINGLES
+
+    return f"""
+    WITH h AS (
+      SELECT doc_id, {DUCK_SHINGLES} AS h FROM documents
+    )
+    SELECT doc_id,
+           unnest(list_distinct(
+             list_transform(range(0, greatest(len(h) - {_T12_W}, 0) + 1),
+                            i -> list_min(h[i+1 : i+{_T12_W}]))
+           )) AS fp
+    FROM h WHERE len(h) > 0
+    """
+
+
+@register(
+    "t12_winnowing_fingerprints",
+    _t12_sql(),
+    doc="winnowing fingerprint selection (operators/text."
+    f"winnow_fingerprints; Schleimer et al. 2003, window={_T12_W} over "
+    "positional 3-gram hashes — the MOSS algorithm): each window "
+    "contributes its minimum hash, distinct minima form the doc's "
+    "fingerprint set, and any clone of >= window+ngram-1 characters "
+    "shares a fingerprint by construction. The selection runs entirely "
+    "in-row (zero shuffles) and emits the (doc, fp) posting table that "
+    "an inverted clone index stores at ~2/(w+1) the gram volume. "
+    "Integer hashes — fully oracled.",
+)
+def t12_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(
+        load(spark, sf_dir, "documents"), window=_T12_W
+    )

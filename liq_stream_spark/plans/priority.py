@@ -55,6 +55,7 @@ CHANGED_SINCE_GREEN: list[str] = [
     "sj02_enrich_batch_parity",
     "q41_bucketed_revenue",
     "t11_bpe_merge_pairs",
+    "t12_winnowing_fingerprints",
     "d12_minhash_jaccard_est",
     "d15_band_index_pairs",
     "d16_jaccard_prefix_filter",

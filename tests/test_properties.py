@@ -597,3 +597,48 @@ def test_bpe_merge_pairs_match_python_spec(spark, texts, k):
         .collect()
     ]
     assert got == ref_bpe_merge_pairs(texts, k)
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (t12) vs a transparent Python reference
+# ---------------------------------------------------------------------------
+
+
+def ref_winnow(texts: list[str], n: int, w: int):
+    """Sequential spec: base-131 char n-gram hashes mod 2^32, min of each
+    length-w window (short docs: one window over what exists), distinct."""
+    out = {}
+    for d, t in enumerate(texts):
+        hs = [
+            sum(ord(t[i + j]) * 131 ** (n - 1 - j) for j in range(n))
+            % 4294967296
+            for i in range(max(len(t) - n + 1, 0))
+        ]
+        if not hs:
+            continue
+        fps = {
+            min(hs[i : i + w]) for i in range(max(len(hs) - w, 0) + 1)
+        }
+        out[d] = fps
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcab ", min_size=0, max_size=20),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=2, max_value=6),
+)
+def test_winnow_fingerprints_match_python_spec(spark, texts, w):
+    from liq_stream_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got: dict = {}
+    for r in winnow_fingerprints(df, ngram=3, window=w).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert got == ref_winnow(texts, 3, w)
