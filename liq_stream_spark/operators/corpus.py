@@ -246,3 +246,85 @@ def quality_line_filter(
         F.size(kept).cast("long").alias("n_kept_lines"),
         F.array_join(kept, "\n").alias("clean_text"),
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    budget_frac: float = 0.5,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "temp-mix-v1",
+) -> DataFrame:
+    """Temperature-based multilingual mixing (the UniMax/temperature-
+    sampling move, T=2 i.e. weight ∝ sqrt(count)): DERIVE each stratum's
+    sampling rate from corpus statistics instead of hand-picking rates
+    (the p04 stratified sampler takes the rates as given; this computes
+    them). Square-root weighting upsamples tail languages relative to
+    their corpus share while keeping head languages dominant — the
+    standard compromise between proportional (head-only) and uniform
+    (tail-noise) mixing.
+
+    Determinism across engines: per-stratum weights are sqrt(count)
+    rounded to 9 dp and summed as DECIMAL(25,9) (order-free), shares and
+    rates then divide as doubles (IEEE-exact given identical inputs),
+    and membership is the same md5-bucket rule as hash_split — a pure
+    function of (salt, id), stable under repartition and corpus growth.
+
+    Output per stratum: (stratum, n_corpus_docs, rate_bp, n_kept_docs).
+    Scale shape: one tiny per-stratum agg, a broadcast rates join, one
+    narrow filter pass — the corpus never shuffles."""
+    from liq_stream_spark.operators.text import SPLIT_MOD
+
+    counts = docs.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_corpus_docs")
+    )
+    weights = counts.withColumn(
+        "w", F.round(F.sqrt(F.col("n_corpus_docs")), 9)
+    )
+    tot = weights.agg(
+        F.sum(F.col("w").cast("decimal(25,9)")).alias("w_sum"),
+        F.sum("n_corpus_docs").alias("n_total"),
+    )
+    rates = (
+        weights.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "share",
+            F.col("w").cast("double") / F.col("w_sum").cast("double"),
+        )
+        .withColumn(
+            "target",
+            F.floor(
+                F.col("share")
+                * F.floor(F.col("n_total") * F.lit(budget_frac))
+            ),
+        )
+        .withColumn(
+            "rate_bp",
+            F.least(
+                F.floor(
+                    F.col("target")
+                    / F.col("n_corpus_docs")
+                    * F.lit(SPLIT_MOD)
+                ),
+                F.lit(SPLIT_MOD),
+            ).cast("long"),
+        )
+        .select(strata_col, "n_corpus_docs", "rate_bp")
+    )
+    key = f"concat('{salt}', ':', CAST({id_col} AS STRING))"
+    bucket = F.expr(
+        f"CAST(conv(substring(md5({key}), 1, 8), 16, 10) AS BIGINT) % {SPLIT_MOD}"
+    )
+    kept = (
+        docs.select(strata_col, bucket.alias("__bkt"))
+        .join(F.broadcast(rates), strata_col)
+        .filter(F.col("__bkt") < F.col("rate_bp"))
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n_kept_docs"))
+    )
+    return rates.join(kept, strata_col, "left").select(
+        strata_col,
+        "n_corpus_docs",
+        "rate_bp",
+        F.coalesce("n_kept_docs", F.lit(0)).cast("long").alias("n_kept_docs"),
+    )

@@ -604,3 +604,56 @@ def t12_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(
         load(spark, sf_dir, "documents"), window=_T12_W
     )
+
+
+# -- p09: temperature-based corpus mixing ------------------------------------
+_P09_SQL = """
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    w AS (SELECT lang, n, round(sqrt(n), 9) AS w FROM counts),
+    tot AS (
+      SELECT SUM(CAST(w AS DECIMAL(25,9))) AS w_sum, SUM(n) AS n_total
+      FROM w
+    ),
+    rates AS (
+      SELECT lang, n,
+             CAST(least(floor(
+                 floor(CAST(w AS DOUBLE) / CAST(w_sum AS DOUBLE)
+                       * floor(n_total * 0.5))
+                 / n * 10000), 10000) AS BIGINT) AS rate_bp
+      FROM w, tot
+    ),
+    kept AS (
+      SELECT d.lang, COUNT(*) AS k
+      FROM documents d JOIN rates USING (lang)
+      WHERE (('0x' || substr(md5('temp-mix-v1:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+             % 10000) < rate_bp
+      GROUP BY d.lang
+    )
+    SELECT r.lang, CAST(r.n AS BIGINT) AS n_corpus_docs, r.rate_bp,
+           CAST(coalesce(k.k, 0) AS BIGINT) AS n_kept_docs
+    FROM rates r LEFT JOIN kept k USING (lang)
+    """
+
+
+@register(
+    "p09_temperature_mix",
+    _P09_SQL,
+    doc="temperature-based multilingual mixing (operators/corpus."
+    "temperature_mix; the UniMax/temperature-sampling move at T=2): "
+    "per-language sampling rates DERIVED from corpus statistics — "
+    "weight ∝ sqrt(doc count), shares normalized, a 50%-of-corpus "
+    "budget allocated by share, rates floored to md5-bucket basis "
+    "points — instead of p04's hand-picked rates. Upsamples tail "
+    "languages vs their share while keeping heads dominant. "
+    "Cross-engine determinism: 9-dp-rounded sqrt weights summed as "
+    "DECIMAL (order-free), then IEEE double division on identical "
+    "inputs; membership is the stable md5-bucket rule. One tiny "
+    "stratum agg + broadcast rates join + narrow filter — the corpus "
+    "never shuffles.",
+)
+def p09_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.operators.corpus import temperature_mix
+
+    return temperature_mix(load(spark, sf_dir, "documents"))

@@ -59,6 +59,7 @@ CHANGED_SINCE_GREEN: list[str] = [
     "d12_minhash_jaccard_est",
     "d15_band_index_pairs",
     "d16_jaccard_prefix_filter",
+    "p09_temperature_mix",
     # pandas-UDF / k-means entries after
     "m01_multimodal_pipeline",
     "s04_cosine_topk_lsh",
