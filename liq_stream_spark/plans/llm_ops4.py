@@ -657,3 +657,63 @@ def p09_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from liq_stream_spark.operators.corpus import temperature_mix
 
     return temperature_mix(load(spark, sf_dir, "documents"))
+
+
+# -- d17: LSH banding S-curve planning table ---------------------------------
+_D17_CONFIGS = [(4, 4), (8, 2), (2, 8)]  # (bands, rows) with b*r = 16
+
+
+def _d17_sql() -> str:
+    configs = ", ".join(f"({b}, {r})" for b, r in _D17_CONFIGS)
+    return f"""
+    WITH cfg(b, r) AS (VALUES {configs}),
+    grid AS (SELECT unnest(range(1, 100)) AS i),
+    curve AS (
+      SELECT b, r, i, i / 100.0 AS s,
+             list_reduce(list_transform(range(r), x -> i / 100.0),
+                         (a, x) -> a * x) AS s_pow_r
+      FROM cfg, grid
+    )
+    SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band,
+           CAST(i AS BIGINT) AS s_centipoint,
+           1.0 - list_reduce(list_transform(range(b), x -> 1.0 - s_pow_r),
+                             (a, x) -> a * x) AS p_candidate
+    FROM curve
+    """
+
+
+@register(
+    "d17_lsh_tuning_curve",
+    _d17_sql(),
+    doc="the MinHash-LSH banding S-curve (Leskovec/Rajaraman/Ullman, "
+    "Mining of Massive Datasets ch.3): P(candidate | jaccard=s) = "
+    "1-(1-s^r)^b for every banding of the 16-permutation signature "
+    "(b,r) in {(4,4),(8,2),(2,8)} over a 0.01-step similarity grid — "
+    "the table an operator of the d03 pipeline reads to pick the "
+    "banding for a target similarity threshold (the curve's midpoint "
+    "~ (1/b)^(1/r)). Powers are computed as explicit multiplication "
+    "chains (never libm pow) on identical doubles, so both engines "
+    "produce bit-equal curves. Driver-side: a 297-row constant table; "
+    "the value is the oracled cross-engine float discipline, not the "
+    "compute.",
+)
+def d17_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = spark.createDataFrame(_D17_CONFIGS, "b int, r int")
+    grid = spark.range(1, 100).select(F.col("id").alias("i"))
+    s = F.col("i") / F.lit(100.0)
+    s_pow_r = F.expr("aggregate(sequence(1, r), 1.0D, (a, x) -> a * (i / 100.0))")
+    return (
+        cfg.crossJoin(grid)
+        .withColumn("__spr", s_pow_r)
+        .select(
+            F.col("b").cast("long").alias("bands"),
+            F.col("r").cast("long").alias("rows_per_band"),
+            F.col("i").cast("long").alias("s_centipoint"),
+            (
+                F.lit(1.0)
+                - F.expr(
+                    "aggregate(sequence(1, b), 1.0D, (a, x) -> a * (1.0D - __spr))"
+                )
+            ).alias("p_candidate"),
+        )
+    )

@@ -60,6 +60,7 @@ CHANGED_SINCE_GREEN: list[str] = [
     "d15_band_index_pairs",
     "d16_jaccard_prefix_filter",
     "p09_temperature_mix",
+    "d17_lsh_tuning_curve",
     # pandas-UDF / k-means entries after
     "m01_multimodal_pipeline",
     "s04_cosine_topk_lsh",
