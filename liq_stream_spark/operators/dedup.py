@@ -916,7 +916,11 @@ def ngram_jaccard_pairs_prefix(
         F.explode(
             F.array_distinct(char_ngram_hashes_fast(text_col, ngram))
         ).alias("sh"),
-    )
+    ).localCheckpoint(eager=False)
+    # materialized once (same convention as ngram_jaccard_pairs' capped
+    # path): the Arrow-hashed corpus explode feeds dfreq, the ranked
+    # frame, both prefix join sides and both verify sides — without the
+    # checkpoint, lineage recomputes the scan+hash ~6x per run
     dfreq = shingles.groupBy("sh").agg(F.count(F.lit(1)).alias("dfreq"))
     wdoc = W.partitionBy(id_col)
     ranked = (

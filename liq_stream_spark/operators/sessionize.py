@@ -135,6 +135,10 @@ def sessionize_bucketed(
     # are orders of magnitude smaller than events, both union branches
     # read the same InMemoryRelation (the shared stage runs once), and an
     # executor loss recomputes from lineage instead of failing the query.
+    # No explicit unpersist: the returned frame is lazy, and Spark's
+    # ContextCleaner drops the cached blocks once the frame (and the
+    # plans referencing it) are garbage-collected driver-side, so
+    # repeated builds in one long session don't pin storage forever.
     local = _sessions_agg(numbered.groupBy(*keys, "__b", "__sid")).persist()
 
     # a session can cross a bucket edge only if it starts within `gap` of

@@ -700,7 +700,6 @@ def _d17_sql() -> str:
 def d17_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = spark.createDataFrame(_D17_CONFIGS, "b int, r int")
     grid = spark.range(1, 100).select(F.col("id").alias("i"))
-    s = F.col("i") / F.lit(100.0)
     s_pow_r = F.expr("aggregate(sequence(1, r), 1.0D, (a, x) -> a * (i / 100.0))")
     return (
         cfg.crossJoin(grid)

@@ -241,29 +241,30 @@ def q41_bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
     li_t, o_t = f"li_bucketed_{tag}", f"orders_bucketed_{tag}"
     root = f"/tmp/liq_stream_bucketed/{tag}"
-    if not (
-        spark.catalog.tableExists(li_t) and spark.catalog.tableExists(o_t)
-    ):
-        write_bucketed_table(
-            load(spark, sf_dir, "lineitem").select(
-                "l_orderkey", "l_extendedprice", "l_discount"
-            ),
-            li_t,
-            f"{root}/lineitem",
-            n_buckets=32,
-            bucket_cols=["l_orderkey"],
-            sort_cols=["l_orderkey"],
-        )
-        write_bucketed_table(
-            load(spark, sf_dir, "orders").select(
-                "o_orderkey", "o_orderdate", "o_orderpriority"
-            ),
-            o_t,
-            f"{root}/orders",
-            n_buckets=32,
-            bucket_cols=["o_orderkey"],
-            sort_cols=["o_orderkey"],
-        )
+    # always rewrite (mode=overwrite), matching the d15 builder: a
+    # tableExists guard could serve stale buckets after a fixture
+    # regeneration (the tag keys the PATH, not the content) or fail on a
+    # catalog entry whose /tmp files were cleaned away
+    write_bucketed_table(
+        load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        li_t,
+        f"{root}/lineitem",
+        n_buckets=32,
+        bucket_cols=["l_orderkey"],
+        sort_cols=["l_orderkey"],
+    )
+    write_bucketed_table(
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate", "o_orderpriority"
+        ),
+        o_t,
+        f"{root}/orders",
+        n_buckets=32,
+        bucket_cols=["o_orderkey"],
+        sort_cols=["o_orderkey"],
+    )
     li, orders = spark.table(li_t), spark.table(o_t)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     from liq_stream_spark.plans.tables import dsum

@@ -63,3 +63,53 @@ def test_coverage_green_ledger_in_sync():
         "COVERAGE.md green ledger drifted — run "
         "python -m liq_stream_spark.tools ledger"
     )
+
+
+def test_green_ledger_classification(tmp_path):
+    """A FAILED oracle comparison (matches false, err null) must NOT
+    register as a verification signal — it would sort the failing query
+    LAST in the harness priority order exactly when it most needs
+    re-verification. Only full green or the explicit no_oracle marker
+    count."""
+    import json
+
+    from liq_stream_spark.tools import green_ledger
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "good": {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": True,
+                    "spark_rows": 5,
+                    "err": None,
+                },
+                "rowsonly": {
+                    "rows_match": None,
+                    "schema_match": None,
+                    "hash_match": None,
+                    "spark_rows": 5,
+                    "err": "no_oracle",
+                },
+                "mismatch": {
+                    "rows_match": False,
+                    "schema_match": True,
+                    "hash_match": False,
+                    "spark_rows": 5,
+                    "err": None,
+                },
+                "errored": {
+                    "rows_match": None,
+                    "schema_match": None,
+                    "hash_match": None,
+                    "spark_rows": None,
+                    "err": "boom",
+                },
+            }
+        )
+    )
+    assert green_ledger(root=str(tmp_path)) == {
+        "good": {"round": 1, "kind": "green"},
+        "rowsonly": {"round": 1, "kind": "rows-only"},
+    }
