@@ -2,10 +2,13 @@
 
 ``entry(spark)`` runs the flagship query at sf0.001; ``queries()`` exposes
 every implemented operator as (spark, sf_dir) -> DataFrame; ``oracle_sql()``
-gives the DuckDB-equivalent SQL per query (omitted for the non-SQL-
-expressible ones — venue wire-format normalizers, LSH-bucketed ops — which
-get rows-only checks; their correctness gates are the golden tests in
-tests/).
+gives the DuckDB-equivalent SQL per query. 98 of 100 entries are oracled;
+the two rows-only remainders each have an inherent reason (the full
+10-column normalizer union's ``raw`` re-serialization is wire-format-
+specific — its 9 value-checkable columns are oracled via
+``liq_unified_rows`` — and q30's sketches are engine-specific, with exact
+companions oracled) and their correctness gates are the golden tests in
+tests/.
 
 All real logic lives in the liq_stream_spark package (plans/ registry);
 this module is a thin adapter over it.
