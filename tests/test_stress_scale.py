@@ -1,0 +1,116 @@
+"""Env-gated volume stress test for the fuzzy-dedup chain.
+
+Run with LIQ_STRESS=1 (skipped by default — ~1-2 min): generates 200k
+synthetic docs JVM-side with planted near-dup families and drives
+MinHash signing -> banded LSH (bucket-capped) -> star edges ->
+connected components at a scale where a quadratic regression or a
+skew-unsafe plan is felt, not just read about.
+"""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("LIQ_STRESS"),
+    reason="volume stress test; set LIQ_STRESS=1 to run",
+)
+
+N_DOCS = int(os.environ.get("LIQ_STRESS_DOCS", "200000"))
+FAMILY_EVERY = 1000  # ids [k, k+5) share a base text for k % 1000 == 0
+FAMILY_SIZE = 5
+
+
+def _synth_docs(spark, n):
+    """Deterministic corpus: 30 pseudo-words from md5(base_id, j); family
+    members share base_id and differ only by a tiny ' v<i>' suffix, so
+    within-family 3-gram Jaccard is ~0.95+ and cross-family text is
+    unrelated."""
+    base = F.when(
+        (F.col("id") % FAMILY_EVERY) < FAMILY_SIZE,
+        F.col("id") - (F.col("id") % FAMILY_EVERY),
+    ).otherwise(F.col("id"))
+    words = F.expr(
+        "concat_ws(' ', transform(sequence(1, 30), "
+        "j -> substring(md5(concat(base_id, '-', j)), 1, 8)))"
+    )
+    return (
+        spark.range(n)
+        .withColumn("base_id", base)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                words, F.lit(" v"), (F.col("id") % FAMILY_EVERY).cast("string")
+            ).alias("text"),
+        )
+    )
+
+
+def test_verified_dedup_chain_at_volume(spark):
+    """Drives the d14 PRODUCTION chain (LSH candidates -> MinHash
+    Jaccard-estimate threshold -> components). The verification step is
+    load-bearing at this scale, not a refinement: 200k docs is 2e10
+    pairs, so even the ~(s^4)x4 ~ 5e-7 random band-collision rate of the
+    (b=4, r=4) banding yields tens of thousands of spurious candidates,
+    and UNVERIFIED transitive closure chains them into mega-clusters
+    (observed: a 1.9k-doc component). The estimate filter (>=8/16
+    agreeing permutations) kills random pairs (est ~0.03) while
+    within-family pairs (jaccard ~0.95) sail through."""
+    from liq_stream_spark.operators.dedup import (
+        dedup_clusters,
+        lsh_candidate_pairs_banded,
+        minhash_jaccard_estimates,
+        minhash_sig_arrays,
+    )
+
+    docs = _synth_docs(spark, N_DOCS)
+    n_families = N_DOCS // FAMILY_EVERY
+
+    t0 = time.time()
+    sigs = minhash_sig_arrays(docs).localCheckpoint(eager=True)
+    t_sign = time.time() - t0
+
+    t0 = time.time()
+    cand = lsh_candidate_pairs_banded(sigs, max_bucket=1000)
+    verified = (
+        minhash_jaccard_estimates(sigs, cand)
+        .filter(F.col("n_agree") >= 8)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    n_cand, n_verified = cand.count(), verified.count()
+    t_verify = time.time() - t0
+
+    t0 = time.time()
+    clusters = dedup_clusters(verified)
+    rows = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()
+    t_cluster = time.time() - t0
+
+    sizes = sorted((r["n"] for r in rows), reverse=True)
+    full_families = sum(1 for s in sizes if s == FAMILY_SIZE)
+    print(
+        f"\nstress: {N_DOCS} docs, sign={t_sign:.1f}s, "
+        f"verify={t_verify:.1f}s ({n_cand} cand -> {n_verified} pairs), "
+        f"cluster={t_cluster:.1f}s, clusters={len(sizes)}, "
+        f"full families={full_families}/{n_families}, max={sizes[0]}"
+    )
+    # recovery: within-family jaccard ~0.95 -> band collision ~certain,
+    # estimate >= 8/16 near-certain; require >=95% of families intact
+    assert full_families >= 0.95 * n_families
+    # precision: the verification filter must stop random band
+    # collisions from chaining into mega-clusters. A HANDFUL of
+    # borderline merges is expected statistics, not a bug: a candidate
+    # pair already agrees on its colliding band's 4 permutations, so the
+    # 16-perm estimate is biased high for it (P(>=8/16 | band hit at
+    # s~0.03) ~ 4e-4, x ~1.4e5 candidates ~ tens possible) — production
+    # pipelines that need zero false merges re-verify with the exact
+    # d04/d16 join. What must NEVER happen is the unverified chain's
+    # mega-cluster (observed 1.9k docs without this filter).
+    assert sizes[0] <= FAMILY_SIZE + 2, sizes[:5]
+    assert sum(1 for s in sizes if s > FAMILY_SIZE) <= 5
+    # a quadratic regression shows up as minutes, not seconds
+    assert t_sign + t_verify + t_cluster < 600
