@@ -640,7 +640,17 @@ def dedup_clusters(
 ) -> DataFrame:
     """Cluster view of a near-dup pair list: per node its cluster id (min
     reachable node), the cluster size, and whether this node is the
-    canonical representative the pipeline would keep."""
+    canonical representative the pipeline would keep.
+
+    SCALE GUIDANCE: feed this VERIFIED pairs, not raw LSH candidates.
+    Transitive closure amplifies false positives — at 200k docs the
+    (b=4, r=4) banding's ~5e-7 random collision rate over 2e10 pairs
+    already chains unrelated docs into a ~2k-doc mega-cluster
+    (measured: tests/test_stress_scale.py), while the same corpus
+    through the d14 chain (minhash_jaccard_estimates threshold first)
+    clusters cleanly. Candidate components (d06's registered form) are
+    for bucket diagnostics; keep-one-per-cluster decisions belong on
+    the verified chain."""
     cc = connected_components(pairs, id_a, id_b)
     sizes = cc.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
