@@ -76,6 +76,16 @@ def main() -> None:
         .save()
     )
 
+    # informative single-run timings for operators added after the
+    # headline set froze — NOT part of the headline total, so
+    # cross-round totals stay comparable
+    extra_names = [
+        "d14_verified_dedup_clusters",
+        "d16_jaccard_prefix_filter",
+        "s09_ivf_topk_pruned",
+        "t12_winnowing_fingerprints",
+    ]
+
     runs = max(1, int(os.environ.get("BENCH_RUNS", "2")))
     cold: dict[str, float] = {}
     steady: dict[str, float] = {}
@@ -90,6 +100,16 @@ def main() -> None:
                 cold[name] = round(dt, 3)
             best = min(best, dt)
         steady[name] = round(best, 3)
+
+    extra: dict[str, float] = {}
+    for name in extra_names:
+        if name not in REGISTRY:
+            continue
+        t0 = time.perf_counter()
+        REGISTRY[name].build(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        extra[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(steady.values()), 3)
     print(
@@ -111,6 +131,7 @@ def main() -> None:
                 "runs_per_query": runs,
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "cold_queries": cold,
+                "extra_queries_single_run": extra,
             }
         )
     )

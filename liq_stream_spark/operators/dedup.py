@@ -949,11 +949,48 @@ def ngram_jaccard_pairs_prefix(
         - F.ceil(F.col("n_sh") * F.lit(threshold) - F.lit(1e-9))
         + F.lit(1)
     )
-    prefix = ranked.filter(F.col("rn") <= prefix_len).select(id_col, "sh")
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select(
+        id_col, "sh", "rn", "n_sh"
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"),
+        "sh",
+        F.col("rn").alias("__ia"),
+        F.col("n_sh").alias("__na"),
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("rn").alias("__ib"),
+        F.col("n_sh").alias("__nb"),
+    )
+    eps = F.lit(1e-9)
+    # PPJoin's two LOSSLESS per-occurrence prunes, applied inside the
+    # join so hot boilerplate prefix tokens never expand quadratically:
+    # - length filter: J >= t forces t*|A| <= |B| (and symmetrically)
+    # - positional filter: a shared token at canonical positions
+    #   (ia, ib) bounds the overlap by 1 + min(|A|-ia, |B|-ib); if that
+    #   can't reach the required t/(1+t)*(|A|+|B|), this occurrence
+    #   cannot be the pair's first common token and is droppable —
+    #   a truly similar pair always survives via its first common
+    #   token, whose positions are minimal (ubound maximal)
+    required = F.ceil(
+        (F.col("__na") + F.col("__nb")) * F.lit(threshold / (1.0 + threshold))
+        - eps
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("__na") - F.col("__ia"), F.col("__nb") - F.col("__ib")
+    )
     cand = (
-        prefix.select(F.col(id_col).alias("id_a"), "sh")
-        .join(prefix.select(F.col(id_col).alias("id_b"), "sh"), "sh")
+        a.join(b, a.sh == b.sh_b)
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.col("__nb") >= F.ceil(F.col("__na") * F.lit(threshold) - eps)
+        )
+        .filter(
+            F.col("__na") >= F.ceil(F.col("__nb") * F.lit(threshold) - eps)
+        )
+        .filter(ubound >= required)
         .select("id_a", "id_b")
         .distinct()
     )

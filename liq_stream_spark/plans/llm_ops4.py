@@ -552,10 +552,17 @@ def _d16_sql() -> str:
     "equi-join ships only each doc's rarest-(1-t) tokens under a global "
     "df-ascending order — provably no false negatives, and the "
     "boilerplate hot shingles that force d04's lossy max_doc_freq valve "
-    "never reach the join. Candidates verify with an exact in-row set "
-    "intersection, so the RESULT is identical to d04's full "
-    "inverted-index join — same oracle SQL, cheaper plan class — the "
-    "lossless counterpart to the d08 cap.",
+    "never reach the join; PPJoin's lossless length + positional "
+    "filters prune occurrences inside the join before expansion. "
+    "Candidates verify with an exact in-row set intersection, so the "
+    "RESULT is identical to d04's full inverted-index join — same "
+    "oracle SQL, cheaper plan class (measured at sf0.1 on the "
+    "template-heavy fixture: 86 s vs d04's 390 s, identical 905 "
+    "pairs). The residual cost is near-threshold template clusters "
+    "that genuinely need verification — the point where production "
+    "pipelines switch to the approximate minhash chain (d14: ~10 s on "
+    "the same corpus); this operator is the exact verifier you run on "
+    "the subsets that matter.",
 )
 def d16_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from liq_stream_spark.operators.dedup import ngram_jaccard_pairs_prefix
