@@ -273,7 +273,7 @@ def temperature_mix(
     Output per stratum: (stratum, n_corpus_docs, rate_bp, n_kept_docs).
     Scale shape: one tiny per-stratum agg, a broadcast rates join, one
     narrow filter pass — the corpus never shuffles."""
-    from liq_stream_spark.operators.text import SPLIT_MOD
+    from liq_stream_spark.operators.text import SPLIT_MOD, md5_bucket
 
     counts = docs.groupBy(strata_col).agg(
         F.count(F.lit(1)).alias("n_corpus_docs")
@@ -311,12 +311,8 @@ def temperature_mix(
         )
         .select(strata_col, "n_corpus_docs", "rate_bp")
     )
-    key = f"concat('{salt}', ':', CAST({id_col} AS STRING))"
-    bucket = F.expr(
-        f"CAST(conv(substring(md5({key}), 1, 8), 16, 10) AS BIGINT) % {SPLIT_MOD}"
-    )
     kept = (
-        docs.select(strata_col, bucket.alias("__bkt"))
+        docs.select(strata_col, md5_bucket(id_col, salt).alias("__bkt"))
         .join(F.broadcast(rates), strata_col)
         .filter(F.col("__bkt") < F.col("rate_bp"))
         .groupBy(strata_col)

@@ -225,7 +225,15 @@ def lsh_candidate_pairs_banded(
 def _banded_keys(
     sig_wide: DataFrame, id_col: str, bands: int, rows_per_band: int
 ) -> DataFrame:
-    """(id, band, band_key) rows sliced in-row out of array-form signatures."""
+    """(id, band, band_key) rows sliced in-row out of array-form signatures.
+
+    Bands whose slice falls entirely past the signature length yield an
+    empty key and are DROPPED — the long-form path simply has no rows for
+    those bands, and keeping '' keys would put every document in one
+    degenerate bucket (all-pairs candidates, or a silently vanished
+    bucket under max_bucket). A real band key is never empty (minhash
+    values always print), so the filter is exact long-form parity even
+    for misconfigured bands*rows_per_band > k."""
     return sig_wide.select(
         F.col(id_col),
         F.posexplode(
@@ -242,7 +250,7 @@ def _banded_keys(
                 ]
             )
         ).alias("band", "band_key"),
-    )
+    ).filter(F.col("band_key") != "")
 
 
 def minhash_jaccard_estimates(
@@ -665,7 +673,10 @@ def dedup_clusters(
 
 
 def dedup_survivors(
-    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    broadcast_clusters: bool = True,
 ) -> DataFrame:
     """The keep-one-per-cluster decision applied to the corpus: every doc
     that is either outside all near-dup clusters (cluster_size 1) or the
@@ -687,10 +698,22 @@ def dedup_survivors(
     keep_sizes = clusters.filter(F.col("is_canonical")).select(
         F.col("doc_id").alias(id_col), "cluster_size"
     )
+    # broadcast_clusters=True (default) keeps the corpus from ever
+    # shuffling for the survivor stitch — correct whenever the cluster
+    # membership is a small fraction of the corpus (the common case, and
+    # what the d07 plan pin asserts). On a DUP-HEAVY corpus (e.g. a
+    # 40%-duplicate crawl at 100 TB) the drop set is billions of ids and
+    # a forced broadcast would OOM the driver: pass False there and the
+    # stitch becomes a plain equi-join the engine plans from actual
+    # sizes. The knob exists because neither regime's plan is safe in
+    # the other — AQE cannot see through the lazy checkpoint's unknown
+    # size stats to make the call for you.
+    if broadcast_clusters:
+        drop, keep_sizes = F.broadcast(drop), F.broadcast(keep_sizes)
     return (
         docs.select(id_col)
-        .join(F.broadcast(drop), id_col, "left_anti")
-        .join(F.broadcast(keep_sizes), id_col, "left")
+        .join(drop, id_col, "left_anti")
+        .join(keep_sizes, id_col, "left")
         .na.fill(1, ["cluster_size"])
         .select(id_col, F.col("cluster_size").cast("long"))
     )

@@ -63,9 +63,16 @@ def interval_join(
     pts = rows.withColumn("__bucket", F.floor(ms(time_col) / b))
 
     if how == "left":
-        # row identity for the re-entry of unmatched rows; valid within
-        # this one plan evaluation, never exposed in the output
-        pts = pts.withColumn("__rid", F.monotonically_increasing_id())
+        # row identity for the re-entry of unmatched rows; never exposed
+        # in the output. monotonically_increasing_id is only stable
+        # within ONE evaluation, and the matched and anti-join branches
+        # each evaluate this subtree — materialize it once so both read
+        # the SAME id assignment (otherwise a nondeterministically
+        # ordered input, e.g. round-robin repartition, gets different
+        # ids per branch: unmatched rows lost, matched rows duplicated)
+        pts = pts.withColumn(
+            "__rid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
 
     cond = [pts["__bucket"] == ivals["__bucket"]] + [
         pts[k] == ivals[k] for k in keys

@@ -126,6 +126,8 @@ def image_features(df: DataFrame) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
+            if not len(pdf):  # empty Arrow batch: reshape(0, -1) raises
+                continue
             digests = [
                 hashlib.sha256(bytes(c) if c is not None else b"").digest()
                 for c in pdf["content"]

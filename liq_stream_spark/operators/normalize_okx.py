@@ -27,6 +27,12 @@ from liq_stream_spark.schema import OKX_FRAME_SCHEMA
 
 
 def normalize_okx(frames: DataFrame, market: str = "usdt") -> DataFrame:
+    # lowercase like every adapter in the reference (okx_adapter.py:28
+    # `(market or "").lower()`); the accepted aliases and the VERBATIM
+    # market label in the output ("coinm"/"inverse" are not folded to
+    # "coin") are reference parity — okx_adapter.py:95 emits self.market
+    # as passed
+    market = (market or "").lower()
     if market not in ("usdt", "coin", "coinm", "inverse"):
         raise ValueError(f"Unknown OKX market: {market}")
 

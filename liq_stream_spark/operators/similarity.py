@@ -39,7 +39,12 @@ def _norm(a: str) -> Column:
 
 
 def cosine(a: str, b: str) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # NULL (not a DIVIDE_BY_ZERO abort under ANSI mode) for zero-magnitude
+    # vectors, matching the Arrow path where 0/0 NaN crosses as NULL —
+    # degenerate embeddings drop from pair/neighbor output instead of
+    # failing the job or ranking arbitrarily
+    den = _norm(a) * _norm(b)
+    return F.when(den != 0, _dot(a, b) / den)
 
 
 try:  # Arrow fast path; expression fallback keeps the operator dependency-free
@@ -64,7 +69,12 @@ def cosine_fast(a: str, b: str) -> Column:
         bm = np.stack(bv.to_numpy()).astype(np.float64)
         num = (am * bm).sum(axis=1)
         den = np.sqrt((am * am).sum(axis=1)) * np.sqrt((bm * bm).sum(axis=1))
-        return pd.Series(num / den)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = num / den
+        # zero-magnitude vectors -> NaN -> NULL in Spark, matching the
+        # expression fallback's explicit zero-denominator guard
+        out[den == 0] = np.nan
+        return pd.Series(out)
 
     return _cos(a, b)
 

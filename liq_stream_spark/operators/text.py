@@ -422,8 +422,14 @@ def fingerprint(col_name: str, n: int = 3) -> Column:
     differently); the integer sum is order-of-evaluation-independent, so
     the DuckDB oracle reproduces it exactly."""
     h = char_ngram_hash_sql(col_name, n)
+    # explicit NULL arm: a bare length() < n guard is NULL (not true) on
+    # NULL text and would fall into the ELSE, where zip_with against the
+    # descending sequence(1, 0) yields a NULL fingerprint — and NULL
+    # fingerprints silently drop from downstream equality joins instead
+    # of grouping with the documented 0-for-degenerate-docs sentinel
     return F.expr(
-        f"CASE WHEN length({col_name}) < {n} THEN 0L ELSE "
+        f"CASE WHEN {col_name} IS NULL OR length({col_name}) < {n} "
+        f"THEN 0L ELSE "
         f"aggregate(zip_with({h}, sequence(1, size({h})), "
         f"(x, i) -> x * i), 0L, (acc, v) -> acc + v) % {MASK32} END"
     ).cast("long")
@@ -592,6 +598,21 @@ def vocab_coverage(
 SPLIT_MOD = 10_000
 
 
+
+def md5_bucket(id_col: str, salt: str) -> Column:
+    """Deterministic bucket in [0, SPLIT_MOD): int(md5('<salt>:<id>')[:8
+    hex]) % SPLIT_MOD. THE membership primitive for splits, sampling and
+    mixing — one definition so the rule mirrored in every DuckDB oracle
+    cannot drift between call sites. Pure function of (salt, id): stable
+    under repartition and corpus growth. md5 (not a polynomial fold)
+    because sequential/zero-padded ids must still spread uniformly."""
+    key = f"concat('{salt}', ':', CAST({id_col} AS STRING))"
+    return F.expr(
+        f"CAST(conv(substring(md5({key}), 1, 8), 16, 10) AS BIGINT) "
+        f"% {SPLIT_MOD}"
+    ).cast("long")
+
+
 def hash_split(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -609,10 +630,7 @@ def hash_split(
     still spread uniformly over bucket space; a rolling hash maps
     consecutive ids to consecutive buckets and can starve a whole split.
     Narrow projection, zero shuffle."""
-    key = f"concat('{salt}', ':', CAST({id_col} AS STRING))"
-    bucket = F.expr(
-        f"CAST(conv(substring(md5({key}), 1, 8), 16, 10) AS BIGINT) % {SPLIT_MOD}"
-    ).cast("long")
+    bucket = md5_bucket(id_col, salt)
     train_hi = SPLIT_MOD * train_pct // 100
     val_hi = train_hi + SPLIT_MOD * val_pct // 100
     return df.withColumn("bucket", bucket).withColumn(
@@ -785,10 +803,7 @@ def stratified_sample(
     of everything else — with membership a pure function of (salt, id),
     so re-runs, repartitions, and corpus growth never change a kept set
     retroactively. Narrow projection + filter, zero shuffle."""
-    key = f"concat('{salt}', ':', CAST({id_col} AS STRING))"
-    bucket = F.expr(
-        f"CAST(conv(substring(md5({key}), 1, 8), 16, 10) AS BIGINT) % {SPLIT_MOD}"
-    ).cast("long")
+    bucket = md5_bucket(id_col, salt)
     threshold = F.lit(default_bp)
     for stratum, bp in sorted(rates_bp.items()):
         threshold = F.when(

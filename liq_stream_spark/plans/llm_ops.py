@@ -160,7 +160,7 @@ def t02_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t03_fingerprint",
     f"""
     SELECT doc_id,
-           (CASE WHEN length(text) < 3 THEN 0
+           (CASE WHEN text IS NULL OR length(text) < 3 THEN 0
                  ELSE list_sum(list_transform(range(1, greatest(length(text)-2, 0)+1),
                       i -> i * ((ascii(substr(text, i::INT, 1))::BIGINT*17161
                                + ascii(substr(text, i::INT+1, 1))::BIGINT*131

@@ -61,8 +61,25 @@ CHANGED_SINCE_GREEN: list[str] = [
     "d16_jaccard_prefix_filter",
     "p09_temperature_mix",
     "d17_lsh_tuning_curve",
+    # operator-level review fixes late in r4 (results unchanged on the
+    # fixtures, but the code under these greens moved): fingerprint NULL
+    # arm (t03), _banded_keys ''-key drop (d03/d06/d10/d14), survivor
+    # broadcast knob (d07), interval-join rid materialization (q32),
+    # md5_bucket extraction (p02/p04), cosine zero-norm guard (s01-s03)
+    "t03_fingerprint",
+    "q32_interval_join",
+    "p02_hash_split",
+    "p04_stratified_sample",
     # pandas-UDF / k-means entries after
     "m01_multimodal_pipeline",
+    "d03_minhash_lsh_pairs",
+    "d06_dedup_clusters",
+    "d07_dedup_survivors",
+    "d10_incremental_dedup",
+    "d14_verified_dedup_clusters",
+    "s01_cosine_topk",
+    "s02_knn_label_vote",
+    "s03_cosine_near_dup_pairs",
     "s04_cosine_topk_lsh",
     "s05_cosine_near_dup_lsh",
     "s06_ivf_topk",

@@ -481,3 +481,72 @@ def test_prefix_filter_equals_inverted_index_and_prunes(spark):
         <= F.col("n_sh") - F.ceil(F.col("n_sh") * 0.7 - 1e-9) + 1
     ).count()
     assert 0 < n_prefix < 0.45 * n_all, (n_prefix, n_all)
+
+
+def test_banded_keys_overconfigured_bands_match_long_form(spark):
+    """bands*rows_per_band > k must NOT create a degenerate ''-key bucket
+    (which would make every doc a candidate of every other): the
+    array-form path drops past-the-end bands, exactly like the long-form
+    groupBy which simply has no rows for them."""
+    from liq_stream_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_banded,
+        minhash_sig_arrays,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over a lazy dog"),
+         (2, "entirely unrelated content about database engines"),
+         (3, "the quick brown fox jumps over a lazy dog!")],
+        "doc_id long, text string",
+    )
+    wide = minhash_sig_arrays(docs)
+    longf = minhash_signatures(docs)
+    for bands, rpb in [(8, 4), (4, 4), (5, 3)]:
+        got = {
+            tuple(r)
+            for r in lsh_candidate_pairs_banded(
+                wide, bands=bands, rows_per_band=rpb, max_bucket=None
+            ).collect()
+        }
+        want = {
+            tuple(r)
+            for r in lsh_candidate_pairs(
+                longf, bands=bands, rows_per_band=rpb, max_bucket=None
+            ).collect()
+        }
+        assert got == want, (bands, rpb, got, want)
+    # the near-identical pair must be found, the unrelated doc must not
+    # pair with everything
+    assert (1, 3) in got and (1, 2) not in got
+
+
+def test_cosine_zero_vector_yields_null_not_error(spark):
+    """Zero-magnitude embeddings must produce NULL cosine (dropping from
+    pair/neighbor output) in BOTH the expression fallback and the Arrow
+    path — under ANSI mode an unguarded x/0.0 aborts the whole job."""
+    from liq_stream_spark.operators.similarity import cosine, cosine_fast
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0], [1.0, 2.0]),
+         (2, [1.0, 0.0], [1.0, 0.0])],
+        "id long, a array<double>, b array<double>",
+    )
+    for fn in (cosine, cosine_fast):
+        got = {r["id"]: r["c"] for r in
+               df.select("id", fn("a", "b").alias("c")).collect()}
+        assert got[1] is None, fn.__name__
+        assert abs(got[2] - 1.0) < 1e-12, fn.__name__
+
+
+def test_fingerprint_null_text_is_zero(spark):
+    from liq_stream_spark.operators.text import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "ab"), (4, "abcd")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["fp"] for r in
+           df.select("doc_id", fingerprint("text").alias("fp")).collect()}
+    assert got[1] == 0 and got[2] == 0 and got[3] == 0 and got[4] != 0
