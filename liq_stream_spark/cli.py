@@ -189,7 +189,13 @@ def main(argv=None) -> None:
         dashboard_console=args.dashboard,
         available_now=args.drain,
     )
-    query.awaitTermination()
+    try:
+        query.awaitTermination()
+    finally:
+        # stop any HL tail-relay daemon threads with the query — they
+        # poll and write chunk files every 0.15 s until told otherwise
+        for relay in getattr(query, "_hl_relays", []):
+            relay.stop()
 
 
 if __name__ == "__main__":

@@ -130,7 +130,9 @@ BEGIN
         SELECT 1 FROM pg_class c
         JOIN pg_namespace n ON n.oid = c.relnamespace
         WHERE c.relname = '{idx_time}'
-          AND n.nspname = COALESCE(split_part('{table}', '.', 1), 'public')
+          AND n.nspname = CASE WHEN position('.' IN '{table}') > 0
+                               THEN split_part('{table}', '.', 1)
+                               ELSE 'public' END
     ) THEN
         EXECUTE 'CREATE INDEX {idx_time} ON {table} (ts_exch_ms)';
     END IF;
@@ -139,7 +141,9 @@ BEGIN
         SELECT 1 FROM pg_class c
         JOIN pg_namespace n ON n.oid = c.relnamespace
         WHERE c.relname = '{idx_sym_time}'
-          AND n.nspname = COALESCE(split_part('{table}', '.', 1), 'public')
+          AND n.nspname = CASE WHEN position('.' IN '{table}') > 0
+                               THEN split_part('{table}', '.', 1)
+                               ELSE 'public' END
     ) THEN
         EXECUTE 'CREATE INDEX {idx_sym_time} ON {table} (exchange, market, symbol, ts_exch_ms)';
     END IF;
@@ -188,7 +192,7 @@ WITH claim AS (
   ON CONFLICT (epoch_id) DO NOTHING
   RETURNING epoch_id
 )
-INSERT INTO {table}
+INSERT INTO {table} ({columns})
 SELECT {columns} FROM {staging}
 WHERE EXISTS (SELECT 1 FROM claim)
 """

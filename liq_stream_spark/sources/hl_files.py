@@ -96,8 +96,22 @@ class HLTailRelay:
     - On rotation/truncation the file is reopened at EOF, matching the
       reference's ``_open_follow`` (content rewritten in place is
       unrecoverable either way).
-    The downstream keyed dedup (tid|user|coin) makes replays across
-    restarts harmless, exactly as it does for the reference's ring."""
+
+    RESTART SAFETY (a persisted ``relay_dir`` across runs):
+    - chunk names are sequence-numbered, and the sequence RESUMES from
+      the highest existing chunk on start — a restarted relay can never
+      rename over (and silently destroy) a chunk the stream already
+      consumed;
+    - relay progress (source file + byte offset of the last emitted
+      complete line) persists to ``relay_dir/_relay_state.meta`` after
+      every emit, and ``catch_up`` resumes FROM that position instead of
+      replaying the whole hour-file history — re-emission across a
+      restart is bounded to at most the partial line in flight, well
+      inside the downstream keyed dedup's (tid|user|coin) horizon.
+      (``catch_up=False`` keeps reference tail-from-EOF parity and
+      ignores saved state.)"""
+
+    _STATE = "_relay_state.meta"  # no .txt: out of consumer globs too
 
     def __init__(
         self,
@@ -120,6 +134,15 @@ class HLTailRelay:
 
     def start(self) -> "HLTailRelay":
         self.relay_dir.mkdir(parents=True, exist_ok=True)
+        # resume the chunk sequence past any chunks a previous relay
+        # instance published — colliding names would os.rename OVER files
+        # the stream's checkpoint already marked processed (silent loss)
+        existing = [
+            int(p.name[:8])
+            for p in self.relay_dir.glob("[0-9]*_*.txt")
+            if p.name[:8].isdigit()
+        ]
+        self._seq = max(existing) + 1 if existing else 0
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
         return self
@@ -129,25 +152,51 @@ class HLTailRelay:
         if self._thread:
             self._thread.join(timeout=timeout)
 
+    # -- persisted progress -------------------------------------------------
+
+    def _save_state(self, src: Path, emitted_off: int) -> None:
+        tmp = self.relay_dir / f"_{self._STATE}.tmp"
+        tmp.write_text(
+            f"{src.parent.name}\t{src.name}\t{emitted_off}\n",
+            encoding="utf-8",
+        )
+        os.rename(tmp, self.relay_dir / self._STATE)
+
+    def _load_state(self) -> tuple[tuple[int, int], int] | None:
+        """((day, hour), byte offset of the last emitted complete line)."""
+        try:
+            day, hour, off = (
+                (self.relay_dir / self._STATE)
+                .read_text(encoding="utf-8")
+                .split("\t")
+            )
+            return (int(day), int(hour)), int(off)
+        except (OSError, ValueError):
+            return None
+
+    @staticmethod
+    def _key(p: Path) -> tuple[int, int]:
+        return (int(p.parent.name), int(p.name))
+
     # -- relay -------------------------------------------------------------
 
-    def _emit(self, lines: list[str], src: Path) -> None:
-        if not lines:
-            return
-        name = f"{self._seq:08d}_{src.parent.name}_{src.name}.txt"
-        # `_` prefix hides it from Spark's file source; `.tmp` suffix keeps
-        # it out of any consumer's `*.txt` glob until the atomic rename.
-        tmp = self.relay_dir / f"_tmp_{name}.tmp"
-        tmp.write_text("\n".join(lines) + "\n", encoding="utf-8")
-        os.rename(tmp, self.relay_dir / name)  # atomic publish
-        self._seq += 1
+    def _emit(self, lines: list[str], src: Path, emitted_off: int) -> None:
+        if lines:
+            name = f"{self._seq:08d}_{src.parent.name}_{src.name}.txt"
+            # `_` prefix hides it from Spark's file source; `.tmp` suffix
+            # keeps it out of any `*.txt` glob until the atomic rename.
+            tmp = self.relay_dir / f"_tmp_{name}.tmp"
+            tmp.write_text("\n".join(lines) + "\n", encoding="utf-8")
+            os.rename(tmp, self.relay_dir / name)  # atomic publish
+            self._seq += 1
+        self._save_state(src, emitted_off)
 
     def _run(self) -> None:
         current: Path | None = None
         f = None
         ino = -1
         pos = 0
-        buf = ""
+        buf = b""  # binary mode throughout: state offsets are byte-exact
 
         def open_at(path: Path, offset: int):
             nonlocal f, ino, pos, buf, current
@@ -156,15 +205,24 @@ class HLTailRelay:
                     f.close()
                 except OSError:
                     pass
-            f = open(path, "r", encoding="utf-8")
+            f = open(path, "rb")
             if offset < 0:
                 f.seek(0, os.SEEK_END)
             else:
                 f.seek(offset)
             ino = os.fstat(f.fileno()).st_ino
             pos = f.tell()
-            buf = ""
+            buf = b""
             current = path
+
+        def lines_of(data: bytes) -> list[str]:
+            # data always ends at a line boundary, so utf-8 decode is safe
+            # (multibyte sequences never span a newline)
+            return [
+                ln
+                for ln in data.decode("utf-8", errors="replace").split("\n")
+                if ln.strip()
+            ]
 
         try:
             # wait for the first hour file (":280-284")
@@ -177,17 +235,26 @@ class HLTailRelay:
                 return
 
             if self.catch_up:
+                state = self._load_state()
                 for p in _iter_hour_files(self.root):
                     if self._stop.is_set():
                         return
+                    start_off = 0
+                    if state is not None:
+                        if self._key(p) < state[0]:
+                            continue  # fully relayed by a previous run
+                        if self._key(p) == state[0]:
+                            start_off = state[1]
                     if p == latest:
-                        # read fully, then CONTINUE from this offset
-                        open_at(p, 0)
+                        # emit nothing yet: the tail loop reads from
+                        # start_off and CONTINUES — no gap, no overlap
+                        open_at(p, start_off)
                     else:
-                        text = p.read_text(encoding="utf-8")
-                        self._emit(
-                            [ln for ln in text.split("\n") if ln.strip()], p
-                        )
+                        with open(p, "rb") as g:
+                            g.seek(start_off)
+                            data = g.read()
+                            end_off = g.tell()
+                        self._emit(lines_of(data), p, end_off)
                 if current is None:
                     open_at(latest, 0)
             else:
@@ -202,8 +269,7 @@ class HLTailRelay:
                         tail = f.read()
                         pos = f.tell()
                         buf += tail
-                        last = [ln for ln in buf.split("\n") if ln.strip()]
-                        self._emit(last, current)
+                        self._emit(lines_of(buf), current, pos)
                         open_at(latest, 0)  # new hour read from the top
                     last_roll = time.monotonic()
 
@@ -216,10 +282,10 @@ class HLTailRelay:
                     continue
                 pos = f.tell()
                 buf += chunk
-                complete, _, buf = buf.rpartition("\n")
-                self._emit(
-                    [ln for ln in complete.split("\n") if ln.strip()], current
-                )
+                complete, _, buf = buf.rpartition(b"\n")
+                # state records the offset of the last emitted COMPLETE
+                # line; the partial tail in `buf` re-reads after a restart
+                self._emit(lines_of(complete), current, pos - len(buf))
         finally:
             if f is not None:
                 try:

@@ -114,6 +114,17 @@ def fetch_bybit_symbols(
         r = requests.get(url, params=params, timeout=20)
         r.raise_for_status()
         data = r.json()
+    # Bybit v5 reports API errors IN-BODY with HTTP 200 (retCode != 0,
+    # e.g. 10001 params error / rate limit): without this check a bad or
+    # throttled request would resolve to an empty symbol list and a
+    # silent zero-channel subscription — exactly the failure mode the
+    # errors-propagate deviation exists to prevent
+    ret_code = (data or {}).get("retCode", 0)
+    if ret_code not in (0, None):
+        raise OSError(
+            f"instruments-info retCode {ret_code} from {url}: "
+            f"{(data or {}).get('retMsg', '')!r}"
+        )
     items = (data or {}).get("result", {}).get("list", []) or []
     return [it["symbol"] for it in items if it.get("symbol")]
 
@@ -131,24 +142,44 @@ class _WSPump:
         self.frames: queue.Queue[str] = queue.Queue(maxsize=100_000)
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
+        self._loop = None  # the pump's asyncio loop, for threadsafe cancel
+        self._task = None
 
     def start(self) -> None:
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
-    def stop(self) -> None:
+    def stop(self, timeout: float = 5.0) -> None:
+        """Best-effort teardown: the stop event alone is only observed
+        between frames, and a quiet venue blocks in recv() forever — so
+        also cancel the pump task thread-safely, which raises
+        CancelledError out of the await and lets the connect context
+        manager close the socket."""
         self._stop.set()
+        loop, task = self._loop, self._task
+        if loop is not None and task is not None:
+            try:
+                loop.call_soon_threadsafe(task.cancel)
+            except RuntimeError:  # loop already closed
+                pass
+        if self._thread is not None:
+            self._thread.join(timeout=timeout)
 
     # -- protocol ----------------------------------------------------------
 
     def _run(self) -> None:
         import asyncio
 
-        asyncio.run(self._pump())
+        try:
+            asyncio.run(self._pump())
+        except asyncio.CancelledError:  # clean stop() cancellation
+            pass
 
     async def _pump(self) -> None:
         import asyncio
 
+        self._loop = asyncio.get_running_loop()
+        self._task = asyncio.current_task()
         try:
             if os.environ.get("LIQ_FORCE_MINIWS") == "1":
                 # opt-out for deployments that want the CI-tested client
@@ -299,6 +330,14 @@ class LiquidationWSReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+    def stop(self) -> None:
+        # Spark calls this (driver-side, where the pump lives) when the
+        # query stops: without it the pump thread stays connected and
+        # buffering for the life of the driver
+        if self._pump is not None:
+            self._pump.stop()
+            self._pump = None
 
 
 class LiquidationWSDataSource(DataSource):

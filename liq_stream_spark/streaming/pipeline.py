@@ -88,7 +88,7 @@ def resolve_streams(
             pairs.append((ex.strip().lower(), (mk or "usdt").strip().lower()))
     elif exchange:
         pairs.append((exchange.lower(), (market or "usdt").lower()))
-    else:
+    if not pairs:
         raise ValueError("need --all, --streams, or --exchange")
 
     out: list[tuple[str, str]] = []
@@ -256,12 +256,16 @@ def run_pipeline(
 
     def dir_for(ex: str, mk: str) -> str | None:
         if live:
-            # HL "live" is file tailing, not a websocket — it still needs
-            # its root dir (the tail relay reads it) when one is configured
-            if ex != "hyperliquid" or (
-                (ex, mk) not in source_dirs and ex not in source_dirs
-            ):
-                return None
+            if ex != "hyperliquid":
+                return None  # websocket venues need no dir
+            # HL "live" is file tailing, not a websocket — it REQUIRES
+            # its root dir; falling through to a None dir would surface
+            # as an opaque TypeError inside the reader
+            if (ex, mk) not in source_dirs and ex not in source_dirs:
+                raise KeyError(
+                    f"hyperliquid live streaming tails hour files — "
+                    f"configure a source dir for {(ex, mk)} (--hl-root)"
+                )
         if (ex, mk) in source_dirs:
             return source_dirs[(ex, mk)]
         if ex in source_dirs:
@@ -286,6 +290,12 @@ def run_pipeline(
             **kwargs.get(ex, {}),
         )
         for ex, mk in pairs
+    ]
+    # harvest tail-relay handles BEFORE the union discards the per-venue
+    # frames: the relays are daemon threads that outlive query.stop()
+    # unless someone can reach them
+    relays = [
+        s._hl_relay for s in streams if getattr(s, "_hl_relay", None)
     ]
     unioned = streams[0]
     for s in streams[1:]:
@@ -326,7 +336,7 @@ def run_pipeline(
             # otherwise process exit can kill it mid-flight.
             dash_query.awaitTermination()
 
-    return (
+    query = (
         unioned.writeStream.foreachBatch(fan_out(sink_config))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(
@@ -338,3 +348,9 @@ def run_pipeline(
         )
         .start()
     )
+    # expose the relay handles on the query so a long-lived driver can
+    # stop the tail threads with the stream (the CLI does); without this
+    # the handles are unreachable after the union and the 0.15 s pollers
+    # run (and write chunk files) forever
+    query._hl_relays = relays
+    return query

@@ -164,3 +164,48 @@ def test_hl_tail_stream_end_to_end(spark, tmp_path):
     finally:
         q.stop()
         relay.stop()
+
+
+def test_relay_restart_resumes_without_replay_or_collision(tmp_path):
+    """A restarted relay with a persisted relay_dir must (a) NOT reuse
+    chunk sequence numbers (os.rename over a consumed chunk = silent
+    loss) and (b) resume from the persisted offset instead of replaying
+    the whole hour-file history as duplicate chunks."""
+    root = tmp_path / "hl"
+    relay_dir = tmp_path / "relay"
+    day = root / "20250923"
+    day.mkdir(parents=True)
+    append(day / "0", hl_line(1), hl_line(2))
+
+    def relay_lines():
+        out = []
+        for p in sorted(relay_dir.glob("*.txt")):
+            out += [ln for ln in p.read_text().splitlines() if ln]
+        return out
+
+    r1 = HLTailRelay(str(root), str(relay_dir), poll_sec=0.05,
+                     rollover_check_sec=0.1).start()
+    try:
+        deadline = time.monotonic() + 10
+        while time.monotonic() < deadline and len(relay_lines()) < 2:
+            time.sleep(0.05)
+        assert len(relay_lines()) == 2
+    finally:
+        r1.stop()
+    names_before = {p.name for p in relay_dir.glob("*.txt")}
+
+    # lines appended while the relay is DOWN, then restart
+    append(day / "0", hl_line(3))
+    r2 = HLTailRelay(str(root), str(relay_dir), poll_sec=0.05,
+                     rollover_check_sec=0.1).start()
+    try:
+        deadline = time.monotonic() + 10
+        while time.monotonic() < deadline and len(relay_lines()) < 3:
+            time.sleep(0.05)
+        got = relay_lines()
+        # no replay: exactly one new line, not a re-emitted history
+        assert got == [hl_line(1), hl_line(2), hl_line(3)]
+        # no collision: every pre-restart chunk survives byte-identical
+        assert names_before < {p.name for p in relay_dir.glob("*.txt")}
+    finally:
+        r2.stop()

@@ -310,3 +310,12 @@ def test_drain_mode_processes_backlog_and_stops(spark, tmp_path):
     )
     assert q2.awaitTermination(120), "second drain did not self-terminate"
     assert spark.read.parquet(str(out / "parquet")).count() == 5
+
+
+def test_resolve_streams_rejects_empty_spec():
+    from liq_stream_spark.streaming.pipeline import resolve_streams
+
+    with pytest.raises(ValueError, match="need --all"):
+        resolve_streams(streams=",")
+    with pytest.raises(ValueError, match="need --all"):
+        resolve_streams()

@@ -432,3 +432,39 @@ def test_reconnect_with_backoff(spark):
     assert server.connect_times[1] - server.connect_times[0] >= 0.9
     syms = sorted(r["symbol"] for r in rows)
     assert syms == ["AAAUSDT", "BBBUSDT"]
+
+
+def test_bybit_rest_discovery_rejects_in_body_error():
+    """Bybit v5 reports API errors with HTTP 200 and retCode != 0; the
+    discovery must raise instead of resolving to an empty symbol list
+    (which would become a silent zero-channel subscription)."""
+    import http.server
+
+    class ErrHandler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = json.dumps(
+                {"retCode": 10001, "retMsg": "params error", "result": {}}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), ErrHandler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        from liq_stream_spark.sources.ws_datasource import fetch_bybit_symbols
+
+        with pytest.raises(OSError, match="retCode 10001"):
+            fetch_bybit_symbols(
+                "linear",
+                base_url=f"http://127.0.0.1:{httpd.server_address[1]}",
+            )
+    finally:
+        httpd.shutdown()
+        t.join(timeout=10)
