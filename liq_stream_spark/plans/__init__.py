@@ -29,6 +29,11 @@ REGISTRY: dict[str, Query] = {}
 
 def register(name: str, oracle: Optional[str], doc: str = ""):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            # a silent overwrite would leave the ledger/harness vouching
+            # for different code under the old entry's green rows —
+            # exactly the stale-green failure mode priority.py prevents
+            raise ValueError(f"duplicate query registration: {name}")
         REGISTRY[name] = Query(name=name, build=fn, oracle=oracle, doc=doc)
         return fn
 

@@ -29,10 +29,19 @@ from liq_stream_spark.operators import (
     normalize_okx,
 )
 from liq_stream_spark.plans import register
+from liq_stream_spark.plans.tables import dsum
 from liq_stream_spark.sources.replay import read_jsonl_frames
 
 _FIXTURES = Path(__file__).resolve().parents[2] / "tests" / "fixtures"
 _INGEST = 1_800_000_000_000  # pinned for determinism
+
+# the typed BINANCE_ORDER_SCHEMA keys (schema.py) — the oracle's binance
+# keep-filter requires at least one to be present, matching the engine's
+# to_json(typed o) != '{}' rule
+_BIN_ANY_SCHEMA_KEY = " OR ".join(
+    f"json_extract(ev::JSON, '$.o.{k}') IS NOT NULL"
+    for k in ("s", "S", "o", "f", "q", "p", "ap", "X", "l", "z", "T")
+)
 
 
 def _duck_liq_union() -> str:
@@ -77,7 +86,13 @@ def _duck_liq_union() -> str:
       FROM {src}
       WHERE json_extract(ev::JSON, '$.o') IS NOT NULL
         AND json_extract(ev::JSON, '$.o') != 'null'::JSON
-        AND json_extract(ev::JSON, '$.o') != '{{}}'::JSON
+        -- mirror the ENGINE's keep-rule exactly: the normalizer parses o
+        -- with the typed BINANCE_ORDER_SCHEMA and keeps the event iff the
+        -- parsed struct is non-empty, i.e. at least one SCHEMA key is
+        -- present — an o carrying only unknown keys drops (documented
+        -- deviation from the reference's `if not o`, which would emit a
+        -- fieldless row; a bare != '{{}}' check here would keep it)
+        AND (""" + _BIN_ANY_SCHEMA_KEY + """)
     """
     notional_null = (
         "CASE WHEN price IS NOT NULL AND price != 0 "
@@ -350,9 +365,7 @@ def liq_venue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         liq.groupBy("exchange", "market", "side")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("notional").cast("decimal(25,6)"))
-            .cast("double")
-            .alias("total_notional"),
+            dsum("notional").alias("total_notional"),
         )
     )
 
@@ -416,9 +429,7 @@ def liq_hourly_by_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(hour.alias("hour"), "exchange", "symbol")
         .agg(
             F.count(F.lit(1)).alias("n_liqs"),
-            F.sum(F.col("notional").cast("decimal(25,6)"))
-            .cast("double")
-            .alias("hourly_notional"),
+            dsum("notional").alias("hourly_notional"),
             F.max("qty").alias("max_qty"),
         )
     )
@@ -464,9 +475,7 @@ def liq_sixhour_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("side") == "short", 1).otherwise(0))
             .cast("long")
             .alias("n_short"),
-            F.sum(F.col("notional").cast("decimal(25,6)"))
-            .cast("double")
-            .alias("total_notional"),
+            dsum("notional").alias("total_notional"),
             F.max("notional").alias("max_notional"),
         )
     )

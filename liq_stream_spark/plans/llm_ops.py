@@ -108,11 +108,25 @@ _T01_SQL = f"""
            CASE WHEN trim(text) = '' THEN 0.0
                 ELSE len(list_filter({DUCK_TOKENS}, w -> lower(w) IN ({_sw})))::DOUBLE
                      / len({DUCK_TOKENS}) END AS stopword_ratio,
-           ((CASE WHEN len({DUCK_TOKENS}) BETWEEN 10 AND 10000 THEN 1 ELSE 0 END)
-          + (CASE WHEN length(text)::DOUBLE / len({DUCK_TOKENS}) BETWEEN 3 AND 12 THEN 1 ELSE 0 END)
-          + (CASE WHEN len(regexp_extract_all(text, {_PUNCT_SQL}))::DOUBLE / length(text) <= 0.2 THEN 1 ELSE 0 END)
-          + (CASE WHEN len(list_filter({DUCK_TOKENS}, w -> lower(w) IN ({_sw})))::DOUBLE
-                       / len({DUCK_TOKENS}) >= 0.05 THEN 1 ELSE 0 END))::BIGINT AS quality_score
+           -- every ratio term below uses the SAME zero-guarded form as
+           -- the ratio columns above (ratio = 0.0 for empty/blank text),
+           -- mirroring quality_features' F.when guards — an unguarded
+           -- x/0 here would score empty docs' punct term 0 where Spark
+           -- scores it 1 (ratio 0.0 <= 0.2)
+           ((CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                             ELSE len({DUCK_TOKENS}) END)
+                  BETWEEN 10 AND 10000 THEN 1 ELSE 0 END)
+          + (CASE WHEN (CASE WHEN trim(text) = '' THEN 0.0
+                             ELSE length(text)::DOUBLE / len({DUCK_TOKENS}) END)
+                  BETWEEN 3 AND 12 THEN 1 ELSE 0 END)
+          + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+                             ELSE len(regexp_extract_all(text, {_PUNCT_SQL}))::DOUBLE
+                                  / length(text) END)
+                  <= 0.2 THEN 1 ELSE 0 END)
+          + (CASE WHEN (CASE WHEN trim(text) = '' THEN 0.0
+                             ELSE len(list_filter({DUCK_TOKENS}, w -> lower(w) IN ({_sw})))::DOUBLE
+                                  / len({DUCK_TOKENS}) END)
+                  >= 0.05 THEN 1 ELSE 0 END))::BIGINT AS quality_score
     FROM documents
     """
 
@@ -237,6 +251,20 @@ def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_exact(load(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def _duck_bands_cte() -> str:
+    """The banded LSH key CTE (4 bands x 4 rows over the 16-perm
+    signatures) — ONE definition for every oracle that mirrors
+    operators/dedup._banded_keys, so a banding change cannot silently
+    desynchronize a subset of the d03/d06/d07/d10/d12/d14/d15 oracles."""
+    return (
+        """bands AS (
+      SELECT doc_id, (perm_id // 4) AS band,
+             string_agg(minhash::VARCHAR, ',' ORDER BY perm_id) AS band_key
+      FROM sigs GROUP BY doc_id, (perm_id // 4)
+    )"""
+    )
+
+
 def _duck_minhash_cte() -> str:
     """CTE 'sigs(doc_id, perm_id, minhash)' mirroring minhash_signatures."""
     perms = ", ".join(
@@ -267,11 +295,7 @@ def d02_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d03_minhash_lsh_pairs",
     f"""
     WITH {_duck_minhash_cte()},
-    bands AS (
-      SELECT doc_id, (perm_id // 4) AS band,
-             string_agg(minhash::VARCHAR, ',' ORDER BY perm_id) AS band_key
-      FROM sigs GROUP BY doc_id, (perm_id // 4)
-    )
+    {_duck_bands_cte()}
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b USING (band, band_key)
     WHERE a.doc_id < b.doc_id
@@ -398,11 +422,7 @@ def p02_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d06_dedup_clusters",
     f"""
     WITH RECURSIVE {_duck_minhash_cte()},
-    bands AS (
-      SELECT doc_id, (perm_id // 4) AS band,
-             string_agg(minhash::VARCHAR, ',' ORDER BY perm_id) AS band_key
-      FROM sigs GROUP BY doc_id, (perm_id // 4)
-    ),
+    {_duck_bands_cte()},
     pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b USING (band, band_key)

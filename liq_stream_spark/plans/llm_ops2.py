@@ -18,6 +18,7 @@ from liq_stream_spark.plans import register
 from liq_stream_spark.plans.llm_ops import (
     DUCK_SHINGLES,
     DUCK_TOKENS,
+    _duck_bands_cte,
     _duck_minhash_cte,
 )
 from liq_stream_spark.plans.tables import load
@@ -158,11 +159,7 @@ def p04_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _D07_SQL = f"""
     WITH RECURSIVE {_duck_minhash_cte()},
-    bands AS (
-      SELECT doc_id, (perm_id // 4) AS band,
-             string_agg(minhash::VARCHAR, ',' ORDER BY perm_id) AS band_key
-      FROM sigs GROUP BY doc_id, (perm_id // 4)
-    ),
+    {_duck_bands_cte()},
     pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b USING (band, band_key)

@@ -378,15 +378,14 @@ _D10_SQL = None  # assembled below (needs the minhash CTE from llm_ops)
 
 
 def _d10_sql() -> str:
-    from liq_stream_spark.plans.llm_ops import _duck_minhash_cte
+    from liq_stream_spark.plans.llm_ops import (
+        _duck_bands_cte,
+        _duck_minhash_cte,
+    )
 
     return f"""
     WITH {_duck_minhash_cte()},
-    bands AS (
-      SELECT doc_id, (perm_id // 4) AS band,
-             string_agg(minhash::VARCHAR, ',' ORDER BY perm_id) AS band_key
-      FROM sigs GROUP BY doc_id, (perm_id // 4)
-    ),
+    {_duck_bands_cte()},
     newb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
     corpb AS (
       SELECT DISTINCT band, band_key FROM bands WHERE doc_id % 5 != 0

@@ -154,15 +154,14 @@ def t10_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- d12: MinHash Jaccard estimation over the LSH candidates ---------------
 def _d12_sql() -> str:
-    from liq_stream_spark.plans.llm_ops import _duck_minhash_cte
+    from liq_stream_spark.plans.llm_ops import (
+        _duck_bands_cte,
+        _duck_minhash_cte,
+    )
 
     return f"""
     WITH {_duck_minhash_cte()},
-    bands AS (
-      SELECT doc_id, (perm_id // 4) AS band,
-             string_agg(minhash::VARCHAR, ',' ORDER BY perm_id) AS band_key
-      FROM sigs GROUP BY doc_id, (perm_id // 4)
-    ),
+    {_duck_bands_cte()},
     pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b USING (band, band_key)
@@ -269,15 +268,14 @@ _D14_MIN_AGREE = 8  # jaccard_est >= 0.5 (8 of 16 permutations agree)
 
 
 def _d14_sql() -> str:
-    from liq_stream_spark.plans.llm_ops import _duck_minhash_cte
+    from liq_stream_spark.plans.llm_ops import (
+        _duck_bands_cte,
+        _duck_minhash_cte,
+    )
 
     return f"""
     WITH RECURSIVE {_duck_minhash_cte()},
-    bands AS (
-      SELECT doc_id, (perm_id // 4) AS band,
-             string_agg(minhash::VARCHAR, ',' ORDER BY perm_id) AS band_key
-      FROM sigs GROUP BY doc_id, (perm_id // 4)
-    ),
+    {_duck_bands_cte()},
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b USING (band, band_key)
@@ -424,15 +422,14 @@ def s09_ivf_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- d15: candidate pairs from the PRE-BUCKETED band index -------------------
 def _d15_sql() -> str:
-    from liq_stream_spark.plans.llm_ops import _duck_minhash_cte
+    from liq_stream_spark.plans.llm_ops import (
+        _duck_bands_cte,
+        _duck_minhash_cte,
+    )
 
     return f"""
     WITH {_duck_minhash_cte()},
-    bands AS (
-      SELECT doc_id, (perm_id // 4) AS band,
-             string_agg(minhash::VARCHAR, ',' ORDER BY perm_id) AS band_key
-      FROM sigs GROUP BY doc_id, (perm_id // 4)
-    )
+    {_duck_bands_cte()}
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b USING (band, band_key)
     WHERE a.doc_id < b.doc_id

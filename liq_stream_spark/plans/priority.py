@@ -61,11 +61,22 @@ CHANGED_SINCE_GREEN: list[str] = [
     "d16_jaccard_prefix_filter",
     "p09_temperature_mix",
     "d17_lsh_tuning_curve",
-    # operator-level review fixes late in r4 (results unchanged on the
-    # fixtures, but the code under these greens moved): fingerprint NULL
-    # arm (t03), _banded_keys ''-key drop (d03/d06/d10/d14), survivor
-    # broadcast knob (d07), interval-join rid materialization (q32),
-    # md5_bucket extraction (p02/p04), cosine zero-norm guard (s01-s03)
+    # operator/oracle-level review fixes late in r4 (results unchanged
+    # on the fixtures, but the code or oracle under these greens moved):
+    # fingerprint NULL arm (t03), _banded_keys ''-key drop
+    # (d03/d06/d10/d14), survivor broadcast knob (d07), interval-join
+    # rid materialization (q32), md5_bucket extraction (p02/p04), cosine
+    # zero-norm guard (s01-s03), t01/p01 empty-doc score guard, binance
+    # keep-filter oracle alignment (liq_*), dsum consolidation
+    # (q37/q39/liq aggregates), shared bands CTE (d12/d14/d15)
+    "t01_doc_stats",
+    "p01_training_prep",
+    "q37_unpivot_measures",
+    "q39_grouping_sets",
+    "liq_venue_stats",
+    "liq_top_by_notional",
+    "liq_hourly_by_symbol",
+    "liq_sixhour_dashboard",
     "t03_fingerprint",
     "q32_interval_join",
     "p02_hash_split",

@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from liq_stream_spark.plans import register
-from liq_stream_spark.plans.tables import load
+from liq_stream_spark.plans.tables import dsum, load
 
 
 @register(
@@ -37,15 +37,9 @@ from liq_stream_spark.plans.tables import load
 def q37_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     wide = li.groupBy("l_returnflag").agg(
-        F.sum(F.col("l_quantity").cast("decimal(25,6)"))
-        .cast("double")
-        .alias("sum_qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(25,6)"))
-        .cast("double")
-        .alias("sum_price"),
-        F.sum(F.col("l_discount").cast("decimal(25,6)"))
-        .cast("double")
-        .alias("sum_discount"),
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        dsum("l_discount").alias("sum_discount"),
     )
     return wide.unpivot(
         ids=["l_returnflag"],
@@ -152,9 +146,7 @@ def q39_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("long").alias("gid"),
             F.count(F.lit(1)).cast("long").alias("n_items"),
-            F.sum(F.col("l_quantity").cast("decimal(25,6)"))
-            .cast("double")
-            .alias("sum_qty"),
+            dsum("l_quantity").alias("sum_qty"),
         )
         .select(
             "l_returnflag", "l_linestatus", "gid", "n_items", "sum_qty"

@@ -92,6 +92,7 @@ def resolve_streams(
         raise ValueError("need --all, --streams, or --exchange")
 
     out: list[tuple[str, str]] = []
+    seen: set[tuple[str, str]] = set()
     for ex, mk in pairs:
         if ex not in NORMALIZERS:
             raise ValueError(f"Unknown exchange: {ex}")
@@ -99,6 +100,11 @@ def resolve_streams(
             mk = "usdt"  # guard (aster_adapter.py:30-31)
         if ex == "hyperliquid":
             mk = "usdc"  # guard (stream.py:118-120)
+        if (ex, mk) in seen:
+            # guard-collapsed or repeated specs (e.g. aster:usdt,aster:usdc
+            # both map to aster:usdt) must not double-ingest every row
+            continue
+        seen.add((ex, mk))
         out.append((ex, mk))
     return out
 
