@@ -720,3 +720,119 @@ def d17_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_candidate"),
         )
     )
+
+
+# -- s10/s11: sign-LSH at genuinely PRUNED parameters ------------------------
+def _duck_lsh_bucket_sql(vec: str, table: int, n_planes: int) -> str:
+    """One hash table's sign-LSH bucket id, reproducing
+    similarity.lsh_bucket BIT-FOR-BIT: plane components are exact
+    integer-hash arithmetic (MINHASH_PERMS family) divided once, and the
+    dot product is the same strict left fold in both engines — so the
+    sign comparisons agree exactly, no rounding needed (unlike k-means
+    centroids, whose MEANS are aggregation-order-dependent)."""
+    from liq_stream_spark.operators.dedup import MINHASH_PERMS
+
+    bits = []
+    for p in range(n_planes):
+        g = table * n_planes + p
+        a, b = MINHASH_PERMS[g % len(MINHASH_PERMS)]
+        c = g * 131 + 1
+        comp = (
+            f"((({a} * (j * 97 + {c}) + {b}) % 2147483647) "
+            f"/ 2147483647.0 - 0.5)"
+        )
+        dot = (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(range(0, len({vec})), "
+            f"j -> {vec}[j + 1]::DOUBLE * {comp})), (acc, v) -> acc + v)"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _duck_lsh_buckets_cte(n_planes: int, n_tables: int) -> str:
+    union = " UNION ALL ".join(
+        f"SELECT vec_id, vec, {t} AS t, "
+        f"{_duck_lsh_bucket_sql('vec', t, n_planes)} AS bucket FROM v"
+        for t in range(n_tables)
+    )
+    return f"""v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    bk AS ({union})"""
+
+
+_S10_SQL = f"""
+    WITH {_duck_lsh_buckets_cte(6, 4)},
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM bk q JOIN bk c USING (t, bucket)
+      WHERE q.vec_id < 20 AND q.vec_id != c.vec_id
+    ),
+    ranked AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             row_number() OVER (PARTITION BY cand.query_id
+                 ORDER BY list_cosine_similarity(a.vec, b.vec) DESC,
+                          cand.neighbor_id) AS rank
+      FROM cand
+      JOIN v a ON a.vec_id = cand.query_id
+      JOIN v b ON b.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """
+
+
+@register(
+    "s10_lsh_topk_pruned",
+    _S10_SQL,
+    doc="multi-table sign-LSH top-k at its genuinely PRUNED default "
+    "parameterization (operators/similarity.cosine_topk_lsh, 6 planes "
+    "x 4 tables) — the s09 treatment applied to sign-LSH: the oracle "
+    "rebuilds every hyperplane from the same integer-hash constants, "
+    "reproduces each bucket id bit-for-bit (the dot is a strict left "
+    "fold on exact inputs in BOTH engines, so even the sign of a "
+    "near-zero dot agrees), and re-ranks the bucket-union candidates "
+    "exactly. With s04 gating the machinery at its n_planes=0 "
+    "degeneration and this entry gating the pruned router itself, the "
+    "sign-LSH operator is verified in both regimes.",
+)
+def s10_lsh_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.operators.similarity import cosine_topk_lsh
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(emb.filter(F.col("vec_id") < 20), emb, k=10)
+
+
+_S11_SQL = f"""
+    WITH {_duck_lsh_buckets_cte(6, 4)},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bk a JOIN bk b USING (t, bucket)
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT cand.id_a, cand.id_b
+    FROM cand
+    JOIN v x ON x.vec_id = cand.id_a
+    JOIN v y ON y.vec_id = cand.id_b
+    WHERE list_cosine_similarity(x.vec, y.vec) >= 0.4
+    """
+
+
+@register(
+    "s11_lsh_near_dup_pruned",
+    _S11_SQL,
+    doc="sign-LSH near-dup pairs at the PRUNED default (operators/"
+    "similarity.cosine_near_dup_pairs, 6 planes x 4 tables, threshold "
+    "0.4): bucket-union candidates rebuilt bit-for-bit in DuckDB (same "
+    "plane reproduction as s10) and exact-rescored — the APPROXIMATE "
+    "answer itself is value-checked, including which true pairs the "
+    "pruning misses. Complements s05's n_planes=0 exact degeneration "
+    "the way s09 complements s06.",
+)
+def s11_lsh_near_dup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.operators.similarity import cosine_near_dup_pairs
+
+    return cosine_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.4
+    )

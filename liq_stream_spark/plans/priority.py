@@ -97,6 +97,8 @@ CHANGED_SINCE_GREEN: list[str] = [
     "s07_pq_topk",
     "s08_ivfpq_topk",
     "s09_ivf_topk_pruned",
+    "s10_lsh_topk_pruned",
+    "s11_lsh_near_dup_pruned",
     "d11_semantic_dedup",
 ]
 
