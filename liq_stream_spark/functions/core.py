@@ -141,3 +141,31 @@ def compact_json(struct_col: Column) -> Column:
     (binance_adapter.py:90). ``to_json`` is already compact and drops NULL
     fields like the original dicts lack missing keys."""
     return F.to_json(struct_col)
+
+
+def qround(c: Column, scale: int) -> Column:
+    """Cross-engine-deterministic half-up quantization of a double:
+    ``floor(x * 10^scale + 0.5) / 10^scale``.
+
+    Engine-native ``round(double, n)`` is NOT portable at half
+    boundaries — Spark rounds through BigDecimal (exact decimal
+    expansion, HALF_UP) while DuckDB multiplies and ``nearbyint``s
+    (float-domain, half-even) — so two engines given bit-identical
+    doubles can emit values 10^-scale apart (observed: ~2% of PageRank
+    ranks at scale 12). floor/multiply/add are individually exact IEEE
+    ops, so this form is a pure function of the input BITS and agrees
+    everywhere. SQL mirror: ``floor(x * 1e<scale> + 0.5) / 1e<scale>``.
+
+    Use for DERIVED floats that feed an oracle comparison; exact
+    decimal paths (tables.dsum) don't need it."""
+    m = F.lit(float(10**scale))
+    return F.floor(c * m + F.lit(0.5)) / m
+
+
+def qfloor_long(c: Column, scale: int) -> Column:
+    """The integer-domain form of :func:`qround`:
+    ``floor(x * 10^scale + 0.5)`` as a BIGINT — for pipelines that keep
+    accumulating after quantization (sums of longs are exact and
+    task-order-free, which even DECIMAL can't beat for portability).
+    SQL mirror: ``CAST(floor(x * 1e<scale> + 0.5) AS BIGINT)``."""
+    return F.floor(c * F.lit(float(10**scale)) + F.lit(0.5))

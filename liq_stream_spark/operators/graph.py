@@ -1,0 +1,123 @@
+"""Iterative graph analytics over DataFrames: fixed-iteration PageRank.
+
+The reference engine has no graph surface at all (SURVEY.md §2) — this
+extends the LLM-pipeline operator set with the canonical iterative
+algorithm, expressed as unrolled DataFrame joins so Catalyst plans every
+round and AQE sizes the shuffles. Companion to
+:func:`liq_stream_spark.operators.dedup.connected_components` (the other
+iterative operator): components uses pointer-jumping convergence, this
+uses a FIXED iteration count so the result is a pure function of the
+input and therefore SQL-reproducible (the DuckDB oracle chains one CTE
+per round).
+
+Determinism across engines: rank state is kept as BIGINT in units of
+10^-SCALE ("pico-ranks") — every per-edge contribution quantizes
+through the portable half-up form ``floor(x * 10^SCALE + 0.5)``
+(functions/core.qfloor_long; engine-native round() disagrees at half
+boundaries, see its docstring) and accumulates as an exact integer
+sum. The only float ops per round (one division, one damping
+multiply-add) are IEEE-754-exact on identical inputs, so both engines
+walk bit-identical rank vectors for any iteration count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from liq_stream_spark.functions.core import qfloor_long
+
+# decimal places every rank/contribution is rounded to each iteration
+SCALE = 12
+
+
+def pagerank(
+    spark: SparkSession,
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iters: int = 3,
+    damping: float = 0.85,
+    id_col: str = "node_id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank over a directed edge list, ``n_iters`` unrolled rounds.
+
+    ``nodes`` is one row per vertex (``id_col``); ``edges`` one row per
+    directed edge. Vertices with no out-edges simply leak their mass
+    (the standard simplified recurrence — no dangling redistribution),
+    and vertices with no in-edges settle at the teleport floor
+    ``(1-d)/N``; both behaviors are mirrored exactly in the oracle.
+
+    Scale shape: per iteration, one shuffle joining ranks to edges on
+    ``src`` and one shuffle aggregating contributions on ``dst`` — the
+    canonical distributed-PageRank plan. The rank frame is one row per
+    vertex (orders of magnitude smaller than the edge list); edges are
+    scanned once per round from a lazily-checkpointed frame so the
+    degree computation and every round reuse one materialization
+    instead of recomputing the edge source per iteration. At 100 TB
+    the edge frame would be bucketed by ``src`` so the per-round join
+    reuses one co-location (see store.write_band_index for the pattern).
+
+    Returns (node_id, out_deg, pr) with ``pr`` quantized to ``SCALE``
+    decimal places (exactly representable multiples of 10^-SCALE up to
+    double precision).
+    """
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            F.col(id_col).alias("node_id"),
+            F.lit(0).cast("long").alias("out_deg"),
+            F.lit(0.0).alias("pr"),
+        )
+    # quantization happens in ENGINE expressions (qfloor_long), never
+    # Python's round() (half-even, a third rule). The numerators are
+    # Python-float expressions so both engines start from the same bits
+    # (the oracle embeds their exact reprs).
+    teleport = qfloor_long(F.lit(1.0 - damping) / F.lit(float(n)), SCALE)
+    r0 = qfloor_long(F.lit(1.0) / F.lit(float(n)), SCALE)
+
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+
+    ranks = nodes.select(F.col(id_col).alias("node_id")).withColumn(
+        "r", r0
+    )
+    for _ in range(n_iters):
+        contrib = (
+            e.join(ranks, e.src == ranks.node_id)
+            .join(deg, "src")
+            .select(
+                F.col("dst"),
+                # long / long is double division in Spark SQL — exact
+                # IEEE on exact integer inputs, then half-up to pico
+                F.floor(
+                    F.col("r") / F.col("out_deg") + F.lit(0.5)
+                ).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("mass"))
+        )
+        base = ranks.select("node_id")
+        ranks = (
+            base.join(contrib, base.node_id == contrib.dst, "left")
+            .select(
+                "node_id",
+                F.floor(
+                    teleport
+                    + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0))
+                    + F.lit(0.5)
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.join(deg, ranks.node_id == deg.src, "left").select(
+        "node_id",
+        F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+        (F.col("r") / F.lit(float(10**SCALE))).alias("pr"),
+    )

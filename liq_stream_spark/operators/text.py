@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from liq_stream_spark.functions.core import qfloor_long, qround
+
 try:  # Arrow fast path for char_ngram_hashes_fast; expression fallback
     import numpy as np
     import pandas as pd
@@ -908,4 +910,182 @@ def winnow_fingerprints(
         )
         .filter(F.col("__m") > 0)
         .select(id_col, F.explode("__fps").alias("fp"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# statistical quality models — n-gram LM perplexity + hashed linear scorer
+# ---------------------------------------------------------------------------
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    train: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): train a
+    word-bigram language model with add-one smoothing on ``train``
+    (default: the corpus itself) and score every document by average
+    negative log-likelihood per bigram — the filter real pipelines
+    threshold on to keep fluent text (CCNet buckets the corpus by
+    KenLM perplexity; a bigram model is the same decision function
+    with a model that SQL can reproduce exactly).
+
+    Model: P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V), where c(w1·)
+    counts bigrams starting at w1 and V is the unigram vocabulary size
+    of the training corpus. Unseen bigrams still score (the +1 floor),
+    so scoring any corpus against any model is total.
+
+    Determinism: each bigram's log-probability quantizes to integer
+    nano-nats via the portable half-up form floor(x*1e9 + 0.5)
+    (functions/core.qfloor_long — engine-native round() disagrees at
+    half boundaries) and accumulates as an exact BIGINT sum, so the
+    per-doc total is task-order-free and bit-identical across engines;
+    one IEEE division per doc yields avg_nll un-rounded.
+
+    Scale shape: docs explode to per-doc DISTINCT bigrams with
+    multiplicity first (map-side-combinable agg), so the model join
+    ships each (doc, bigram) once however often it repeats — Zipf-heavy
+    bigrams cost one row per doc, not one per occurrence. Two equi-joins
+    (bigram model on (w1,w2), start-counts on w1) + one per-doc agg; V
+    is a broadcast single-row cross join. Docs with < 2 tokens return
+    NULL scores (no bigrams to judge).
+
+    Output: (doc_id, n_bigrams, avg_nll, ppl)."""
+    train = docs if train is None else train
+
+    def _bigrams(df: DataFrame) -> DataFrame:
+        t = tokens(text_col)
+        # NB: Spark's sequence(1, 0) yields DESCENDING [1, 0], not an
+        # empty array — docs with < 2 tokens must short-circuit
+        pairs = F.expr(
+            "CASE WHEN size(trim_toks) < 2 "
+            "THEN CAST(array() AS array<struct<w1:string,w2:string>>) "
+            "ELSE transform(sequence(1, size(trim_toks) - 1), "
+            "i -> struct(element_at(trim_toks, i) AS w1, "
+            "element_at(trim_toks, i + 1) AS w2)) END"
+        )
+        return (
+            df.select(F.col(id_col), t.alias("trim_toks"))
+            .select(F.col(id_col), F.explode(pairs).alias("bg"))
+            .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        )
+
+    tb = _bigrams(train)
+    model = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    starts = tb.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = (
+        train.select(F.explode(tokens(text_col)).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+
+    occ = (
+        _bigrams(docs)
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    scored = (
+        occ.join(model, ["w1", "w2"], "left")
+        .join(starts, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.col("k"),
+            qfloor_long(
+                F.log(F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1))
+                - F.log(F.coalesce(F.col("cu"), F.lit(0)) + F.col("v")),
+                9,
+            ).alias("logp_nano"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.sum(F.col("logp_nano") * F.col("k")).alias("ll_nano"),
+        )
+    )
+    out = docs.select(id_col).join(scored, id_col, "left")
+    # exact-integer numerator / exact double denominator: IEEE-identical
+    # in any engine, no display rounding needed
+    avg_nll = -F.col("ll_nano") / (F.col("n_bigrams") * F.lit(1e9))
+    return out.select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        avg_nll.alias("avg_nll"),
+        qround(F.exp(avg_nll), 6).alias("ppl"),
+    )
+
+
+# hashed linear scorer: bucket space and weight derivation salts
+QW_BUCKETS = 1024
+QW_SALT = "qw-v1"
+
+
+def hashed_linear_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-style linear quality classifier INFERENCE at corpus
+    scale (Joulin et al. 2017 architecture; the quality-classifier
+    pattern of GPT-3/LLaMA data pipelines): each token hashes into one
+    of ``QW_BUCKETS`` feature buckets, the doc's feature vector is the
+    normalized bag of buckets, and the score is a sigmoid over the dot
+    product with a weight vector.
+
+    Weights here are a deterministic pseudo-model — integer weights in
+    [-1000, 1000] derived from md5(bucket id) — because no trained
+    artifact ships with the repo; swapping in a real model is replacing
+    the generated dim with a table read. What this operator demonstrates
+    is the SCALE pattern: model inference as explode -> map-side-
+    combinable (doc, bucket) agg -> BROADCAST join against the weight
+    vector -> per-doc agg. The weight side of a hashed linear model is
+    bounded by the bucket count — it is always the broadcast side no
+    matter how large the corpus.
+
+    Determinism: weights and the dot product are exact BIGINT sums;
+    the only float ops are one division and one sigmoid per doc, each
+    quantized with the portable half-up qround (engine-native round()
+    disagrees at half boundaries). Docs with no tokens score NULL.
+
+    Output: (doc_id, n_tokens, margin, prob)."""
+    spark = docs.sparkSession
+    weights = spark.range(QW_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (
+            F.expr(
+                f"CAST(conv(substring(md5(concat('{QW_SALT}', ':', "
+                f"CAST(id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2001"
+            )
+            - F.lit(1000)
+        ).alias("w"),
+    )
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).select(
+        id_col,
+        F.expr(
+            f"CAST(conv(substring(md5(concat('{QW_SALT}', ':', "
+            f"lower(tok))), 1, 8), 16, 10) AS BIGINT) % {QW_BUCKETS}"
+        ).alias("bucket"),
+    )
+    scored = (
+        toks.groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").alias("n_tokens"),
+            F.sum(F.col("k") * F.col("w")).alias("dot"),
+        )
+    )
+    margin = qround(
+        F.col("dot") / (F.lit(1000.0) * F.col("n_tokens")), 9
+    )
+    out = docs.select(id_col).join(scored, id_col, "left")
+    return out.select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        margin.alias("margin"),
+        qround(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 9).alias("prob"),
     )

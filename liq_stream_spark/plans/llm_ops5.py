@@ -1,0 +1,282 @@
+"""Seventh LLM-ops tranche: statistical quality models (bigram-LM
+perplexity, hashed linear classifier), fixed-iteration PageRank over the
+near-dup graph, and the streaming tumbling-window parity gate.
+
+Every query here is fully oracled: the LM and classifier keep all
+accumulation in exact BIGINT arithmetic (log-probs and contributions
+quantize through the portable half-up floor form — see
+functions/core.qround — because engine-native round() disagrees at
+half boundaries), and PageRank unrolls a fixed iteration count over
+integer pico-rank state so both engines walk bit-identical rank
+vectors (see operators/graph.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from liq_stream_spark.operators import graph as G
+from liq_stream_spark.plans import register
+from liq_stream_spark.plans.tables import dsum, load
+
+# tokens with the empty-text guard, mirroring operators/text.tokens
+_DUCK_TOKS = (
+    "CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+)
+
+
+# -- t13: bigram-LM perplexity scoring (CCNet-style) -----------------------
+_T13_SQL = f"""
+    WITH tk AS (
+      SELECT doc_id, {_DUCK_TOKS} AS T FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(T)),
+                      i -> struct_pack(w1 := T[i], w2 := T[i + 1]))) AS u
+        FROM tk
+      )
+    ),
+    model AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+    starts AS (SELECT w1, COUNT(*) AS cu FROM bg GROUP BY 1),
+    vocab AS (
+      SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(T) AS w FROM tk)
+    ),
+    occ AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS k FROM bg GROUP BY 1, 2, 3
+    ),
+    sc AS (
+      SELECT o.doc_id,
+             SUM(o.k) AS n_bigrams,
+             SUM(CAST(floor((ln(m.cb + 1) - ln(s.cu + v.v)) * 1e9 + 0.5)
+                      AS BIGINT) * o.k) AS ll_nano
+      FROM occ o
+      JOIN model m USING (w1, w2)
+      JOIN starts s USING (w1)
+      CROSS JOIN vocab v
+      GROUP BY o.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           -sc.ll_nano / (sc.n_bigrams * 1e9) AS avg_nll,
+           floor(exp(-sc.ll_nano / (sc.n_bigrams * 1e9)) * 1e6 + 0.5) / 1e6
+             AS ppl
+    FROM documents d LEFT JOIN sc USING (doc_id)
+    """
+
+
+@register(
+    "t13_lm_perplexity",
+    _T13_SQL,
+    doc="bigram-LM quality scoring (operators/text.bigram_lm_scores; "
+    "CCNet, Wenzek et al. 2020): train an add-one-smoothed word-bigram "
+    "model on the corpus and score every doc by average negative "
+    "log-likelihood + perplexity — the fluency filter real pipelines "
+    "threshold on (CCNet buckets by KenLM ppl; same decision function, "
+    "SQL-reproducible model). Scale shape: per-doc DISTINCT bigrams "
+    "with multiplicity aggregate FIRST (map-side combine), so the "
+    "model join ships each (doc, bigram) once however often it "
+    "repeats; two word-key equi-joins + broadcast single-row vocab. "
+    "Per-bigram log-probs quantize to integer nano-nats "
+    "(portable half-up floor) and accumulate as exact BIGINT sums — "
+    "task-order-free, oracle-exact.",
+)
+def t13_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.operators.text import bigram_lm_scores
+
+    return bigram_lm_scores(load(spark, sf_dir, "documents"))
+
+
+# -- t14: hashed linear quality classifier ---------------------------------
+_T14_SQL = f"""
+    WITH weights AS (
+      SELECT gs.id AS bucket,
+             (('0x' || substr(md5('qw-v1:' || gs.id::VARCHAR), 1, 8))::BIGINT
+              % 2001) - 1000 AS w
+      FROM generate_series(0, 1023) gs(id)
+    ),
+    tk AS (SELECT doc_id, {_DUCK_TOKS} AS T FROM documents),
+    toks AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('qw-v1:' || lower(u)), 1, 8))::BIGINT
+               % 1024 AS bucket
+      FROM (SELECT doc_id, unnest(T) AS u FROM tk)
+    ),
+    sc AS (
+      SELECT doc_id, SUM(k) AS n_tokens, SUM(k * w) AS dot
+      FROM (SELECT doc_id, bucket, COUNT(*) AS k FROM toks GROUP BY 1, 2) t
+      JOIN weights USING (bucket)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+           floor(sc.dot / (1000.0 * sc.n_tokens) * 1e9 + 0.5) / 1e9 AS margin,
+           floor(1.0 / (1.0 + exp(-(floor(sc.dot / (1000.0 * sc.n_tokens)
+                                          * 1e9 + 0.5) / 1e9))) * 1e9 + 0.5)
+             / 1e9 AS prob
+    FROM documents d LEFT JOIN sc USING (doc_id)
+    """
+
+
+@register(
+    "t14_quality_classifier",
+    _T14_SQL,
+    doc="hashed linear classifier INFERENCE "
+    "(operators/text.hashed_linear_score; fastText architecture, Joulin "
+    "et al. 2017 — the quality-classifier pattern of GPT-3/LLaMA data "
+    "pipelines): tokens hash into 1024 feature buckets, score = "
+    "sigmoid(weights . normalized bag of buckets). Weights are a "
+    "deterministic md5-derived pseudo-model (a trained artifact drops "
+    "in as a table read). The scale pattern under test: explode -> "
+    "map-side-combinable (doc, bucket) agg -> BROADCAST weight join "
+    "(the weight side of a hashed model is bounded by bucket count "
+    "regardless of corpus size) -> per-doc agg. Dot products are exact "
+    "BIGINT sums; one rounded division + sigmoid per doc.",
+)
+def t14_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.operators.text import hashed_linear_score
+
+    return hashed_linear_score(load(spark, sf_dir, "documents"))
+
+
+# -- g01: PageRank over the LSH near-dup graph -----------------------------
+def _g01_sql() -> str:
+    from liq_stream_spark.plans.llm_ops import (
+        _duck_bands_cte,
+        _duck_minhash_cte,
+    )
+
+    d = repr(0.85)
+    nr = repr(1.0 - 0.85)  # exact Python-float repr -> identical double
+    it = []
+    prev = "r0"
+    for t in (1, 2, 3):
+        it.append(f"""
+    c{t} AS (
+      SELECT e.dst,
+             SUM(CAST(floor(r.r / d.out_deg + 0.5) AS BIGINT)) AS mass
+      FROM edges e
+      JOIN {prev} r ON r.node_id = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ),
+    r{t} AS (
+      SELECT n.node_id,
+             CAST(floor((SELECT t FROM tele)
+                        + CAST({d} AS DOUBLE) * coalesce(c{t}.mass, 0)
+                        + 0.5) AS BIGINT) AS r
+      FROM (SELECT node_id FROM {prev}) n
+      LEFT JOIN c{t} ON c{t}.dst = n.node_id
+    )""")
+        prev = f"r{t}"
+    iters = ",".join(it)
+    return f"""
+    WITH {_duck_minhash_cte()},
+    {_duck_bands_cte()},
+    buckets AS (
+      SELECT list(doc_id) AS ids
+      FROM bands GROUP BY band, band_key HAVING COUNT(*) > 1
+    ),
+    star AS (
+      SELECT DISTINCT list_min(ids) AS id_a, unnest(ids) AS id_b FROM buckets
+    ),
+    e0 AS (SELECT id_a, id_b FROM star WHERE id_a != id_b),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM e0
+      UNION ALL
+      SELECT id_b, id_a FROM e0
+    ),
+    deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+    tele AS (
+      SELECT CAST(floor(CAST({nr} AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                        * 1e12 + 0.5) AS BIGINT) AS t
+      FROM documents
+    ),
+    r0 AS (
+      SELECT doc_id AS node_id,
+             CAST(floor(CAST(1.0 AS DOUBLE)
+                        / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                        * 1e12 + 0.5) AS BIGINT) AS r
+      FROM documents
+    ),{iters}
+    SELECT n.node_id, CAST(coalesce(deg.out_deg, 0) AS BIGINT) AS out_deg,
+           n.r / 1e12 AS pr
+    FROM r3 n LEFT JOIN deg ON deg.src = n.node_id
+    """
+
+
+@register(
+    "g01_pagerank",
+    _g01_sql(),
+    doc="fixed-iteration PageRank (operators/graph.pagerank, 3 rounds, "
+    "d=0.85) over the UNDIRECTED near-dup graph built from the d03 LSH "
+    "star edges — ranks which documents sit at the center of duplicate "
+    "mass, the centrality view of the dedup graph (cluster "
+    "representatives by authority instead of min-id). The iterative-"
+    "algorithm showcase: each round is one ranks-to-edges equi-join + "
+    "one contribution agg (the canonical distributed-PR plan, 2 "
+    "shuffles/round); edge frame lazily checkpointed once, reused by "
+    "degree + all rounds. Rank state is integer pico-ranks "
+    "(portable half-up floor quantization) summed as exact BIGINTs — "
+    "both engines walk bit-identical rank vectors, so a 3-round "
+    "unroll is fully value-oracled (CTE chain per round).",
+)
+def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.operators import dedup as D
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = D.minhash_sig_arrays(docs)
+    e0 = D.lsh_star_edges(sigs)
+    edges = e0.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(e0.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    nodes = docs.select(F.col("doc_id").alias("node_id"))
+    return G.pagerank(
+        spark, nodes, edges, n_iters=3, damping=0.85, id_col="node_id"
+    )
+
+
+# -- sj03: streaming tumbling-window agg, batch parity ---------------------
+@register(
+    "sj03_tumbling_agg_batch_parity",
+    """
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS w_start,
+           time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes'
+             AS w_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="batch parity gate for the STREAMING tumbling-window aggregation "
+    "(streaming/windows.tumbling_agg): 15-minute event-time windows per "
+    "event_type, count + exact-decimal value sum. The builder runs the "
+    "streaming operator itself on a batch input — "
+    "EliminateEventTimeWatermark erases the watermark and the window "
+    "groupBy collapses to a plain map-side-combinable agg, so this "
+    "oracle-gates the window bucketing + agg semantics while the live "
+    "leg (watermark-gated append finalization, bounded state) is driven "
+    "in tests/test_streaming_windows.py. Scale shape: one shuffle on "
+    "(window, event_type); streaming state is O(active windows x "
+    "types), never O(stream).",
+)
+def sj03_tumbling_agg_batch_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from liq_stream_spark.streaming.windows import tumbling_agg
+
+    ev = load(spark, sf_dir, "events")
+    return tumbling_agg(
+        ev,
+        ts_col="ts",
+        window="15 minutes",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        ],
+    )

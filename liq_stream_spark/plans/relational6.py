@@ -1,0 +1,85 @@
+"""Sixth tranche: LATERAL correlated subqueries and IGNORE NULLS
+gap-filling — two modern-SQL surfaces (Spark 4 features) the reference
+engine's consumers would otherwise emulate with application loops."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from liq_stream_spark.plans import register
+from liq_stream_spark.plans.tables import load
+
+
+@register(
+    "q43_lateral_topn",
+    """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice
+             FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey
+             LIMIT 3) t
+    """,
+    doc="LATERAL correlated subquery: top-3 orders per customer written "
+    "as a per-row subquery with ORDER BY + LIMIT — the forEach-shaped "
+    "SQL users actually write. Catalyst DECORRELATES it: the executed "
+    "plan (pinned in tests/test_plans.py) is WindowGroupLimit + one "
+    "join, i.e. the optimizer rewrites the per-customer loop into "
+    "exactly q07's rank-filter shape — no per-row re-execution, no "
+    "nested loop, so the lateral surface scales like any windowed "
+    "top-k. Deterministic tie-break on (price DESC, orderkey).",
+)
+def q43_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("q43_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("q43_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM q43_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice
+                 FROM q43_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 LIMIT 3) t
+        """
+    )
+
+
+@register(
+    "q44_gap_fill",
+    """
+    SELECT event_id, user_id, event_type,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value
+    FROM events
+    """,
+    doc="event-time gap fill / forward fill: carry each user's most "
+    "recent purchase value onto every subsequent event via "
+    "last_value(...) IGNORE NULLS over a running row frame — the "
+    "standard telemetry imputation (fill sensor readings, last-known "
+    "price, session attributes) that row-at-a-time engines do with "
+    "per-key cursors. One window = one shuffle on user_id + an "
+    "in-partition sort on (ts, event_id); the running frame is "
+    "incremental (no per-row rescan). The filled value is copied, "
+    "never recomputed — float-exact against the oracle. Total "
+    "tie-break (ts, event_id) makes the fill deterministic.",
+)
+def q44_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sparse = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.last(sparse, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )

@@ -240,3 +240,40 @@ def test_bench_headline_names_resolve():
 
     missing = [n for n in bench.HEADLINE if n not in REGISTRY]
     assert not missing, f"bench HEADLINE references unknown queries: {missing}"
+
+
+def test_q43_lateral_is_decorrelated_to_group_limit(spark):
+    # the per-customer LATERAL subquery must NOT execute per row: Catalyst
+    # decorrelates it into a rank/WindowGroupLimit + ONE join — q07's shape
+    plan = plan_of(spark, "q43_lateral_topn")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Join") >= 1
+
+
+def test_q44_gap_fill_is_one_window_shuffle(spark):
+    plan = plan_of(spark, "q44_gap_fill")
+    # one Exchange (hash on user_id) + in-partition sort; no join at all
+    assert count("Exchange", plan) == 1
+    assert "Join" not in plan
+
+
+def test_t13_lm_join_shapes(spark):
+    plan = plan_of(spark, "t13_lm_perplexity")
+    # the single-row vocab is the only nested-loop side; the model joins
+    # are equi (SMJ/BHJ), never cartesian
+    assert "CartesianProduct" not in plan
+
+
+def test_t14_weights_are_broadcast(spark):
+    plan = plan_of(spark, "t14_quality_classifier")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+
+
+def test_g01_pagerank_rounds_are_equi_joins(spark):
+    plan = plan_of(spark, "g01_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
