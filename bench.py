@@ -84,6 +84,11 @@ def main() -> None:
         "d16_jaccard_prefix_filter",
         "s09_ivf_topk_pruned",
         "t12_winnowing_fingerprints",
+        "q43_lateral_topn",
+        "q44_gap_fill",
+        "t13_lm_perplexity",
+        "t14_quality_classifier",
+        "g01_pagerank",
     ]
 
     runs = max(1, int(os.environ.get("BENCH_RUNS", "2")))

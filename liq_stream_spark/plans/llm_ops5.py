@@ -28,8 +28,8 @@ _DUCK_TOKS = (
 
 
 # -- t13: bigram-LM perplexity scoring (CCNet-style) -----------------------
-_T13_SQL = f"""
-    WITH tk AS (
+# CTE chain shared by t13 (per-doc scores) and p10 (bucketing on them)
+_T13_CTES = f"""tk AS (
       SELECT doc_id, {_DUCK_TOKS} AS T FROM documents
     ),
     bg AS (
@@ -58,7 +58,10 @@ _T13_SQL = f"""
       JOIN starts s USING (w1)
       CROSS JOIN vocab v
       GROUP BY o.doc_id
-    )
+    )"""
+
+_T13_SQL = f"""
+    WITH {_T13_CTES}
     SELECT d.doc_id,
            CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
            -sc.ll_nano / (sc.n_bigrams * 1e9) AS avg_nll,
@@ -279,4 +282,123 @@ def sj03_tumbling_agg_batch_parity(
             F.count(F.lit(1)).alias("n_events"),
             dsum("value").alias("total_value"),
         ],
+    )
+
+
+# -- p10: CCNet perplexity buckets -----------------------------------------
+_P10_P1 = repr(1.0 / 3.0)
+_P10_P2 = repr(2.0 / 3.0)
+_P10_SQL = f"""
+    WITH {_T13_CTES},
+    scored AS (
+      SELECT d.doc_id,
+             -sc.ll_nano / (sc.n_bigrams * 1e9) AS avg_nll
+      FROM documents d LEFT JOIN sc USING (doc_id)
+    ),
+    thr AS (
+      SELECT floor(quantile_cont(avg_nll, {_P10_P1}) * 1e9 + 0.5) / 1e9 AS t1,
+             floor(quantile_cont(avg_nll, {_P10_P2}) * 1e9 + 0.5) / 1e9 AS t2
+      FROM scored WHERE avg_nll IS NOT NULL
+    )
+    SELECT s.doc_id, s.avg_nll,
+           CASE WHEN s.avg_nll IS NULL THEN 'unscored'
+                WHEN s.avg_nll <= thr.t1 THEN 'head'
+                WHEN s.avg_nll <= thr.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s, thr
+    """
+
+
+@register(
+    "p10_perplexity_buckets",
+    _P10_SQL,
+    doc="CCNet head/middle/tail corpus partitioning (Wenzek et al. 2020 "
+    "§4.3): tertile-bucket every document by its t13 LM score — the "
+    "paper's recipe for stratifying a crawl by fluency before choosing "
+    "what to train on. Thresholds come from ONE exact-percentile "
+    "aggregate over the scores (Spark percentile ≡ DuckDB "
+    "quantile_cont, the q25-pinned convention; qround'd at 9 dp so the "
+    "boundary compare is engine-stable) broadcast back over the corpus "
+    "— no global sort, no single-partition window. At 100 TB the "
+    "drop-in substitution is approx_percentile for the thresholds "
+    "(same plan shape, sketch-based agg); the exact form is kept here "
+    "because it is oracle-checkable.",
+)
+def p10_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.functions.core import qround
+    from liq_stream_spark.operators.text import bigram_lm_scores
+
+    scored = bigram_lm_scores(load(spark, sf_dir, "documents")).select(
+        "doc_id", "avg_nll"
+    )
+    thr = (
+        scored.filter(F.col("avg_nll").isNotNull())
+        .agg(
+            qround(
+                F.expr(f"percentile(avg_nll, {_P10_P1})"), 9
+            ).alias("t1"),
+            qround(
+                F.expr(f"percentile(avg_nll, {_P10_P2})"), 9
+            ).alias("t2"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "avg_nll",
+        F.when(F.col("avg_nll").isNull(), F.lit("unscored"))
+        .when(F.col("avg_nll") <= F.col("t1"), F.lit("head"))
+        .when(F.col("avg_nll") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+# -- p11: per-source document caps -----------------------------------------
+_P11_K = 20
+_P11_SQL = f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5('cap-v1:' || doc_id::VARCHAR),
+                                        1, 8))::BIGINT % 10000,
+                        doc_id
+             ) AS samp_rank
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(samp_rank AS BIGINT) AS samp_rank
+    FROM ranked WHERE samp_rank <= {_P11_K}
+    """
+
+
+@register(
+    "p11_source_caps",
+    _P11_SQL,
+    doc="per-source document caps (domain balancing — the Common-Crawl "
+    "hygiene step that stops one domain from dominating the mix; C4/"
+    "Gopher both cap per-host contributions): keep at most K=20 docs "
+    "per source, chosen by a deterministic salted-hash order "
+    "(content-independent, stable under corpus growth — the same "
+    "md5_bucket primitive as the p02 split). The rank-filter form is "
+    "the SCALE shape: Catalyst turns row_number()<=K into "
+    "WindowGroupLimit (pinned in tests/test_plans.py), which prunes to "
+    "K rows per source map-side BEFORE the shuffle — a hot domain "
+    "ships K rows, not its whole posting list.",
+)
+def p11_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from liq_stream_spark.operators.text import md5_bucket
+
+    docs = load(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        md5_bucket("doc_id", "cap-v1"), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).cast("long").alias("samp_rank"),
+        )
+        .filter(F.col("samp_rank") <= _P11_K)
     )

@@ -277,3 +277,19 @@ def test_g01_pagerank_rounds_are_equi_joins(spark):
     plan = plan_of(spark, "g01_pagerank")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_p10_thresholds_never_sort_the_corpus(spark):
+    # bucketing must ride ONE percentile aggregate broadcast back over
+    # the scores — no global sort, no single-partition Window
+    plan = plan_of(spark, "p10_perplexity_buckets")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_p11_cap_prunes_map_side(spark):
+    # row_number()<=K must plan as WindowGroupLimit: a hot source ships
+    # K rows per map partition, not its whole posting list
+    plan = plan_of(spark, "p11_source_caps")
+    assert "WindowGroupLimit" in plan
+    assert count("Exchange", plan) == 1  # the source hash partitioning
