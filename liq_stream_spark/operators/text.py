@@ -1089,3 +1089,77 @@ def hashed_linear_score(
         margin.alias("margin"),
         qround(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 9).alias("prob"),
     )
+
+
+def gopher_quality_signals(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021, Appendix A —
+    the heuristic gate MassiveWeb applies before any model-based
+    scoring; C4/RefinedWeb use close variants). Per document:
+
+    - ``n_words``, ``mean_word_len`` — length gates (50..100k words,
+      mean word length 3..10)
+    - ``frac_alpha_words`` — words containing at least one ASCII letter
+      (> 0.8 required; ALL-symbol text is markup/tables)
+    - ``frac_bullet_lines`` / ``frac_ellipsis_lines`` — lines starting
+      with a bullet (< 0.9) / ending with an ellipsis (< 0.3)
+    - ``n_stop_hits`` — at least 2 of a tiny stopword list must appear
+      (the paper's "contains 2 of {the, be, to, of, and, that, have,
+      with}" natural-language check, over our STOPWORDS)
+
+    ``keep`` ANDs the gates. Every signal is exact integer counting in
+    one narrow projection (no shuffle, no UDF); the two ratios are
+    BIGINT/BIGINT IEEE divisions, so the whole frame is oracle-exact
+    with no quantization. Empty docs: ratios NULL, keep false."""
+    t = tokens(text_col)
+    base = docs.select(
+        F.col(id_col),
+        t.alias("__t"),
+        F.split(F.col(text_col), "\n").alias("__lines"),
+    )
+    n_words = F.size("__t").cast("long")
+    sum_len = F.expr(
+        "aggregate(__t, 0L, (a, w) -> a + length(w))"
+    )
+    n_alpha = F.expr(
+        "size(filter(__t, w -> w rlike '[A-Za-z]'))"
+    ).cast("long")
+    n_lines = F.size("__lines").cast("long")
+    n_bullet = F.expr(
+        "size(filter(__lines, l -> startswith(ltrim(l), '-') "
+        "OR startswith(ltrim(l), '*') OR startswith(ltrim(l), '•')))"
+    ).cast("long")
+    n_ellipsis = F.expr(
+        "size(filter(__lines, l -> endswith(rtrim(l), '...')))"
+    ).cast("long")
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_stop_hits = F.expr(
+        f"size(array_intersect(transform(__t, w -> lower(w)), array({sw})))"
+    ).cast("long")
+
+    mean_word_len = sum_len / F.nullif(n_words, F.lit(0))
+    frac_alpha = n_alpha / F.nullif(n_words, F.lit(0))
+    frac_bullet = n_bullet / F.nullif(n_lines, F.lit(0))
+    frac_ellipsis = n_ellipsis / F.nullif(n_lines, F.lit(0))
+    keep = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & mean_word_len.between(3.0, 10.0)
+        & (frac_alpha > 0.8)
+        & (frac_bullet < 0.9)
+        & (frac_ellipsis < 0.3)
+        & (n_stop_hits >= 2)
+    )
+    return base.select(
+        id_col,
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        frac_bullet.alias("frac_bullet_lines"),
+        frac_ellipsis.alias("frac_ellipsis_lines"),
+        n_stop_hits.alias("n_stop_hits"),
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )

@@ -402,3 +402,65 @@ def p11_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("samp_rank") <= _P11_K)
     )
+
+
+# -- t15: Gopher rule-based quality gate -----------------------------------
+_T15_SW = ", ".join(f"'{w}'" for w in __import__(
+    "liq_stream_spark.operators.text", fromlist=["STOPWORDS"]
+).STOPWORDS)
+_T15_SQL = f"""
+    WITH tk AS (
+      SELECT doc_id, {_DUCK_TOKS} AS T,
+             string_split(text, chr(10)) AS L
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             len(T)::BIGINT AS n_words,
+             coalesce(list_sum(list_transform(T, w -> length(w))), 0)::BIGINT
+               AS sum_len,
+             len(list_filter(T, w -> regexp_matches(w, '[A-Za-z]')))::BIGINT
+               AS n_alpha,
+             len(L)::BIGINT AS n_lines,
+             len(list_filter(L, l -> starts_with(ltrim(l), '-')
+                 OR starts_with(ltrim(l), '*')
+                 OR starts_with(ltrim(l), '•')))::BIGINT AS n_bullet,
+             len(list_filter(L, l -> ends_with(rtrim(l), '...')))::BIGINT
+               AS n_ellipsis,
+             len(list_intersect(list_transform(T, w -> lower(w)),
+                                [{_T15_SW}]))::BIGINT AS n_stop_hits
+      FROM tk
+    )
+    SELECT doc_id, n_words,
+           sum_len / nullif(n_words, 0) AS mean_word_len,
+           n_alpha / nullif(n_words, 0) AS frac_alpha_words,
+           n_bullet / nullif(n_lines, 0) AS frac_bullet_lines,
+           n_ellipsis / nullif(n_lines, 0) AS frac_ellipsis_lines,
+           n_stop_hits,
+           coalesce(n_words >= 50 AND n_words <= 100000
+                    AND sum_len / nullif(n_words, 0) BETWEEN 3.0 AND 10.0
+                    AND n_alpha / nullif(n_words, 0) > 0.8
+                    AND n_bullet / nullif(n_lines, 0) < 0.9
+                    AND n_ellipsis / nullif(n_lines, 0) < 0.3
+                    AND n_stop_hits >= 2, false) AS keep
+    FROM sig
+    """
+
+
+@register(
+    "t15_gopher_rules",
+    _T15_SQL,
+    doc="Gopher rule-based quality gate "
+    "(operators/text.gopher_quality_signals; Rae et al. 2021 Appendix A "
+    "— the MassiveWeb heuristic filter; C4/RefinedWeb run close "
+    "variants): word-count and mean-word-length gates, alpha-word "
+    "ratio, bullet/ellipsis line ratios, and a distinct-stopword "
+    "natural-language check, ANDed into ``keep``. One narrow per-row "
+    "projection — zero shuffles, no UDFs; all counters are exact "
+    "BIGINTs and both ratios are integer IEEE divisions, so the frame "
+    "is oracle-exact with no quantization.",
+)
+def t15_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.operators.text import gopher_quality_signals
+
+    return gopher_quality_signals(load(spark, sf_dir, "documents"))

@@ -83,3 +83,50 @@ def q44_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.last(sparse, ignorenulls=True).over(w).alias("last_purchase_value"),
     )
+
+
+@register(
+    "q45_twap",
+    """
+    WITH d AS (
+      SELECT event_type, value,
+             epoch_us(lead(ts) OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id))
+               - epoch_us(ts) AS dt_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(dt_us) AS BIGINT) AS n_intervals,
+           CAST(SUM(CAST(value AS DECIMAL(25,6)) * dt_us) AS DOUBLE)
+             / SUM(dt_us) AS twap
+    FROM d
+    GROUP BY event_type
+    """,
+    doc="time-weighted average (TWAP) per event_type: each value is "
+    "weighted by the microseconds until the NEXT event of the same "
+    "type (the standard market-data aggregate the reference's "
+    "liquidation consumers compute downstream; last event per type "
+    "carries no interval). One window shuffle on event_type + one agg "
+    "on the same key — the partitioning is reused, and at scale the "
+    "window key would extend to (symbol, day) exactly like the "
+    "sessionizer's buckets. value x dt products accumulate as exact "
+    "DECIMAL x BIGINT (task-order-free); one IEEE division per group.",
+)
+def q45_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    d = ev.select(
+        "event_type",
+        "value",
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        ).alias("dt_us"),
+    )
+    return d.groupBy("event_type").agg(
+        F.count("dt_us").alias("n_intervals"),
+        (
+            F.sum(F.col("value").cast("decimal(25,6)") * F.col("dt_us"))
+            .cast("double")
+            / F.sum("dt_us")
+        ).alias("twap"),
+    )

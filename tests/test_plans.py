@@ -293,3 +293,15 @@ def test_p11_cap_prunes_map_side(spark):
     plan = plan_of(spark, "p11_source_caps")
     assert "WindowGroupLimit" in plan
     assert count("Exchange", plan) == 1  # the source hash partitioning
+
+
+def test_t15_gopher_gate_is_shuffle_free(spark):
+    plan = plan_of(spark, "t15_gopher_rules")
+    assert count("Exchange", plan) == 0
+    assert "Join" not in plan
+
+
+def test_q45_twap_reuses_window_partitioning(spark):
+    # lead() window and the final agg share hash(event_type): ONE Exchange
+    plan = plan_of(spark, "q45_twap")
+    assert count("Exchange", plan) == 1

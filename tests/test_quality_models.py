@@ -135,3 +135,35 @@ def test_classifier_plan_broadcasts_weights(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule gate
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_signals_and_gates(spark):
+    from liq_stream_spark.operators.text import gopher_quality_signals
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs on for a "
+        "while in the sunny field with many other pleasant animals around "
+        "it today because everything here is written in plain natural "
+        "language sentences that keep going until the word count passes "
+        "fifty words in total for the length gate to admit this text"
+    )
+    bullets = "\n".join("- item" for _ in range(10))
+    rows = {
+        r["doc_id"]: r
+        for r in gopher_quality_signals(
+            _docs(spark, [good, bullets, "", "@@ ## $$ %% ^^"])
+        ).collect()
+    }
+    assert rows[0]["keep"] is True
+    assert rows[0]["n_words"] >= 50 and rows[0]["n_stop_hits"] >= 2
+    # bullet-heavy doc: every line is a bullet -> ratio 1.0 -> rejected
+    assert rows[1]["frac_bullet_lines"] == 1.0 and rows[1]["keep"] is False
+    # empty doc: NULL ratios, keep coalesces to False (never NULL)
+    assert rows[2]["mean_word_len"] is None and rows[2]["keep"] is False
+    # symbol soup: zero alpha words
+    assert rows[3]["frac_alpha_words"] == 0.0 and rows[3]["keep"] is False
