@@ -1163,3 +1163,65 @@ def gopher_quality_signals(
         n_stop_hits.alias("n_stop_hits"),
         F.coalesce(keep, F.lit(False)).alias("keep"),
     )
+
+
+def winnow_clone_pairs(
+    docs: DataFrame,
+    window: int = 4,
+    ngram: int = 3,
+    threshold: float = 0.85,
+    max_doc_freq: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Clone-pair detection over winnowing fingerprints — the MOSS
+    pipeline's second half (Schleimer et al. 2003 §4): join the
+    (doc, fingerprint) posting table to itself on the fingerprint,
+    then keep pairs whose fingerprint-set JACCARD reaches
+    ``threshold``. Winnowing guarantees any clone of >= window+ngram-1
+    characters shares a fingerprint, so the join finds every candidate
+    at ~2/(window+1) of d04's full-shingle index volume; the Jaccard
+    gate (not a raw shared count — boilerplate-heavy corpora share
+    dozens of fingerprints between unrelated docs) is what ranks real
+    clones, estimating d04's shingle Jaccard from the winnowed sample.
+
+    ``max_doc_freq`` is the same 100 TB skew valve as d04/d08: a
+    fingerprint present in more than that many docs (boilerplate) would
+    contribute a quadratic posting-list blowup for ~no clone signal;
+    capping keeps every bucket's pair expansion bounded. Default None =
+    exact over all fingerprints (the oracle setting).
+
+    The Jaccard is a quotient of exact BIGINTs — one IEEE division,
+    no quantization needed. Output: (id_a, id_b, n_shared, fp_jaccard),
+    id_a < id_b."""
+    fps = winnow_fingerprints(docs, window=window, ngram=ngram)
+    if max_doc_freq is not None:
+        keep = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("fp")
+        )
+        fps = fps.join(keep, "fp", "left_semi").localCheckpoint(eager=False)
+    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    inter = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_fp").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_fp").alias("n_b"))
+    jac = F.col("n_shared") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b", "n_shared", jac.alias("fp_jaccard")
+        )
+        .filter(F.col("fp_jaccard") >= threshold)
+    )

@@ -464,3 +464,66 @@ def t15_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from liq_stream_spark.operators.text import gopher_quality_signals
 
     return gopher_quality_signals(load(spark, sf_dir, "documents"))
+
+
+# -- d18: winnowing clone pairs --------------------------------------------
+_D18_THRESHOLD = repr(0.85)
+
+
+def _d18_sql() -> str:
+    from liq_stream_spark.plans.llm_ops import DUCK_SHINGLES
+    from liq_stream_spark.plans.llm_ops4 import _T12_W
+
+    return f"""
+    WITH h AS (
+      SELECT doc_id, {DUCK_SHINGLES} AS h FROM documents
+    ),
+    fps AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               list_transform(range(0, greatest(len(h) - {_T12_W}, 0) + 1),
+                              i -> list_min(h[i+1 : i+{_T12_W}]))
+             )) AS fp
+      FROM h WHERE len(h) > 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM fps a JOIN fps b USING (fp)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b, i.n_shared,
+           i.n_shared / (sa.n_fp + sb.n_fp - i.n_shared) AS fp_jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_shared / (sa.n_fp + sb.n_fp - i.n_shared)
+          >= CAST({_D18_THRESHOLD} AS DOUBLE)
+    """
+
+
+@register(
+    "d18_winnow_clone_pairs",
+    _d18_sql(),
+    doc="clone-pair detection over the t12 winnowing fingerprints "
+    "(operators/text.winnow_clone_pairs; MOSS, Schleimer et al. 2003 "
+    "§4): self-equi-join the (doc, fingerprint) posting table and "
+    f"gate on fingerprint-set Jaccard >= {_D18_THRESHOLD} — a raw "
+    "shared-count gate is useless on boilerplate-heavy corpora "
+    "(this fixture: 124k of 124.75k pairs share >= 2 fps; the Jaccard "
+    "gate keeps ~600). Candidate-complete for clones of >= "
+    "window+ngram-1 chars by the winnowing guarantee, at ~2/(w+1) of "
+    "d04's full-shingle index volume — the middle ground between "
+    "exact Jaccard (d04/d16) and MinHash banding (d03). The Jaccard "
+    "is a quotient of exact BIGINTs (one IEEE division, no "
+    "quantization); max_doc_freq is the boilerplate skew valve "
+    "(d04/d08 convention); uncapped = exact = oracle setting.",
+)
+def d18_winnow_clone_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.operators.text import winnow_clone_pairs
+
+    return winnow_clone_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.85
+    )

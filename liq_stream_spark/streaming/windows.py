@@ -48,3 +48,40 @@ def tumbling_agg(
         F.col("__w.end").alias("w_end"),
         *rest,
     )
+
+
+def session_agg(
+    stream: DataFrame,
+    ts_col: str,
+    gap: str,
+    aggs: list[Column],
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time session-window aggregation (gap-based): consecutive
+    rows per key closer than ``gap`` merge into one session
+    [first event, last event + gap).
+
+    Streaming: sessions are mutable state until the watermark passes a
+    session's end (a new event can extend or MERGE sessions), then
+    finalize in append mode — Spark's native incarnation of the
+    reference's dedup-ring-style keyed state, but with merge semantics
+    no hand-rolled ring can express. Batch: the same call collapses to
+    the q40 hash-agg plan, which is oracle-gated — so the batch leg
+    proves the session semantics and the live test proves the
+    watermark lifecycle.
+
+    State is O(open sessions), bounded by watermark + gap."""
+    agged = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("__w"), *(keys or [])
+        )
+        .agg(*aggs)
+    )
+    rest = [c for c in agged.columns if c != "__w"]
+    return agged.select(
+        F.col("__w.start").alias("session_start"),
+        F.col("__w.end").alias("session_end"),
+        *rest,
+    )

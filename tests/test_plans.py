@@ -305,3 +305,9 @@ def test_q45_twap_reuses_window_partitioning(spark):
     # lead() window and the final agg share hash(event_type): ONE Exchange
     plan = plan_of(spark, "q45_twap")
     assert count("Exchange", plan) == 1
+
+
+def test_d18_winnow_pairs_no_cross_join(spark):
+    plan = plan_of(spark, "d18_winnow_clone_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

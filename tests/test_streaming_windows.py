@@ -126,3 +126,60 @@ def test_stream_batch_parity_on_finalized_windows(spark, tmp_path):
     # must match the streaming output exactly
     for k, v in batch.items():
         assert streamed.get(k) == v, f"window {k}: stream {streamed.get(k)} vs batch {v}"
+
+
+def test_session_windows_merge_and_finalize(spark, tmp_path):
+    from liq_stream_spark.streaming.windows import session_agg
+
+    src = tmp_path / "in3"
+    src.mkdir()
+    # user A: two bursts 5 min apart (one session at 10-min gap);
+    # user B: one event
+    _write(
+        src,
+        "b1.jsonl",
+        [
+            {"ts": "2025-01-01 10:00:00", "event_type": "a", "value": 1.0},
+            {"ts": "2025-01-01 10:05:00", "event_type": "a", "value": 2.0},
+            {"ts": "2025-01-01 10:02:00", "event_type": "b", "value": 7.0},
+        ],
+    )
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    agged = session_agg(
+        stream,
+        ts_col="ts",
+        gap="10 minutes",
+        aggs=[F.count(F.lit(1)).alias("n_events")],
+        keys=["event_type"],
+        watermark="1 minute",
+    )
+    assert agged.isStreaming
+    q = (
+        agged.writeStream.format("memory")
+        .queryName("sw_live")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark is still at 10:04 — no session closed yet
+        assert spark.sql("select * from sw_live").count() == 0
+        _write(
+            src,
+            "b2.jsonl",
+            [{"ts": "2025-01-01 12:00:00", "event_type": "a", "value": 0.0}],
+        )
+        q.processAllAvailable()
+        rows = {
+            (r["event_type"]): r
+            for r in spark.sql("select * from sw_live").collect()
+        }
+    finally:
+        q.stop()
+    # user A's two bursts MERGED into one session of 2 events ending
+    # last-event + gap; B's single event is its own session
+    a = rows["a"]
+    assert a["n_events"] == 2
+    assert a["session_start"].isoformat() == "2025-01-01T10:00:00"
+    assert a["session_end"].isoformat() == "2025-01-01T10:15:00"
+    assert rows["b"]["n_events"] == 1
