@@ -121,3 +121,45 @@ def pagerank(
         F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
         (F.col("r") / F.lit(float(10**SCALE))).alias("pr"),
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Per-vertex triangle counts over an undirected edge list
+    (``id_a < id_b`` per row, deduplicated) — the standard clustering /
+    community-density signal (a near-dup graph whose vertices close
+    many triangles is template mass, not a chance collision chain; cf.
+    the d14 lesson that unverified band edges chain into mega-clusters).
+
+    Algorithm: the classic ordered two-path join. Because every edge is
+    stored (lo, hi), each triangle a<b<c is found EXACTLY once by
+    joining (a,b)+(b,c) on the middle vertex and closing with (a,c) —
+    no orientation dedup, no factor-6 overcount. Two equi-joins, both
+    on vertex keys; the edge list is the only input, so the whole plan
+    is edge-sized shuffles (never corpus-sized). At 100 TB the standard
+    refinement is degree-ordering the join sides (compact-forward) so
+    hub vertices don't quadratically expand — the id ordering here IS
+    a degree-agnostic instance of that orientation trick.
+
+    Returns (node_id, n_triangles), one row per vertex that closes at
+    least one triangle; exact BIGINTs, fully oracle-checkable."""
+    e = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    ab = e.select(F.col("a"), F.col("b"))
+    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tris = (
+        ab.join(bc, "b")
+        .join(
+            ac,
+            (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
+            "left_semi",
+        )
+        .select("a", "b", "c")
+    )
+    corners = tris.select(F.explode(F.array("a", "b", "c")).alias("node_id"))
+    return corners.groupBy("node_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

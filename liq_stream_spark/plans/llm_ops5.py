@@ -527,3 +527,97 @@ def d18_winnow_clone_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_clone_pairs(
         load(spark, sf_dir, "documents"), threshold=0.85
     )
+
+
+# -- g02: triangle counts over the near-dup graph --------------------------
+def _g02_sql() -> str:
+    from liq_stream_spark.plans.llm_ops import (
+        _duck_bands_cte,
+        _duck_minhash_cte,
+    )
+
+    return f"""
+    WITH {_duck_minhash_cte()},
+    {_duck_bands_cte()},
+    buckets AS (
+      SELECT list(doc_id) AS ids
+      FROM bands GROUP BY band, band_key HAVING COUNT(*) > 1
+    ),
+    star AS (
+      SELECT DISTINCT list_min(ids) AS id_a, unnest(ids) AS id_b FROM buckets
+    ),
+    e AS (SELECT id_a AS a, id_b AS b FROM star WHERE id_a != id_b),
+    tris AS (
+      SELECT ab.a, ab.b, bc.b AS c
+      FROM e ab
+      JOIN e bc ON bc.a = ab.b
+      WHERE EXISTS (SELECT 1 FROM e ac WHERE ac.a = ab.a AND ac.b = bc.b)
+    ),
+    corners AS (
+      SELECT unnest([a, b, c]) AS node_id FROM tris
+    )
+    SELECT node_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY node_id
+    """
+
+
+@register(
+    "g02_triangle_counts",
+    _g02_sql(),
+    doc="per-vertex triangle counts (operators/graph.triangle_counts) "
+    "over the d03 LSH star-edge graph — the community-density signal "
+    "that separates template mass from chance collision chains (the "
+    "d14 lesson, as a graph metric). Ordered two-path join: edges are "
+    "stored (lo, hi), so each triangle a<b<c is found exactly once by "
+    "an equi-join on the middle vertex closed with a LEFT SEMI probe "
+    "on the third edge — no orientation dedup, no factor-6 "
+    "overcount, edge-sized shuffles only. Exact BIGINTs, fully "
+    "oracled; the iterative companion to g01's PageRank.",
+)
+def g02_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.operators import dedup as D
+    from liq_stream_spark.operators.graph import triangle_counts
+
+    sigs = D.minhash_sig_arrays(load(spark, sf_dir, "documents"))
+    return triangle_counts(D.lsh_star_edges(sigs))
+
+
+# -- p12: corpus mixture report --------------------------------------------
+@register(
+    "p12_corpus_report",
+    """
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                    END) AS BIGINT) AS total_words
+    FROM documents
+    GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+    """,
+    doc="corpus mixture report — the dataset-card rollup every training "
+    "run publishes (docs / chars / whitespace words by language x "
+    "source, with per-language, per-source and grand-total margins via "
+    "GROUPING SETS): one pass, one map-side-combinable agg per "
+    "grouping set, all counters exact BIGINTs. The documents-table "
+    "companion to q39's relational grouping sets; token counts use the "
+    "property-pinned whitespace-tokenizer spec so the numbers agree "
+    "with t05/t10 budgeting queries.",
+)
+def p12_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.operators.text import token_count
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang", "source", "n_chars", token_count("text").alias("__w")
+        )
+        .groupingSets(
+            [["lang", "source"], ["lang"], ["source"], []], "lang", "source"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("__w").cast("long").alias("total_words"),
+        )
+    )

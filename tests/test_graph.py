@@ -87,3 +87,20 @@ def test_empty_graph(spark):
     nodes = spark.createDataFrame([], "node_id long")
     e = spark.createDataFrame([], "src long, dst long")
     assert pagerank(spark, nodes, e).count() == 0
+
+
+def test_triangle_counts_on_known_graph(spark):
+    from liq_stream_spark.operators.graph import triangle_counts
+
+    # K4 on {0,1,2,3} (4 triangles, each vertex in 3) + pendant edge 3-4
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4)]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node_id"]: r["n_triangles"] for r in triangle_counts(e).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}  # node 4 closes none
+
+
+def test_triangle_counts_no_triangles(spark):
+    from liq_stream_spark.operators.graph import triangle_counts
+
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "id_a long, id_b long")
+    assert triangle_counts(e).count() == 0

@@ -311,3 +311,15 @@ def test_d18_winnow_pairs_no_cross_join(spark):
     plan = plan_of(spark, "d18_winnow_clone_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_g02_triangles_are_equi_joins(spark):
+    plan = plan_of(spark, "g02_triangle_counts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_p12_grouping_sets_single_expand_agg(spark):
+    plan = plan_of(spark, "p12_corpus_report")
+    assert "Expand" in plan
+    assert "Join" not in plan
