@@ -621,3 +621,57 @@ def p12_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("__w").cast("long").alias("total_words"),
         )
     )
+
+
+# -- s12: per-label embedding centroids ------------------------------------
+_S12_SQL = """
+    WITH expl AS (
+      SELECT label, u.v AS v, u.pos AS pos FROM (
+        SELECT label,
+               unnest(list_transform(embedding,
+                      (x, i) -> struct_pack(v := x, pos := i - 1))) AS u
+        FROM embeddings
+      )
+    ),
+    q AS (
+      SELECT label, CAST(pos AS BIGINT) AS pos,
+             CAST(floor(CAST(v AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS nano
+      FROM expl
+    )
+    SELECT label, pos,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           SUM(nano) / (COUNT(*) * 1e9) AS centroid
+    FROM q GROUP BY label, pos
+    """
+
+
+@register(
+    "s12_label_centroids",
+    _S12_SQL,
+    doc="per-label embedding centroids (mean pooling at corpus scale — "
+    "the aggregation behind class prototypes, k-NN prototype "
+    "classifiers, and SemDeDup's cluster seeds): posexplode the vector "
+    "into (label, dimension, value) rows, one map-side-combinable agg "
+    "on (label, pos). THE scale shape for vector aggregation — no "
+    "collect, no per-label array buffering; a billion vectors is still "
+    "one shuffle of dim x labels partial sums. Values quantize to "
+    "nano-units (qfloor_long) and sum as exact BIGINTs, so the means "
+    "are bit-identical across engines — the qround convention applied "
+    "to float32 inputs (float -> double is exact, double -> nano is "
+    "the portable floor).",
+)
+def s12_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.functions.core import qfloor_long
+
+    emb = load(spark, sf_dir, "embeddings")
+    expl = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        F.col("pos").cast("long").alias("pos"),
+        qfloor_long(F.col("v").cast("double"), 9).alias("nano"),
+    )
+    return expl.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (F.sum("nano") / (F.count(F.lit(1)) * F.lit(1e9))).alias("centroid"),
+    )

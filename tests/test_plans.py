@@ -323,3 +323,15 @@ def test_p12_grouping_sets_single_expand_agg(spark):
     plan = plan_of(spark, "p12_corpus_report")
     assert "Expand" in plan
     assert "Join" not in plan
+
+
+def test_s12_centroids_single_combinable_agg(spark):
+    # posexplode -> ONE (label, pos) partial-agg shuffle; no join, no window
+    plan = plan_of(spark, "s12_label_centroids")
+    assert count("Exchange", plan) == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_q46_cohorts_ride_user_key(spark):
+    plan = plan_of(spark, "q46_retention_cohorts")
+    assert "CartesianProduct" not in plan
