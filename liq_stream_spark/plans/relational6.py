@@ -136,47 +136,45 @@ def q45_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q46_retention_cohorts",
     """
     WITH firsts AS (
-      SELECT user_id, CAST(date_trunc('month', MIN(ts)) AS DATE) AS cohort
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
       FROM events GROUP BY user_id
     ),
     activity AS (
       SELECT DISTINCT user_id,
-             CAST(date_trunc('month', ts) AS DATE) AS act_month
+             CAST(date_trunc('week', ts) AS DATE) AS act_week
       FROM events
     )
     SELECT f.cohort,
-           CAST((EXTRACT(year FROM a.act_month) - EXTRACT(year FROM f.cohort))
-                * 12
-                + (EXTRACT(month FROM a.act_month)
-                   - EXTRACT(month FROM f.cohort)) AS BIGINT)
-             AS months_since,
+           CAST(date_diff('day', f.cohort, a.act_week) // 7 AS BIGINT)
+             AS weeks_since,
            CAST(COUNT(*) AS BIGINT) AS n_users
     FROM firsts f JOIN activity a USING (user_id)
     GROUP BY 1, 2
     """,
     doc="retention cohort matrix — the product-analytics staple: users "
-    "cohorted by first-event month, counted in every later month they "
-    "were active. Two aggs + one user-key equi-join, all riding "
-    "hash(user_id); month arithmetic is exact integer year*12+month "
-    "differences (never months_between float semantics), and months "
-    "surface as DATE in BOTH engines (the q42 date-canonicalization "
-    "lesson). The (cohort, months_since) matrix is dashboard-sized "
+    "cohorted by first-event week, counted in every later week they "
+    "were active (weekly because the fixture's event log spans one "
+    "month). Two aggs + one user-key equi-join, all riding "
+    "hash(user_id); the offset is an exact integer day-difference/7 "
+    "(both engines truncate weeks to Monday, and week starts are "
+    "always 7k days apart — never float month arithmetic), with weeks "
+    "surfaced as DATE in BOTH engines (the q42 date-canonicalization "
+    "lesson). The (cohort, weeks_since) matrix is dashboard-sized "
     "however large the event log.",
 )
 def q46_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     firsts = ev.groupBy("user_id").agg(
-        F.date_trunc("month", F.min("ts")).cast("date").alias("cohort")
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
     )
     activity = ev.select(
-        "user_id", F.date_trunc("month", "ts").cast("date").alias("act_month")
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("act_week")
     ).distinct()
-    months_since = (
-        (F.year("act_month") - F.year("cohort")) * 12
-        + (F.month("act_month") - F.month("cohort"))
+    weeks_since = (
+        F.datediff("act_week", "cohort") / F.lit(7)
     ).cast("long")
     return (
         firsts.join(activity, "user_id")
-        .groupBy("cohort", months_since.alias("months_since"))
+        .groupBy("cohort", weeks_since.alias("weeks_since"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
