@@ -601,17 +601,19 @@ SPLIT_MOD = 10_000
 
 
 
-def md5_bucket(id_col: str, salt: str) -> Column:
-    """Deterministic bucket in [0, SPLIT_MOD): int(md5('<salt>:<id>')[:8
-    hex]) % SPLIT_MOD. THE membership primitive for splits, sampling and
-    mixing — one definition so the rule mirrored in every DuckDB oracle
-    cannot drift between call sites. Pure function of (salt, id): stable
-    under repartition and corpus growth. md5 (not a polynomial fold)
-    because sequential/zero-padded ids must still spread uniformly."""
+def md5_bucket(id_col: str, salt: str, mod: int = SPLIT_MOD) -> Column:
+    """Deterministic bucket in [0, mod): int(md5('<salt>:<id>')[:8
+    hex]) % mod (default SPLIT_MOD). THE membership primitive for
+    splits, sampling, mixing and hashed features — one definition so
+    the rule mirrored in every DuckDB oracle cannot drift between call
+    sites (``id_col`` may be any SQL expression string). Pure function
+    of (salt, id): stable under repartition and corpus growth. md5
+    (not a polynomial fold) because sequential/zero-padded ids must
+    still spread uniformly."""
     key = f"concat('{salt}', ':', CAST({id_col} AS STRING))"
     return F.expr(
         f"CAST(conv(substring(md5({key}), 1, 8), 16, 10) AS BIGINT) "
-        f"% {SPLIT_MOD}"
+        f"% {mod}"
     ).cast("long")
 
 
@@ -938,11 +940,16 @@ def bigram_lm_scores(
     so scoring any corpus against any model is total.
 
     Determinism: each bigram's log-probability quantizes to integer
-    nano-nats via the portable half-up form floor(x*1e9 + 0.5)
+    MICRO-nats via the portable half-up form floor(x*1e6 + 0.5)
     (functions/core.qfloor_long — engine-native round() disagrees at
     half boundaries) and accumulates as an exact BIGINT sum, so the
-    per-doc total is task-order-free and bit-identical across engines;
-    one IEEE division per doc yields avg_nll un-rounded.
+    per-doc total is task-order-free; one IEEE division per doc yields
+    avg_nll un-rounded. The 1e-6 quantum (not 1e-9) is deliberate:
+    ln() is a transcendental whose last ulp may differ between JVM
+    Math.log and libm, and the coarser grid makes a cross-engine
+    boundary flip ~1e-10-improbable per distinct (cb, cu) pair instead
+    of ~1e-7 — the one place quantization FOLLOWS a transcendental
+    rather than exact arithmetic.
 
     Scale shape: docs explode to per-doc DISTINCT bigrams with
     multiplicity first (map-side-combinable agg), so the model join
@@ -972,7 +979,10 @@ def bigram_lm_scores(
             .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
         )
 
-    tb = _bigrams(train)
+    # one tokenize+explode pass feeds model/starts/occ (and vocab): the
+    # checkpoint stops four consumers re-scanning the corpus (the
+    # pagerank/winnow convention)
+    tb = _bigrams(train).localCheckpoint(eager=False)
     model = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     starts = tb.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
     vocab = (
@@ -980,10 +990,11 @@ def bigram_lm_scores(
         .agg(F.countDistinct("w").alias("v"))
     )
 
-    occ = (
-        _bigrams(docs)
-        .groupBy(id_col, "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("k"))
+    scored_bigrams = (
+        tb if train is docs else _bigrams(docs)
+    )
+    occ = scored_bigrams.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("k")
     )
     scored = (
         occ.join(model, ["w1", "w2"], "left")
@@ -995,19 +1006,19 @@ def bigram_lm_scores(
             qfloor_long(
                 F.log(F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1))
                 - F.log(F.coalesce(F.col("cu"), F.lit(0)) + F.col("v")),
-                9,
-            ).alias("logp_nano"),
+                6,
+            ).alias("logp_micro"),
         )
         .groupBy(id_col)
         .agg(
             F.sum("k").alias("n_bigrams"),
-            F.sum(F.col("logp_nano") * F.col("k")).alias("ll_nano"),
+            F.sum(F.col("logp_micro") * F.col("k")).alias("ll_micro"),
         )
     )
     out = docs.select(id_col).join(scored, id_col, "left")
     # exact-integer numerator / exact double denominator: IEEE-identical
     # in any engine, no display rounding needed
-    avg_nll = -F.col("ll_nano") / (F.col("n_bigrams") * F.lit(1e9))
+    avg_nll = -F.col("ll_micro") / (F.col("n_bigrams") * F.lit(1e6))
     return out.select(
         id_col,
         F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
@@ -1044,30 +1055,23 @@ def hashed_linear_score(
     matter how large the corpus.
 
     Determinism: weights and the dot product are exact BIGINT sums;
-    the only float ops are one division and one sigmoid per doc, each
-    quantized with the portable half-up qround (engine-native round()
-    disagrees at half boundaries). Docs with no tokens score NULL.
+    the margin is ONE IEEE division of exact integers (deterministic
+    with no quantization at all), and only the sigmoid — the lone
+    transcendental — is quantized, at the coarse 1e-6 grid so a
+    cross-engine exp() ulp difference cannot flip the floor (see
+    bigram_lm_scores). Docs with no tokens score NULL.
 
     Output: (doc_id, n_tokens, margin, prob)."""
     spark = docs.sparkSession
     weights = spark.range(QW_BUCKETS).select(
         F.col("id").alias("bucket"),
-        (
-            F.expr(
-                f"CAST(conv(substring(md5(concat('{QW_SALT}', ':', "
-                f"CAST(id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2001"
-            )
-            - F.lit(1000)
-        ).alias("w"),
+        (md5_bucket("id", QW_SALT, mod=2001) - F.lit(1000)).alias("w"),
     )
     toks = docs.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     ).select(
         id_col,
-        F.expr(
-            f"CAST(conv(substring(md5(concat('{QW_SALT}', ':', "
-            f"lower(tok))), 1, 8), 16, 10) AS BIGINT) % {QW_BUCKETS}"
-        ).alias("bucket"),
+        md5_bucket("lower(tok)", QW_SALT, mod=QW_BUCKETS).alias("bucket"),
     )
     scored = (
         toks.groupBy(id_col, "bucket")
@@ -1079,15 +1083,13 @@ def hashed_linear_score(
             F.sum(F.col("k") * F.col("w")).alias("dot"),
         )
     )
-    margin = qround(
-        F.col("dot") / (F.lit(1000.0) * F.col("n_tokens")), 9
-    )
+    margin = F.col("dot") / (F.lit(1000.0) * F.col("n_tokens"))
     out = docs.select(id_col).join(scored, id_col, "left")
     return out.select(
         id_col,
         F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
         margin.alias("margin"),
-        qround(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 9).alias("prob"),
+        qround(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6).alias("prob"),
     )
 
 

@@ -51,8 +51,8 @@ _T13_CTES = f"""tk AS (
     sc AS (
       SELECT o.doc_id,
              SUM(o.k) AS n_bigrams,
-             SUM(CAST(floor((ln(m.cb + 1) - ln(s.cu + v.v)) * 1e9 + 0.5)
-                      AS BIGINT) * o.k) AS ll_nano
+             SUM(CAST(floor((ln(m.cb + 1) - ln(s.cu + v.v)) * 1e6 + 0.5)
+                      AS BIGINT) * o.k) AS ll_micro
       FROM occ o
       JOIN model m USING (w1, w2)
       JOIN starts s USING (w1)
@@ -64,8 +64,8 @@ _T13_SQL = f"""
     WITH {_T13_CTES}
     SELECT d.doc_id,
            CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-           -sc.ll_nano / (sc.n_bigrams * 1e9) AS avg_nll,
-           floor(exp(-sc.ll_nano / (sc.n_bigrams * 1e9)) * 1e6 + 0.5) / 1e6
+           -sc.ll_micro / (sc.n_bigrams * 1e6) AS avg_nll,
+           floor(exp(-sc.ll_micro / (sc.n_bigrams * 1e6)) * 1e6 + 0.5) / 1e6
              AS ppl
     FROM documents d LEFT JOIN sc USING (doc_id)
     """
@@ -83,9 +83,10 @@ _T13_SQL = f"""
     "with multiplicity aggregate FIRST (map-side combine), so the "
     "model join ships each (doc, bigram) once however often it "
     "repeats; two word-key equi-joins + broadcast single-row vocab. "
-    "Per-bigram log-probs quantize to integer nano-nats "
-    "(portable half-up floor) and accumulate as exact BIGINT sums — "
-    "task-order-free, oracle-exact.",
+    "Per-bigram log-probs quantize to integer micro-nats "
+    "(portable half-up floor at the coarse 1e-6 grid, so a "
+    "cross-engine ln() ulp difference cannot flip the floor) and "
+    "accumulate as exact BIGINT sums — task-order-free, oracle-exact.",
 )
 def t13_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from liq_stream_spark.operators.text import bigram_lm_scores
@@ -116,10 +117,9 @@ _T14_SQL = f"""
     )
     SELECT d.doc_id,
            CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
-           floor(sc.dot / (1000.0 * sc.n_tokens) * 1e9 + 0.5) / 1e9 AS margin,
-           floor(1.0 / (1.0 + exp(-(floor(sc.dot / (1000.0 * sc.n_tokens)
-                                          * 1e9 + 0.5) / 1e9))) * 1e9 + 0.5)
-             / 1e9 AS prob
+           sc.dot / (1000.0 * sc.n_tokens) AS margin,
+           floor(1.0 / (1.0 + exp(-(sc.dot / (1000.0 * sc.n_tokens))))
+                 * 1e6 + 0.5) / 1e6 AS prob
     FROM documents d LEFT JOIN sc USING (doc_id)
     """
 
@@ -137,12 +137,28 @@ _T14_SQL = f"""
     "map-side-combinable (doc, bucket) agg -> BROADCAST weight join "
     "(the weight side of a hashed model is bounded by bucket count "
     "regardless of corpus size) -> per-doc agg. Dot products are exact "
-    "BIGINT sums; one rounded division + sigmoid per doc.",
+    "BIGINT sums; the margin is one raw IEEE division of exact "
+    "integers, and only the sigmoid is quantized (coarse 1e-6 grid, "
+    "transcendental-safe).",
 )
 def t14_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from liq_stream_spark.operators.text import hashed_linear_score
 
     return hashed_linear_score(load(spark, sf_dir, "documents"))
+
+
+def _duck_star_edges_ctes() -> str:
+    """CTE block 'buckets, star' mirroring operators/dedup.lsh_star_edges
+    over the shared bands CTE — ONE definition for every oracle that
+    consumes the star-edge graph (g01, g02), the _duck_bands_cte
+    convention applied one level up."""
+    return """buckets AS (
+      SELECT list(doc_id) AS ids
+      FROM bands GROUP BY band, band_key HAVING COUNT(*) > 1
+    ),
+    star AS (
+      SELECT DISTINCT list_min(ids) AS id_a, unnest(ids) AS id_b FROM buckets
+    )"""
 
 
 # -- g01: PageRank over the LSH near-dup graph -----------------------------
@@ -179,13 +195,7 @@ def _g01_sql() -> str:
     return f"""
     WITH {_duck_minhash_cte()},
     {_duck_bands_cte()},
-    buckets AS (
-      SELECT list(doc_id) AS ids
-      FROM bands GROUP BY band, band_key HAVING COUNT(*) > 1
-    ),
-    star AS (
-      SELECT DISTINCT list_min(ids) AS id_a, unnest(ids) AS id_b FROM buckets
-    ),
+    {_duck_star_edges_ctes()},
     e0 AS (SELECT id_a, id_b FROM star WHERE id_a != id_b),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM e0
@@ -292,12 +302,12 @@ _P10_SQL = f"""
     WITH {_T13_CTES},
     scored AS (
       SELECT d.doc_id,
-             -sc.ll_nano / (sc.n_bigrams * 1e9) AS avg_nll
+             -sc.ll_micro / (sc.n_bigrams * 1e6) AS avg_nll
       FROM documents d LEFT JOIN sc USING (doc_id)
     ),
     thr AS (
-      SELECT floor(quantile_cont(avg_nll, {_P10_P1}) * 1e9 + 0.5) / 1e9 AS t1,
-             floor(quantile_cont(avg_nll, {_P10_P2}) * 1e9 + 0.5) / 1e9 AS t2
+      SELECT floor(quantile_cont(avg_nll, {_P10_P1}) * 1e6 + 0.5) / 1e6 AS t1,
+             floor(quantile_cont(avg_nll, {_P10_P2}) * 1e6 + 0.5) / 1e6 AS t2
       FROM scored WHERE avg_nll IS NOT NULL
     )
     SELECT s.doc_id, s.avg_nll,
@@ -317,8 +327,9 @@ _P10_SQL = f"""
     "paper's recipe for stratifying a crawl by fluency before choosing "
     "what to train on. Thresholds come from ONE exact-percentile "
     "aggregate over the scores (Spark percentile ≡ DuckDB "
-    "quantile_cont, the q25-pinned convention; qround'd at 9 dp so the "
-    "boundary compare is engine-stable) broadcast back over the corpus "
+    "quantile_cont, the q25-pinned convention; qround'd at the coarse 1e-6 grid so "
+    "both engines hold the SAME threshold even if their percentile "
+    "interpolation differs by an ulp) broadcast back over the corpus "
     "— no global sort, no single-partition window. At 100 TB the "
     "drop-in substitution is approx_percentile for the thresholds "
     "(same plan shape, sketch-based agg); the exact form is kept here "
@@ -335,10 +346,10 @@ def p10_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.filter(F.col("avg_nll").isNotNull())
         .agg(
             qround(
-                F.expr(f"percentile(avg_nll, {_P10_P1})"), 9
+                F.expr(f"percentile(avg_nll, {_P10_P1})"), 6
             ).alias("t1"),
             qround(
-                F.expr(f"percentile(avg_nll, {_P10_P2})"), 9
+                F.expr(f"percentile(avg_nll, {_P10_P2})"), 6
             ).alias("t2"),
         )
     )
@@ -405,9 +416,9 @@ def p11_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- t15: Gopher rule-based quality gate -----------------------------------
-_T15_SW = ", ".join(f"'{w}'" for w in __import__(
-    "liq_stream_spark.operators.text", fromlist=["STOPWORDS"]
-).STOPWORDS)
+from liq_stream_spark.operators.text import STOPWORDS as _STOPWORDS
+
+_T15_SW = ", ".join(f"'{w}'" for w in _STOPWORDS)
 _T15_SQL = f"""
     WITH tk AS (
       SELECT doc_id, {_DUCK_TOKS} AS T,
@@ -539,13 +550,7 @@ def _g02_sql() -> str:
     return f"""
     WITH {_duck_minhash_cte()},
     {_duck_bands_cte()},
-    buckets AS (
-      SELECT list(doc_id) AS ids
-      FROM bands GROUP BY band, band_key HAVING COUNT(*) > 1
-    ),
-    star AS (
-      SELECT DISTINCT list_min(ids) AS id_a, unnest(ids) AS id_b FROM buckets
-    ),
+    {_duck_star_edges_ctes()},
     e AS (SELECT id_a AS a, id_b AS b FROM star WHERE id_a != id_b),
     tris AS (
       SELECT ab.a, ab.b, bc.b AS c

@@ -270,7 +270,6 @@ def test_t14_weights_are_broadcast(spark):
     plan = plan_of(spark, "t14_quality_classifier")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
 
 
 def test_g01_pagerank_rounds_are_equi_joins(spark):
