@@ -1046,3 +1046,67 @@ def ngram_jaccard_pairs_prefix(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "jaccard")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.9,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs: C(A in B) = |A ∩ B| / |A| >=
+    ``threshold`` — the ASYMMETRIC companion to Jaccard (Broder's
+    resemblance vs containment distinction). Jaccard misses the case
+    real corpora are full of: a short document wholly embedded in a
+    longer one (quoted posts, syndicated excerpts, README fragments) —
+    the union term dilutes the score, but containment of the SMALL doc
+    stays ~1. Output keys the contained side: (id_contained,
+    id_container, n_common, containment), both directions emitted when
+    both clear the bar.
+
+    Same inverted-index plan family as d04: distinct shingles explode,
+    one shingle equi-join, per-pair intersection counts, set sizes by
+    broadcast-friendly join; ``max_doc_freq`` is the usual boilerplate
+    skew valve. The containment is a quotient of exact BIGINTs — one
+    IEEE division, oracle-exact with no quantization."""
+    shingles = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(char_ngram_hashes_fast(text_col, ngram))
+        ).alias("sh"),
+    )
+    if max_doc_freq is not None:
+        keep = (
+            shingles.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("sh")
+        )
+        shingles = shingles.join(keep, "sh", "left_semi").localCheckpoint(
+            eager=False
+        )
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingles.select(F.col(id_col).alias("id_contained"), "sh")
+    b = shingles.select(F.col(id_col).alias("id_container"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_contained") != F.col("id_container"))
+        .groupBy("id_contained", "id_container")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("id_contained"), F.col("n_sh").alias("n_a")
+    )
+    cont = F.col("n_common") / F.col("n_a")
+    return (
+        inter.join(sa, "id_contained")
+        .select(
+            "id_contained",
+            "id_container",
+            "n_common",
+            cont.alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

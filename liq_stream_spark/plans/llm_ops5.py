@@ -680,3 +680,52 @@ def s12_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         (F.sum("nano") / (F.count(F.lit(1)) * F.lit(1e9))).alias("centroid"),
     )
+
+
+# -- d19: n-gram containment pairs -----------------------------------------
+_D19_T = repr(0.9)
+
+
+def _d19_sql() -> str:
+    from liq_stream_spark.plans.llm_ops import DUCK_SHINGLES
+
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({DUCK_SHINGLES})) AS sh
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_contained, b.doc_id AS id_container,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b USING (sh)
+      WHERE a.doc_id != b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_contained, i.id_container, i.n_common,
+           i.n_common / sa.n_sh AS containment
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.id_contained
+    WHERE i.n_common / sa.n_sh >= CAST({_D19_T} AS DOUBLE)
+    """
+
+
+@register(
+    "d19_containment_pairs",
+    _d19_sql(),
+    doc="exact n-gram CONTAINMENT pairs "
+    "(operators/dedup.ngram_containment_pairs; Broder's containment, "
+    f"C(A in B) = |A∩B|/|A| >= {_D19_T}): the asymmetric dedup signal "
+    "Jaccard structurally misses — a short doc wholly embedded in a "
+    "longer one (quotes, syndication, excerpts) scores ~1 here while "
+    "the union term buries it below any Jaccard bar. Same "
+    "inverted-index plan family as d04 (shingle equi-join, "
+    "intersection agg, max_doc_freq skew valve available); the score "
+    "is a quotient of exact BIGINTs — one IEEE division, "
+    "oracle-exact with no quantization.",
+)
+def d19_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.9
+    )

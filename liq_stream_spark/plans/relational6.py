@@ -178,3 +178,62 @@ def q46_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", weeks_since.alias("weeks_since"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "q47_anomaly_zscore",
+    """
+    WITH w AS (
+      SELECT event_id, event_type, value,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER tw AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))
+                      * CAST(value AS DECIMAL(25,6))) OVER tw AS DOUBLE)
+               AS ssq,
+             COUNT(*) OVER tw AS n
+      FROM events
+      WINDOW tw AS (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type, value,
+           CAST(n AS BIGINT) AS n_window,
+           CASE WHEN n >= 5 AND (ssq - s * s / n) / (n - 1) > 0
+                THEN (value - s / n)
+                     / sqrt((ssq - s * s / n) / (n - 1))
+           END AS zscore
+    FROM w
+    """,
+    doc="rolling z-score anomaly detection: each event's value scored "
+    "against the trailing 20 same-type events' mean/stddev (frame "
+    "excludes the current row — no self-contamination; NULL until 5 "
+    "priors exist or when variance is 0). The moments come from "
+    "EXACT decimal sum / sum-of-squares window accumulators, so the "
+    "mean and variance are IEEE functions of exact inputs and sqrt is "
+    "IEEE-correctly-rounded — the whole score is oracle-exact with no "
+    "quantization. One window shuffle on event_type; the incremental "
+    "ROWS frame makes it O(1) per row. The batch form of the "
+    "monitoring rule a streaming deploy runs with "
+    "applyInPandasWithState.",
+)
+def q47_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    dec = F.col("value").cast("decimal(25,6)")
+    s = F.sum(dec).over(tw).cast("double")
+    ssq = F.sum(dec * dec).over(tw).cast("double")
+    n = F.count(F.lit(1)).over(tw)
+    var = (ssq - s * s / n) / (n - F.lit(1))
+    z = F.when(
+        (n >= 5) & (var > 0),
+        (F.col("value") - s / n) / F.sqrt(var),
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        n.cast("long").alias("n_window"),
+        z.alias("zscore"),
+    )

@@ -550,3 +550,25 @@ def test_fingerprint_null_text_is_zero(spark):
     got = {r["doc_id"]: r["fp"] for r in
            df.select("doc_id", fingerprint("text").alias("fp")).collect()}
     assert got[1] == 0 and got[2] == 0 and got[3] == 0 and got[4] != 0
+
+
+def test_containment_catches_embedded_doc(spark):
+    from liq_stream_spark.operators.dedup import ngram_containment_pairs
+
+    long_doc = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    )
+    short_doc = "gamma delta epsilon zeta"  # wholly inside long_doc
+    other = "totally unrelated content xyz"
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, short_doc), (3, other)],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["id_contained"], r["id_container"]): r["containment"]
+        for r in ngram_containment_pairs(df, threshold=0.9).collect()
+    }
+    # the short doc is contained in the long one, not vice versa
+    assert (2, 1) in rows and rows[(2, 1)] >= 0.9
+    assert (1, 2) not in rows
+    assert not any(3 in k for k in rows)

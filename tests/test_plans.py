@@ -334,3 +334,15 @@ def test_s12_centroids_single_combinable_agg(spark):
 def test_q46_cohorts_ride_user_key(spark):
     plan = plan_of(spark, "q46_retention_cohorts")
     assert "CartesianProduct" not in plan
+
+
+def test_d19_containment_no_cross_join(spark):
+    plan = plan_of(spark, "d19_containment_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q47_zscore_is_one_window_shuffle(spark):
+    plan = plan_of(spark, "q47_anomaly_zscore")
+    assert count("Exchange", plan) == 1
+    assert "Join" not in plan
