@@ -729,3 +729,89 @@ def d19_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(
         load(spark, sf_dir, "documents"), threshold=0.9
     )
+
+
+# -- p13: leakage-free (cluster-aware) train/val/test split ----------------
+def _p13_sql() -> str:
+    from liq_stream_spark.plans.llm_ops import (
+        _duck_bands_cte,
+        _duck_minhash_cte,
+    )
+
+    return f"""
+    WITH RECURSIVE {_duck_minhash_cte()},
+    {_duck_bands_cte()},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band, band_key)
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    walk(node, comp) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, w.comp
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.comp < e.dst
+    ),
+    cc AS (SELECT node, MIN(comp) AS comp FROM walk GROUP BY node),
+    reps AS (
+      SELECT d.doc_id, coalesce(cc.comp, d.doc_id) AS rep_id
+      FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+    ),
+    b AS (
+      SELECT doc_id, rep_id,
+             (('0x' || substr(md5('split-v1:' || rep_id::VARCHAR), 1, 8))::BIGINT
+              % 10000)::BIGINT AS bucket
+      FROM reps
+    )
+    SELECT doc_id, rep_id, bucket,
+           CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """
+
+
+@register(
+    "p13_leakage_free_split",
+    _p13_sql(),
+    doc="leakage-free train/val/test split: hash on the near-dup "
+    "CLUSTER representative (d06's connected components over the LSH "
+    "star edges; unclustered docs represent themselves), so two "
+    "near-duplicates can NEVER land in different splits — the "
+    "train/test contamination a doc-id hash split (p02) silently "
+    "permits, and the standard fix real pipelines layer on top of "
+    "dedup (split-by-group, same salt/threshold rules as p02 so the "
+    "two splits are comparable). One components pass + one broadcast-"
+    "friendly rep join + the zero-shuffle hash projection; fully "
+    "oracled via the recursive-CTE components.",
+)
+def p13_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.operators import dedup as D
+    from liq_stream_spark.operators.text import SPLIT_MOD, md5_bucket
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = D.minhash_sig_arrays(docs)
+    comps = D.connected_components(D.lsh_star_edges(sigs)).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("rep_id")
+    )
+    reps = docs.select("doc_id").join(comps, "doc_id", "left").select(
+        "doc_id", F.coalesce("rep_id", F.col("doc_id")).alias("rep_id")
+    )
+    bucket = md5_bucket("rep_id", "split-v1")
+    train_hi = SPLIT_MOD * 90 // 100
+    val_hi = train_hi + SPLIT_MOD * 5 // 100
+    return reps.select(
+        "doc_id",
+        "rep_id",
+        bucket.alias("bucket"),
+        F.when(bucket < train_hi, F.lit("train"))
+        .when(bucket < val_hi, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

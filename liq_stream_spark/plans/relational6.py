@@ -237,3 +237,39 @@ def q47_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_window"),
         z.alias("zscore"),
     )
+
+
+@register(
+    "q48_above_nation_average",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation, c.c_acctbal
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > (
+      SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+             / COUNT(*)
+      FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
+    )
+    """,
+    doc="correlated SCALAR subquery: customers with an account balance "
+    "above their own nation's average — the per-row subquery users "
+    "write, which Catalyst DECORRELATES into one per-nation aggregate "
+    "joined back (pinned: no per-row re-execution, no nested loop; the "
+    "q43 lesson for scalar subqueries). The average is an exact "
+    "decimal sum over one IEEE division, so the > comparison is "
+    "engine-stable with no quantization.",
+)
+def q48_above_nation_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("q48_customer")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("q48_nation")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, n.n_name AS nation, c.c_acctbal
+        FROM q48_customer c JOIN q48_nation n
+          ON n.n_nationkey = c.c_nationkey
+        WHERE c.c_acctbal > (
+          SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+                 / COUNT(*)
+          FROM q48_customer c2 WHERE c2.c_nationkey = c.c_nationkey
+        )
+        """
+    )

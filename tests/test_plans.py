@@ -346,3 +346,27 @@ def test_q47_zscore_is_one_window_shuffle(spark):
     plan = plan_of(spark, "q47_anomaly_zscore")
     assert count("Exchange", plan) == 1
     assert "Join" not in plan
+
+
+def test_q48_scalar_subquery_is_decorrelated(spark):
+    # the per-row correlated average must rewrite to one aggregate + join
+    plan = plan_of(spark, "q48_above_nation_average")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_p13_split_never_separates_cluster_members(spark):
+    # semantic gate, not a plan pin: every near-dup cluster lands in ONE split
+    import __spark_entry__ as em
+
+    df = em.queries()["p13_leakage_free_split"](spark, SF_DIR)
+    from pyspark.sql import functions as F
+
+    n_bad = (
+        df.groupBy("rep_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert n_bad == 0
