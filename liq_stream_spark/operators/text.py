@@ -1227,3 +1227,47 @@ def winnow_clone_pairs(
         )
         .filter(F.col("fp_jaccard") >= threshold)
     )
+
+
+def unigram_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document unigram (token-distribution) Shannon entropy in
+    nats — the lexical-diversity signal that separates natural prose
+    (high entropy) from boilerplate/template/keyword-stuffed text (low
+    entropy); the continuous generalization of t07's distinct-token
+    ratio, and a standard pre-training quality feature.
+
+    H = -sum_w (k_w/n) ln(k_w/n) = ln(n) - (1/n) sum_w k_w ln(k_w):
+    the second form needs ln only of exact integer counts, so each
+    ln(k_w) quantizes once to micro-nats (transcendental-safe 1e-6
+    grid, see bigram_lm_scores) and the weighted sum is an exact
+    BIGINT; ln(n) rides un-quantized through the final IEEE
+    expression. Entirely explode + one map-side-combinable
+    (doc, word) agg + one per-doc agg. Empty docs: NULL entropy.
+
+    Output: (doc_id, n_tokens, n_types, entropy)."""
+    counts = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("k").alias("n"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(
+            F.col("k") * qfloor_long(F.log(F.col("k").cast("double")), 6)
+        ).alias("klnk_micro"),
+    )
+    out = docs.select(id_col).join(per_doc, id_col, "left")
+    entropy = F.log(F.col("n").cast("double")) - (
+        F.col("klnk_micro") / (F.col("n") * F.lit(1e6))
+    )
+    return out.select(
+        id_col,
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("n_types", F.lit(0)).cast("long").alias("n_types"),
+        qround(entropy, 6).alias("entropy"),
+    )

@@ -815,3 +815,47 @@ def p13_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+# -- t16: unigram entropy (lexical diversity) ------------------------------
+_T16_SQL = f"""
+    WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS T FROM documents),
+    counts AS (
+      SELECT doc_id, u AS w, COUNT(*) AS k
+      FROM (SELECT doc_id, unnest(T) AS u FROM tk)
+      GROUP BY doc_id, u
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             SUM(k) AS n,
+             COUNT(*) AS n_types,
+             SUM(k * CAST(floor(ln(CAST(k AS DOUBLE)) * 1e6 + 0.5)
+                          AS BIGINT)) AS klnk_micro
+      FROM counts GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.n_types, 0) AS BIGINT) AS n_types,
+           floor((ln(CAST(p.n AS DOUBLE)) - p.klnk_micro / (p.n * 1e6))
+                 * 1e6 + 0.5) / 1e6 AS entropy
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+@register(
+    "t16_unigram_entropy",
+    _T16_SQL,
+    doc="per-document unigram Shannon entropy "
+    "(operators/text.unigram_entropy): the lexical-diversity quality "
+    "feature — natural prose scores high, boilerplate/keyword-stuffed "
+    "text low; the continuous companion to t07's distinct-token "
+    "ratio. Computed as ln(n) - (1/n) sum k ln k so ln touches only "
+    "exact integer counts, each quantized once at the "
+    "transcendental-safe 1e-6 grid and summed as exact BIGINTs; one "
+    "explode + two map-side-combinable aggs, no joins on data paths. "
+    "Fully oracled.",
+)
+def t16_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.operators.text import unigram_entropy
+
+    return unigram_entropy(load(spark, sf_dir, "documents"))

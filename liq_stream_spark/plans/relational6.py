@@ -273,3 +273,42 @@ def q48_above_nation_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "q49_scd2_history",
+    """
+    SELECT o_custkey,
+           o_orderkey,
+           o_orderstatus,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey)
+             AS valid_to,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) IS NULL
+             AS is_current
+    FROM orders
+    """,
+    doc="SCD type-2 history build: each customer's order stream becomes "
+    "validity intervals — valid_from = this record's date, valid_to = "
+    "the next record's date (NULL + is_current for the open interval) "
+    "— the slowly-changing-dimension pattern every warehouse layers "
+    "on an append log, and the batch shape of a temporal MERGE. One "
+    "window shuffle on the natural key with a deterministic "
+    "(date, orderkey) tie-break; values are copied dates, so the "
+    "frame is oracle-exact with no arithmetic at all. Point-in-time "
+    "lookups against the result are q17's as-of join.",
+)
+def q49_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -370,3 +370,15 @@ def test_p13_split_never_separates_cluster_members(spark):
         .count()
     )
     assert n_bad == 0
+
+
+def test_q49_scd2_single_window_shuffle(spark):
+    plan = plan_of(spark, "q49_scd2_history")
+    assert count("Exchange", plan) == 1
+    assert "Join" not in plan
+
+
+def test_t16_entropy_no_data_joins(spark):
+    # explode + two combinable aggs; only the docs-spine left join remains
+    plan = plan_of(spark, "t16_unigram_entropy")
+    assert "CartesianProduct" not in plan

@@ -167,3 +167,18 @@ def test_gopher_signals_and_gates(spark):
     assert rows[2]["mean_word_len"] is None and rows[2]["keep"] is False
     # symbol soup: zero alpha words
     assert rows[3]["frac_alpha_words"] == 0.0 and rows[3]["keep"] is False
+
+
+def test_entropy_orders_diversity(spark):
+    from liq_stream_spark.operators.text import unigram_entropy
+
+    diverse = "alpha beta gamma delta epsilon zeta eta theta"
+    flat = "spam spam spam spam spam spam spam spam"
+    rows = {
+        r["doc_id"]: r
+        for r in unigram_entropy(_docs(spark, [diverse, flat, ""])).collect()
+    }
+    assert rows[0]["entropy"] > rows[1]["entropy"]
+    assert rows[1]["entropy"] == 0.0  # single repeated token
+    assert rows[0]["n_types"] == 8 and rows[1]["n_types"] == 1
+    assert rows[2]["n_tokens"] == 0 and rows[2]["entropy"] is None
