@@ -1088,25 +1088,40 @@ def ngram_containment_pairs(
             eager=False
         )
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = shingles.select(F.col(id_col).alias("id_contained"), "sh")
-    b = shingles.select(F.col(id_col).alias("id_container"), "sh")
+    # aggregate each unordered pair ONCE (a < b, the d04 convention —
+    # halves the dominant pair shuffle), then emit the two directed
+    # containment arms in-row and filter
+    a = shingles.select(F.col(id_col).alias("id_a"), "sh")
+    b = shingles.select(F.col(id_col).alias("id_b"), "sh")
     inter = (
         a.join(b, "sh")
-        .filter(F.col("id_contained") != F.col("id_container"))
-        .groupBy("id_contained", "id_container")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(
-        F.col(id_col).alias("id_contained"), F.col("n_sh").alias("n_a")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    arms = F.array(
+        F.struct(
+            F.col("id_a").alias("id_contained"),
+            F.col("id_b").alias("id_container"),
+            (F.col("n_common") / F.col("n_a")).alias("containment"),
+        ),
+        F.struct(
+            F.col("id_b").alias("id_contained"),
+            F.col("id_a").alias("id_container"),
+            (F.col("n_common") / F.col("n_b")).alias("containment"),
+        ),
     )
-    cont = F.col("n_common") / F.col("n_a")
     return (
-        inter.join(sa, "id_contained")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("n_common", F.explode(arms).alias("arm"))
         .select(
-            "id_contained",
-            "id_container",
+            F.col("arm.id_contained").alias("id_contained"),
+            F.col("arm.id_container").alias("id_container"),
             "n_common",
-            cont.alias("containment"),
+            F.col("arm.containment").alias("containment"),
         )
         .filter(F.col("containment") >= threshold)
     )

@@ -733,11 +733,18 @@ def d19_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- p13: leakage-free (cluster-aware) train/val/test split ----------------
 def _p13_sql() -> str:
+    from liq_stream_spark.operators.text import SPLIT_MOD
     from liq_stream_spark.plans.llm_ops import (
         _duck_bands_cte,
         _duck_minhash_cte,
     )
 
+    # derive the cutoffs from SPLIT_MOD exactly like the Spark builder
+    # (and p02's oracle) so a SPLIT_MOD change cannot desynchronize
+    # just this oracle
+    mod = SPLIT_MOD
+    train_hi = SPLIT_MOD * 90 // 100
+    val_hi = train_hi + SPLIT_MOD * 5 // 100
     return f"""
     WITH RECURSIVE {_duck_minhash_cte()},
     {_duck_bands_cte()},
@@ -766,12 +773,12 @@ def _p13_sql() -> str:
     b AS (
       SELECT doc_id, rep_id,
              (('0x' || substr(md5('split-v1:' || rep_id::VARCHAR), 1, 8))::BIGINT
-              % 10000)::BIGINT AS bucket
+              % {mod})::BIGINT AS bucket
       FROM reps
     )
     SELECT doc_id, rep_id, bucket,
-           CASE WHEN bucket < 9000 THEN 'train'
-                WHEN bucket < 9500 THEN 'val'
+           CASE WHEN bucket < {train_hi} THEN 'train'
+                WHEN bucket < {val_hi} THEN 'val'
                 ELSE 'test' END AS split
     FROM b
     """

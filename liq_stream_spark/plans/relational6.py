@@ -185,11 +185,11 @@ def q46_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH w AS (
       SELECT event_id, event_type, value,
-             CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER tw AS DOUBLE) AS s,
-             CAST(SUM(CAST(value AS DECIMAL(25,6))
-                      * CAST(value AS DECIMAL(25,6))) OVER tw AS DOUBLE)
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER tw AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))) OVER tw AS DOUBLE)
                AS ssq,
-             COUNT(*) OVER tw AS n
+             COUNT(value) OVER tw AS n
       FROM events
       WINDOW tw AS (PARTITION BY event_type ORDER BY ts, event_id
                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
@@ -205,8 +205,10 @@ def q46_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="rolling z-score anomaly detection: each event's value scored "
     "against the trailing 20 same-type events' mean/stddev (frame "
     "excludes the current row — no self-contamination; NULL until 5 "
-    "priors exist or when variance is 0). The moments come from "
-    "EXACT decimal sum / sum-of-squares window accumulators, so the "
+    "non-NULL priors exist or when variance is 0; NULL readings count "
+    "toward neither sums nor denominators). The moments come from "
+    "EXACT DECIMAL(18,6) sum / sum-of-squares window accumulators "
+    "(the square stays within decimal precision in BOTH engines), so the "
     "mean and variance are IEEE functions of exact inputs and sqrt is "
     "IEEE-correctly-rounded — the whole score is oracle-exact with no "
     "quantization. One window shuffle on event_type; the incremental "
@@ -221,10 +223,17 @@ def q47_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-20, -1)
     )
-    dec = F.col("value").cast("decimal(25,6)")
+    # DECIMAL(18,6): the square is then DECIMAL(37,12) in Spark and
+    # DECIMAL(36,12) in DuckDB — both EXACT. (25,6) squares to a
+    # precision-overflowing product that Spark re-rounds to scale 6 and
+    # DuckDB keeps at scale 12 — a verified cross-engine divergence for
+    # values with >3 decimal digits.
+    dec = F.col("value").cast("decimal(18,6)")
     s = F.sum(dec).over(tw).cast("double")
     ssq = F.sum(dec * dec).over(tw).cast("double")
-    n = F.count(F.lit(1)).over(tw)
+    # count the VALUE, not the row: NULL readings must not deflate the
+    # mean/variance denominators (the sums already skip them)
+    n = F.count("value").over(tw)
     var = (ssq - s * s / n) / (n - F.lit(1))
     z = F.when(
         (n >= 5) & (var > 0),
