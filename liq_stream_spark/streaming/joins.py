@@ -50,6 +50,7 @@ def interval_join_streams(
     upper_seconds: int,
     left_watermark: str = "1 minute",
     right_watermark: str = "1 minute",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join:
 
@@ -62,7 +63,12 @@ def interval_join_streams(
     range edge). The equality key keeps the join an equi-shuffle on
     ``on`` — the range condition only prunes within matched key groups,
     so the plan survives scale the same way the batch interval join
-    (q32) does."""
+    (q32) does.
+
+    ``how="leftOuter"``/``"rightOuter"``: the unmatched side emits
+    null-padded ONLY once the watermark proves no in-window match can
+    still arrive — the streaming analog of a batch outer join, with
+    emission delayed by watermark + range."""
     lw = left.withWatermark(left_ts, left_watermark)
     rw = right.withWatermark(right_ts, right_watermark)
     lcol = F.col(f"__l.{left_ts}")
@@ -72,4 +78,4 @@ def interval_join_streams(
         & (rcol >= lcol - F.expr(f"INTERVAL {lower_seconds} SECONDS"))
         & (rcol <= lcol + F.expr(f"INTERVAL {upper_seconds} SECONDS"))
     )
-    return lw.alias("__l").join(rw.alias("__r"), cond)
+    return lw.alias("__l").join(rw.alias("__r"), cond, how)

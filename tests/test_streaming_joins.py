@@ -188,3 +188,98 @@ def test_interval_join_batch_stream_parity(spark, tmp_path):
     rows = _drain(streamed, spark, "sj01_parity")
     stream_pairs = {(r["user_id"], r["err_id"], r["clk_id"]) for r in rows}
     assert stream_pairs == batch_pairs
+
+
+def test_interval_join_left_outer_emits_nulls_after_watermark(
+    spark, tmp_path
+):
+    """The outer leg: an error with NO click in its ±60 s window must
+    surface null-padded — but only after the click-side watermark has
+    passed the window's edge (state-expiry-gated emission)."""
+    import json
+
+    edir = tmp_path / "errors"
+    cdir = tmp_path / "clicks"
+    edir.mkdir()
+    cdir.mkdir()
+    schema = "user_id long, event_id long, ts timestamp"
+
+    def w(d, name, rows):
+        (d / name).write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    w(edir, "b1.jsonl", [
+        {"user_id": 1, "event_id": 10, "ts": "2025-01-01 10:00:00"},
+        {"user_id": 2, "event_id": 20, "ts": "2025-01-01 10:00:00"},
+    ])
+    # user 1 gets a matching click; user 2 never does
+    w(cdir, "b1.jsonl", [
+        {"user_id": 1, "event_id": 100, "ts": "2025-01-01 10:00:30"},
+    ])
+    errors = (
+        spark.readStream.schema(schema).json(str(edir))
+        .withColumnRenamed("event_id", "err_id")
+        .withColumnRenamed("ts", "err_ts")
+    )
+    clicks = (
+        spark.readStream.schema(schema).json(str(cdir))
+        .withColumnRenamed("event_id", "clk_id")
+        .withColumnRenamed("ts", "clk_ts")
+    )
+    from liq_stream_spark.streaming.joins import interval_join_streams
+
+    joined = interval_join_streams(
+        errors,
+        clicks,
+        on="user_id",
+        left_ts="err_ts",
+        right_ts="clk_ts",
+        lower_seconds=60,
+        upper_seconds=60,
+        left_watermark="10 seconds",
+        right_watermark="10 seconds",
+        how="leftOuter",
+    ).select(
+        F.col("__l.user_id").alias("user_id"), "err_id", "clk_id"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("oij_live")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows0 = {
+            (r["err_id"], r["clk_id"])
+            for r in spark.sql("select * from oij_live").collect()
+        }
+        # the inner match emits eagerly; user 2's null row must NOT have
+        # emitted yet (its window is still open)
+        assert (10, 100) in rows0
+        assert not any(e == 20 for e, _ in rows0)
+        # the outer-null gate is the GLOBAL watermark = min over BOTH
+        # inputs, so both sides must advance past the window edge
+        w(cdir, "b2.jsonl", [
+            {"user_id": 9, "event_id": 999, "ts": "2025-01-01 12:00:00"},
+        ])
+        w(edir, "b2.jsonl", [
+            {"user_id": 9, "event_id": 30, "ts": "2025-01-01 12:00:00"},
+        ])
+        q.processAllAvailable()
+        # a second nudge lets the no-data watermark commit propagate
+        w(cdir, "b3.jsonl", [
+            {"user_id": 8, "event_id": 998, "ts": "2025-01-01 12:10:00"},
+        ])
+        w(edir, "b3.jsonl", [
+            {"user_id": 8, "event_id": 31, "ts": "2025-01-01 12:10:00"},
+        ])
+        q.processAllAvailable()
+        rows1 = {
+            (r["err_id"], r["clk_id"])
+            for r in spark.sql("select * from oij_live").collect()
+        }
+    finally:
+        q.stop()
+    assert (20, None) in rows1, f"unmatched error never emitted: {rows1}"
+    # the matched pair did not double-emit
+    assert sum(1 for e, c in rows1 if e == 10) == 1
