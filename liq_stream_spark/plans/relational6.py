@@ -321,3 +321,83 @@ def q49_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# EWMA weights precomputed in PYTHON and embedded as literals in both
+# engines: (1-a)^j products are bit-identical by construction, so the
+# runtime does no pow() (not correctly-rounded!) and no transcendental
+# at all — the d17 multiplication-chain technique, hoisted to literals.
+_Q50_ALPHA = 0.25
+_Q50_K = 20
+_Q50_PW = []
+_acc = 1.0
+for _ in range(_Q50_K):
+    _Q50_PW.append(_acc)
+    _acc *= 1.0 - _Q50_ALPHA
+_Q50_CUMW = []
+_c = 0.0
+for _w in _Q50_PW:
+    _c += _w
+    _Q50_CUMW.append(_c)
+_PW_SQL = ", ".join(repr(w) for w in _Q50_PW)
+_CUMW_SQL = ", ".join(repr(w) for w in _Q50_CUMW)
+
+
+@register(
+    "q50_ewma",
+    f"""
+    WITH base AS (
+      SELECT event_id, event_type, value,
+             list(value) OVER (PARTITION BY event_type
+                               ORDER BY ts, event_id
+                               ROWS BETWEEN {_Q50_K - 1} PRECEDING
+                               AND CURRENT ROW) AS xs
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_id, event_type, value,
+           CAST(len(xs) AS BIGINT) AS n_window,
+           list_reduce(
+             list_transform(range(1, len(xs) + 1),
+                            i -> list_reverse(xs)[i] * ([{_PW_SQL}])[i]),
+             (a, b) -> a + b
+           ) / ([{_CUMW_SQL}])[len(xs)] AS ewma
+    FROM base
+    """,
+    doc="exponentially-weighted moving average (alpha=0.25, 20-sample "
+    "truncated window, normalized) of each event's value over the "
+    "trailing same-type stream — the standard smoothing every "
+    "monitoring/market pipeline runs next to q47's z-score. The "
+    "(1-a)^j weights and their cumulative sums are PYTHON-precomputed "
+    "literals shipped to both engines, and the weighted sum is a "
+    "sequential in-row left fold — identical IEEE operation order on "
+    "identical bits, so the result is oracle-exact with zero runtime "
+    "transcendentals and no quantization. One window shuffle; the "
+    "in-row work is O(K) per row.",
+)
+def q50_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_Q50_K - 1), Window.currentRow)
+    )
+    pw = ", ".join(repr(x) + "D" for x in _Q50_PW)
+    cumw = ", ".join(repr(x) + "D" for x in _Q50_CUMW)
+    base = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.collect_list("value").over(w).alias("xs"),
+    )
+    ewma = F.expr(
+        f"aggregate(zip_with(reverse(xs), slice(array({pw}), 1, size(xs)), "
+        f"(x, wt) -> x * wt), 0.0D, (a, t) -> a + t) "
+        f"/ element_at(array({cumw}), size(xs))"
+    )
+    return base.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.size("xs").cast("long").alias("n_window"),
+        ewma.alias("ewma"),
+    )

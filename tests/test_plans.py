@@ -382,3 +382,9 @@ def test_t16_entropy_no_data_joins(spark):
     # explode + two combinable aggs; only the docs-spine left join remains
     plan = plan_of(spark, "t16_unigram_entropy")
     assert "CartesianProduct" not in plan
+
+
+def test_q50_ewma_single_window_shuffle(spark):
+    plan = plan_of(spark, "q50_ewma")
+    assert count("Exchange", plan) == 1
+    assert "Join" not in plan
