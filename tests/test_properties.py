@@ -642,3 +642,87 @@ def test_winnow_fingerprints_match_python_spec(spark, texts, w):
     for r in winnow_fingerprints(df, ngram=3, window=w).collect():
         got.setdefault(r["doc_id"], set()).add(r["fp"])
     assert got == ref_winnow(texts, 3, w)
+
+
+# ---------------------------------------------------------------------------
+# round-6 quality models vs pure-Python specs
+# ---------------------------------------------------------------------------
+
+
+def ref_entropy(text):
+    """unigram_entropy's exact quantized recurrence in plain Python."""
+    toks = ref_ws_tokens(text)
+    n = len(toks)
+    if n == 0:
+        return (0, 0, None)
+    from collections import Counter
+
+    tc = Counter(toks)
+    klnk_micro = sum(
+        k * math.floor(math.log(float(k)) * 1e6 + 0.5) for k in tc.values()
+    )
+    h = math.log(float(n)) - klnk_micro / (n * 1e6)
+    return (n, len(tc), math.floor(h * 1e6 + 0.5) / 1e6)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from("abc xy\t"), min_size=0, max_size=50),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_unigram_entropy_matches_python_spec(spark, texts):
+    from liq_stream_spark.operators.text import unigram_entropy
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_types"], r["entropy"])
+        for r in unigram_entropy(df).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == ref_entropy(t), f"text={t!r}"
+
+
+def ref_hashed_score(text):
+    """hashed_linear_score's exact recurrence: md5-bucket weights,
+    BIGINT dot, raw IEEE margin, 1e-6-floored sigmoid."""
+    import hashlib
+
+    toks = ref_ws_tokens(text)
+    if not toks:
+        return (0, None, None)
+
+    def md5mod(key, mod):
+        return int(hashlib.md5(f"qw-v1:{key}".encode()).hexdigest()[:8], 16) % mod
+
+    dot = sum(md5mod(str(md5mod(w.lower(), 1024)), 2001) - 1000 for w in toks)
+    n = len(toks)
+    margin = dot / (1000.0 * n)
+    prob = math.floor(1.0 / (1.0 + math.exp(-margin)) * 1e6 + 0.5) / 1e6
+    return (n, margin, prob)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from("abC d e\t"), min_size=0, max_size=40),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_hashed_linear_score_matches_python_spec(spark, texts):
+    from liq_stream_spark.operators.text import hashed_linear_score
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["margin"], r["prob"])
+        for r in hashed_linear_score(df).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == ref_hashed_score(t), f"text={t!r}"
