@@ -866,3 +866,118 @@ def t16_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from liq_stream_spark.operators.text import unigram_entropy
 
     return unigram_entropy(load(spark, sf_dir, "documents"))
+
+
+# -- p14: quality-aware dedup survivors ------------------------------------
+def _p14_sql() -> str:
+    from liq_stream_spark.plans.llm_ops import (
+        _duck_bands_cte,
+        _duck_minhash_cte,
+    )
+
+    return f"""
+    WITH RECURSIVE {_duck_minhash_cte()},
+    {_duck_bands_cte()},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band, band_key)
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    walk(node, comp) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, w.comp
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.comp < e.dst
+    ),
+    cc AS (SELECT node, MIN(comp) AS comp FROM walk GROUP BY node),
+    weights AS (
+      SELECT gs.id AS bucket,
+             (('0x' || substr(md5('qw-v1:' || gs.id::VARCHAR), 1, 8))::BIGINT
+              % 2001) - 1000 AS w
+      FROM generate_series(0, 1023) gs(id)
+    ),
+    tk AS (SELECT doc_id, {_DUCK_TOKS} AS T FROM documents),
+    toks AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('qw-v1:' || lower(u)), 1, 8))::BIGINT
+               % 1024 AS bucket
+      FROM (SELECT doc_id, unnest(T) AS u FROM tk)
+    ),
+    sc AS (
+      SELECT doc_id, SUM(k) AS n_tokens, SUM(k * w) AS dot
+      FROM (SELECT doc_id, bucket, COUNT(*) AS k FROM toks GROUP BY 1, 2) t
+      JOIN weights USING (bucket)
+      GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             coalesce(cc.comp, d.doc_id) AS rep_id,
+             coalesce(
+               floor(1.0 / (1.0 + exp(-(sc.dot / (1000.0 * sc.n_tokens))))
+                     * 1e6 + 0.5) / 1e6, 0.0) AS prob
+      FROM documents d
+      LEFT JOIN cc ON cc.node = d.doc_id
+      LEFT JOIN sc USING (doc_id)
+    ),
+    ranked AS (
+      SELECT doc_id, rep_id, prob,
+             row_number() OVER (PARTITION BY rep_id
+                                ORDER BY prob DESC, doc_id) AS rk
+      FROM scored
+    )
+    SELECT doc_id, rep_id, prob, rk = 1 AS is_kept
+    FROM ranked
+    """
+
+
+@register(
+    "p14_quality_survivors",
+    _p14_sql(),
+    doc="quality-aware dedup survivor selection: within every near-dup "
+    "cluster (d06's components; singletons are their own cluster), "
+    "keep the doc with the HIGHEST t14 classifier score instead of "
+    "d07's arbitrary min-id — the keep-policy real pipelines actually "
+    "want (dedup should discard the worse copy). Unscored docs "
+    "(empty) rank at prob 0. Composition of three verified pieces "
+    "(components + hashed classifier + per-cluster rank); the rank "
+    "window runs over cluster members only, and prob ties break on "
+    "doc_id so the winner is deterministic. prob values are "
+    "1e-6-floored (property-pinned bit equality), so the cross-engine "
+    "ranking cannot disagree.",
+)
+def p14_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from liq_stream_spark.operators import dedup as D
+    from liq_stream_spark.operators.text import hashed_linear_score
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = D.minhash_sig_arrays(docs)
+    comps = D.connected_components(D.lsh_star_edges(sigs)).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("rep_id")
+    )
+    scores = hashed_linear_score(docs).select(
+        "doc_id", F.coalesce("prob", F.lit(0.0)).alias("prob")
+    )
+    scored = (
+        docs.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .join(scores, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("rep_id", F.col("doc_id")).alias("rep_id"),
+            "prob",
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("rep_id").orderBy(F.col("prob").desc(), "doc_id")
+    )
+    return scored.select(
+        "doc_id", "rep_id", "prob", (rk == 1).alias("is_kept")
+    )

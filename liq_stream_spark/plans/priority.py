@@ -46,7 +46,7 @@ from __future__ import annotations
 # greens still predate the change until CORRECTNESS_r04 lands): q15/
 # liq_cascades (sessionize_bucketed rewrite), sj01/d12/d11/s04/s05/s07.
 CHANGED_SINCE_GREEN: list[str] = [
-    # Round 5 (this round): twenty-two NEW queries — lateral top-n, IGNORE NULLS
+    # Round 5 (this round): twenty-three NEW queries — lateral top-n, IGNORE NULLS
     # gap fill, streaming tumbling-agg parity, bigram-LM perplexity,
     # hashed linear classifier, fixed-iteration PageRank. All JVM-only
     # expression plans, so they lead the tier.
@@ -72,6 +72,7 @@ CHANGED_SINCE_GREEN: list[str] = [
     "q49_scd2_history",
     "t16_unigram_entropy",
     "q50_ewma",
+    "p14_quality_survivors",
     # JVM-only first (no Arrow/pandas worker spin-up)
     "liq_unified_rows",
     "q42_recursive_month_spine",

@@ -388,3 +388,26 @@ def test_q50_ewma_single_window_shuffle(spark):
     plan = plan_of(spark, "q50_ewma")
     assert count("Exchange", plan) == 1
     assert "Join" not in plan
+
+
+def test_p14_keeps_exactly_one_per_cluster(spark):
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    df = em.queries()["p14_quality_survivors"](spark, SF_DIR)
+    per = (
+        df.groupBy("rep_id")
+        .agg(F.sum(F.col("is_kept").cast("int")).alias("n_kept"))
+        .select(F.min("n_kept").alias("lo"), F.max("n_kept").alias("hi"))
+        .collect()[0]
+    )
+    assert per["lo"] == 1 and per["hi"] == 1
+    # the kept doc's score is the cluster max
+    mx = df.groupBy("rep_id").agg(F.max("prob").alias("mx"))
+    bad = (
+        df.filter("is_kept")
+        .join(mx, "rep_id")
+        .filter(F.col("prob") < F.col("mx"))
+        .count()
+    )
+    assert bad == 0
