@@ -265,6 +265,38 @@ def _duck_bands_cte() -> str:
     )
 
 
+def _duck_band_pairs_cte() -> str:
+    """CTE 'pairs(id_a, id_b)' — distinct a<b LSH-bucket co-occurrence
+    pairs over the bands CTE, mirroring operators/dedup.lsh_candidate
+    pair generation. ONE definition for d06/p13/p14."""
+    return """pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band, band_key)
+      WHERE a.doc_id < b.doc_id
+    )"""
+
+
+def _duck_components_ctes(pairs_src: str = "pairs") -> str:
+    """edges/nodes/walk/cc recursive-CTE chain turning an (id_a, id_b)
+    pair relation into min-label connected components — the DuckDB
+    mirror of operators/dedup.connected_components. ONE definition for
+    every oracle that clusters (d06/d14/p13/p14); ``pairs_src`` names
+    the upstream pair CTE (d14 feeds its Jaccard-verified pairs)."""
+    return f"""edges AS (
+      SELECT id_a AS src, id_b AS dst FROM {pairs_src}
+      UNION SELECT id_b, id_a FROM {pairs_src}
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    walk(node, comp) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, w.comp
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.comp < e.dst
+    ),
+    cc AS (SELECT node, MIN(comp) AS comp FROM walk GROUP BY node)"""
+
+
 def _duck_minhash_cte() -> str:
     """CTE 'sigs(doc_id, perm_id, minhash)' mirroring minhash_signatures."""
     perms = ", ".join(
@@ -423,24 +455,8 @@ def p02_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH RECURSIVE {_duck_minhash_cte()},
     {_duck_bands_cte()},
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b USING (band, band_key)
-      WHERE a.doc_id < b.doc_id
-    ),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION SELECT id_b, id_a FROM pairs
-    ),
-    nodes AS (SELECT DISTINCT src AS node FROM edges),
-    walk(node, comp) AS (
-      SELECT node, node FROM nodes
-      UNION
-      SELECT e.dst, w.comp
-      FROM walk w JOIN edges e ON e.src = w.node
-      WHERE w.comp < e.dst
-    ),
-    cc AS (SELECT node, MIN(comp) AS comp FROM walk GROUP BY node),
+    {_duck_band_pairs_cte()},
+    {_duck_components_ctes()},
     sizes AS (SELECT comp, COUNT(*) AS n FROM cc GROUP BY comp)
     SELECT cc.node AS doc_id, cc.comp AS cluster_id,
            CAST(sizes.n AS BIGINT) AS cluster_size,

@@ -270,6 +270,7 @@ _D14_MIN_AGREE = 8  # jaccard_est >= 0.5 (8 of 16 permutations agree)
 def _d14_sql() -> str:
     from liq_stream_spark.plans.llm_ops import (
         _duck_bands_cte,
+        _duck_components_ctes,
         _duck_minhash_cte,
     )
 
@@ -290,19 +291,7 @@ def _d14_sql() -> str:
       HAVING COUNT(*) FILTER (WHERE a.minhash = b.minhash)
              >= {_D14_MIN_AGREE}
     ),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM verified
-      UNION SELECT id_b, id_a FROM verified
-    ),
-    nodes AS (SELECT DISTINCT src AS node FROM edges),
-    walk(node, comp) AS (
-      SELECT node, node FROM nodes
-      UNION
-      SELECT e.dst, w.comp
-      FROM walk w JOIN edges e ON e.src = w.node
-      WHERE w.comp < e.dst
-    ),
-    cc AS (SELECT node, MIN(comp) AS comp FROM walk GROUP BY node),
+    {_duck_components_ctes(pairs_src="verified")},
     sizes AS (SELECT comp, COUNT(*) AS n FROM cc GROUP BY comp)
     SELECT cc.node AS doc_id, cc.comp AS cluster_id,
            CAST(sizes.n AS BIGINT) AS cluster_size,

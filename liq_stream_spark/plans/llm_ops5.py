@@ -95,8 +95,10 @@ def t13_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- t14: hashed linear quality classifier ---------------------------------
-_T14_SQL = f"""
-    WITH weights AS (
+# weights/tk/toks/sc chain mirroring operators/text.hashed_linear_score —
+# ONE definition shared by the t14 and p14 oracles, so a scorer change
+# (hash salt, bucket count, quantization) cannot desynchronize one of them
+_T14_SCORE_CTES = f"""weights AS (
       SELECT gs.id AS bucket,
              (('0x' || substr(md5('qw-v1:' || gs.id::VARCHAR), 1, 8))::BIGINT
               % 2001) - 1000 AS w
@@ -114,7 +116,10 @@ _T14_SQL = f"""
       FROM (SELECT doc_id, bucket, COUNT(*) AS k FROM toks GROUP BY 1, 2) t
       JOIN weights USING (bucket)
       GROUP BY doc_id
-    )
+    )"""
+
+_T14_SQL = f"""
+    WITH {_T14_SCORE_CTES}
     SELECT d.doc_id,
            CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
            sc.dot / (1000.0 * sc.n_tokens) AS margin,
@@ -735,7 +740,9 @@ def d19_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _p13_sql() -> str:
     from liq_stream_spark.operators.text import SPLIT_MOD
     from liq_stream_spark.plans.llm_ops import (
+        _duck_band_pairs_cte,
         _duck_bands_cte,
+        _duck_components_ctes,
         _duck_minhash_cte,
     )
 
@@ -748,24 +755,8 @@ def _p13_sql() -> str:
     return f"""
     WITH RECURSIVE {_duck_minhash_cte()},
     {_duck_bands_cte()},
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b USING (band, band_key)
-      WHERE a.doc_id < b.doc_id
-    ),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION SELECT id_b, id_a FROM pairs
-    ),
-    nodes AS (SELECT DISTINCT src AS node FROM edges),
-    walk(node, comp) AS (
-      SELECT node, node FROM nodes
-      UNION
-      SELECT e.dst, w.comp
-      FROM walk w JOIN edges e ON e.src = w.node
-      WHERE w.comp < e.dst
-    ),
-    cc AS (SELECT node, MIN(comp) AS comp FROM walk GROUP BY node),
+    {_duck_band_pairs_cte()},
+    {_duck_components_ctes()},
     reps AS (
       SELECT d.doc_id, coalesce(cc.comp, d.doc_id) AS rep_id
       FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
@@ -871,50 +862,18 @@ def t16_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- p14: quality-aware dedup survivors ------------------------------------
 def _p14_sql() -> str:
     from liq_stream_spark.plans.llm_ops import (
+        _duck_band_pairs_cte,
         _duck_bands_cte,
+        _duck_components_ctes,
         _duck_minhash_cte,
     )
 
     return f"""
     WITH RECURSIVE {_duck_minhash_cte()},
     {_duck_bands_cte()},
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b USING (band, band_key)
-      WHERE a.doc_id < b.doc_id
-    ),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION SELECT id_b, id_a FROM pairs
-    ),
-    nodes AS (SELECT DISTINCT src AS node FROM edges),
-    walk(node, comp) AS (
-      SELECT node, node FROM nodes
-      UNION
-      SELECT e.dst, w.comp
-      FROM walk w JOIN edges e ON e.src = w.node
-      WHERE w.comp < e.dst
-    ),
-    cc AS (SELECT node, MIN(comp) AS comp FROM walk GROUP BY node),
-    weights AS (
-      SELECT gs.id AS bucket,
-             (('0x' || substr(md5('qw-v1:' || gs.id::VARCHAR), 1, 8))::BIGINT
-              % 2001) - 1000 AS w
-      FROM generate_series(0, 1023) gs(id)
-    ),
-    tk AS (SELECT doc_id, {_DUCK_TOKS} AS T FROM documents),
-    toks AS (
-      SELECT doc_id,
-             ('0x' || substr(md5('qw-v1:' || lower(u)), 1, 8))::BIGINT
-               % 1024 AS bucket
-      FROM (SELECT doc_id, unnest(T) AS u FROM tk)
-    ),
-    sc AS (
-      SELECT doc_id, SUM(k) AS n_tokens, SUM(k * w) AS dot
-      FROM (SELECT doc_id, bucket, COUNT(*) AS k FROM toks GROUP BY 1, 2) t
-      JOIN weights USING (bucket)
-      GROUP BY doc_id
-    ),
+    {_duck_band_pairs_cte()},
+    {_duck_components_ctes()},
+    {_T14_SCORE_CTES},
     scored AS (
       SELECT d.doc_id,
              coalesce(cc.comp, d.doc_id) AS rep_id,

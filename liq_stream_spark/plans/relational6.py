@@ -353,15 +353,19 @@ _CUMW_SQL = ", ".join(repr(w) for w in _Q50_CUMW)
                                ROWS BETWEEN {_Q50_K - 1} PRECEDING
                                AND CURRENT ROW) AS xs
       FROM events WHERE value IS NOT NULL
+    ),
+    rev AS (
+      SELECT event_id, event_type, value, list_reverse(xs) AS rxs
+      FROM base
     )
     SELECT event_id, event_type, value,
-           CAST(len(xs) AS BIGINT) AS n_window,
+           CAST(len(rxs) AS BIGINT) AS n_window,
            list_reduce(
-             list_transform(range(1, len(xs) + 1),
-                            i -> list_reverse(xs)[i] * ([{_PW_SQL}])[i]),
+             list_transform(range(1, len(rxs) + 1),
+                            i -> rxs[i] * ([{_PW_SQL}])[i]),
              (a, b) -> a + b
-           ) / ([{_CUMW_SQL}])[len(xs)] AS ewma
-    FROM base
+           ) / ([{_CUMW_SQL}])[len(rxs)] AS ewma
+    FROM rev
     """,
     doc="exponentially-weighted moving average (alpha=0.25, 20-sample "
     "truncated window, normalized) of each event's value over the "

@@ -10,13 +10,11 @@ indicates a real bug, not float noise.
 
 from __future__ import annotations
 
-import datetime as dt
-import math
-
 import duckdb
 import pytest
 
 import __spark_entry__ as entrymod
+from liq_stream_spark.compare import canon, frame_repr
 from liq_stream_spark.schema import TESTDATA_TABLES
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -31,27 +29,6 @@ def duck():
         )
     yield con
     con.close()
-
-
-def canon(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        if v == 0:
-            return "0"
-        return f"{v:.9e}"
-    if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, dt.date):
-        return v.isoformat()
-    return repr(v)
-
-
-def frame_repr(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    names = [cols[i] for i in order]
-    body = sorted(tuple(canon(r[i]) for i in order) for r in rows)
-    return names, body
 
 
 ORACLED = sorted(entrymod.oracle_sql().keys())
