@@ -1,0 +1,77 @@
+"""Skew-salted equi-join — the standard remedy when a shuffle join's key
+distribution is dominated by a few hot values and one task ends up with
+an entire key's rows.
+
+``salted_join(left, right, on, n_salts)`` rewrites ``left ⋈ right ON k``
+as ``left ⋈ right' ON (k, salt)`` where every left row gets ONE
+deterministic salt in ``[0, n_salts)`` and every right row is replicated
+once per salt value. A hot key's left rows therefore hash-partition into
+``n_salts`` different shuffle partitions instead of one, restoring
+parallelism inside the key, at the cost of shipping the right side
+``n_salts`` times. The result set is IDENTICAL to the plain join (each
+matching (l, r) pair meets exactly once — l carries one salt and r
+exists at every salt), which is what makes the operator oracle-exact and
+safe to drop into any plan.
+
+When to reach for it at scale:
+- both sides too large to broadcast AND the key histogram has heavy
+  hitters (few event types / symbols / languages over billions of rows);
+- AQE's skew-join split (`spark.sql.adaptive.skewJoin.enabled`) already
+  splits oversized PARTITIONS, but a single key's rows still meet one
+  matching-side partition per split; salting additionally spreads the
+  key itself, and works on static plans and in structured streaming
+  where AQE does not apply.
+
+The salt must be deterministic (task retries must re-derive the same
+value — `rand()` would break exactly-once sinks), so it is
+xxhash64-derived from the left row's columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+    salt_cols: list[str] | None = None,
+) -> DataFrame:
+    """Equi-join ``left`` and ``right`` on ``on`` with the left side's
+    hot keys spread over ``n_salts`` shuffle partitions.
+
+    ``how`` may be ``inner`` or ``left`` (the modes where one-salt-per-
+    left-row keeps row multiplicity identical to the plain join; right/
+    full outer would need the mirrored construction). ``salt_cols``
+    picks the left columns the salt is derived from (default: all) —
+    pass a unique-id column when the row is wide.
+
+    Output columns follow Spark's join rule (join keys once, then the
+    non-key columns of both sides); the salt column is dropped.
+    """
+    if n_salts < 1:
+        raise ValueError("n_salts must be >= 1")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how={how!r}: only inner/left preserve "
+                         "multiplicity under one-salt-per-left-row")
+    keys = [on] if isinstance(on, str) else list(on)
+    for k in keys:
+        if k not in left.columns or k not in right.columns:
+            raise ValueError(f"join key {k!r} must exist on both sides")
+    if _SALT in left.columns or _SALT in right.columns:
+        raise ValueError(f"{_SALT} column already present")
+    src = salt_cols if salt_cols is not None else left.columns
+    salted_left = left.withColumn(
+        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in src]), F.lit(n_salts))
+    )
+    replicated_right = right.withColumn(
+        _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = salted_left.join(replicated_right, keys + [_SALT], how)
+    return out.drop(_SALT)

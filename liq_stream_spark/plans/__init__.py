@@ -54,6 +54,7 @@ from liq_stream_spark.plans import llm_ops3  # noqa: E402,F401
 from liq_stream_spark.plans import llm_ops4  # noqa: E402,F401
 from liq_stream_spark.plans import relational6  # noqa: E402,F401
 from liq_stream_spark.plans import llm_ops5  # noqa: E402,F401
+from liq_stream_spark.plans import relational7  # noqa: E402,F401
 
 # REGISTRY iterates in registration order for every in-library consumer.
 # The external correctness harness samples entries in the order

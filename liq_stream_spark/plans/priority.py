@@ -46,6 +46,9 @@ from __future__ import annotations
 # greens still predate the change until CORRECTNESS_r04 lands): q15/
 # liq_cascades (sessionize_bucketed rewrite), sj01/d12/d11/s04/s05/s07.
 CHANGED_SINCE_GREEN: list[str] = [
+    # Round-close additions: new salted skew-join query (never sampled);
+    # d06/d14/p13/p14/t14/q50 oracle CTE refactors are below already.
+    "q51_salted_skew_join",
     # Round 5 (this round): twenty-three NEW queries — lateral top-n, IGNORE NULLS
     # gap fill, streaming tumbling-agg parity, bigram-LM perplexity,
     # hashed linear classifier, fixed-iteration PageRank. All JVM-only

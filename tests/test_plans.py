@@ -411,3 +411,17 @@ def test_p14_keeps_exactly_one_per_cluster(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_q51_salted_join_spreads_hot_keys(spark):
+    """The salted rewrite must actually execute as a shuffle join keyed on
+    (event_type, hour, __salt) — no broadcast (which would bypass the
+    skew problem being demonstrated) and no cartesian product."""
+    plan = plan_of(spark, "q51_salted_skew_join")
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    join_line = next(
+        l for l in plan.splitlines()
+        if "ShuffledHashJoin" in l or "SortMergeJoin" in l
+    )
+    assert "__salt" in join_line  # the salt is part of the join key

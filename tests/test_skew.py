@@ -1,0 +1,88 @@
+"""salted_join (operators/skew.py): the skew-salting rewrite must be
+result-IDENTICAL to the plain equi-join — including duplicate keys on
+both sides (multiplicity), NULL join keys, and left-outer null padding —
+because that invariance is what lets q51 register the unsalted SQL as
+its oracle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from liq_stream_spark.operators.skew import salted_join
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            # hot key 'a' x4, dup right rows for 'b', null key, unmatched 'z'
+            (1, "a", 10.0), (2, "a", 11.0), (3, "a", 12.0), (4, "a", 13.0),
+            (5, "b", 20.0), (6, "b", 21.0), (7, None, 30.0), (8, "z", 40.0),
+        ],
+        "id long, k string, v double",
+    )
+    right = spark.createDataFrame(
+        [("a", 100), ("b", 200), ("b", 201), (None, 300), ("y", 400)],
+        "k string, w int",
+    )
+    return left, right
+
+
+def _sorted_rows(df):
+    # None-safe order: compare on the repr'd tuple, return the values
+    return sorted((tuple(r) for r in df.collect()), key=repr)
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+@pytest.mark.parametrize("n_salts", [1, 3, 8])
+def test_parity_with_plain_join(spark, how, n_salts):
+    left, right = _frames(spark)
+    got = salted_join(left, right, "k", n_salts=n_salts, how=how)
+    want = left.join(right, "k", how)
+    assert got.columns == want.columns
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_parity_multi_key(spark):
+    left = spark.createDataFrame(
+        [(1, "a", 1, 5.0), (2, "a", 1, 6.0), (3, "a", 2, 7.0)],
+        "id long, k1 string, k2 int, v double",
+    )
+    right = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("a", 2, 21)], "k1 string, k2 int, w int"
+    )
+    got = salted_join(left, right, ["k1", "k2"], n_salts=4)
+    want = left.join(right, ["k1", "k2"])
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_salt_cols_subset_and_determinism(spark):
+    left, right = _frames(spark)
+    a = salted_join(left, right, "k", n_salts=5, salt_cols=["id"])
+    b = salted_join(left, right, "k", n_salts=5, salt_cols=["id"])
+    assert _sorted_rows(a) == _sorted_rows(b)  # deterministic rerun
+    assert _sorted_rows(a) == _sorted_rows(left.join(right, "k"))
+
+
+def test_salt_actually_spreads(spark):
+    """With a single hot key, the salted left side must occupy >1 salt
+    value — otherwise the rewrite silently degenerates to the plain
+    join's one-task-per-key behavior."""
+    left = spark.range(200).select(
+        F.col("id"), F.lit("hot").alias("k")
+    )
+    salted = left.withColumn(
+        "__s", F.pmod(F.xxhash64("id"), F.lit(8))
+    )
+    n_distinct = salted.select("__s").distinct().count()
+    assert n_distinct > 4  # 200 xxhash64 draws over 8 buckets
+
+
+def test_invalid_args(spark):
+    left, right = _frames(spark)
+    with pytest.raises(ValueError, match="n_salts"):
+        salted_join(left, right, "k", n_salts=0)
+    with pytest.raises(ValueError, match="only inner/left"):
+        salted_join(left, right, "k", how="right")
+    with pytest.raises(ValueError, match="must exist"):
+        salted_join(left, right, "nope")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(left.withColumn("__salt", F.lit(1)), right, "k")
