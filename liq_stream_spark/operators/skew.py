@@ -35,6 +35,16 @@ from pyspark.sql import functions as F
 _SALT = "__salt"
 
 
+def salt_expr(cols: list[str], n_salts: int):
+    """The deterministic salt column salted_join assigns to left rows:
+    xxhash64 over ``cols``, folded into [0, n_salts). Exposed so tests
+    (and callers pre-partitioning by the same salt) use the operator's
+    actual derivation rather than a copy that can drift."""
+    if not cols:
+        raise ValueError("salt_cols must name at least one column")
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts))
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
@@ -67,9 +77,10 @@ def salted_join(
     if _SALT in left.columns or _SALT in right.columns:
         raise ValueError(f"{_SALT} column already present")
     src = salt_cols if salt_cols is not None else left.columns
-    salted_left = left.withColumn(
-        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in src]), F.lit(n_salts))
-    )
+    bad = [c for c in src if c not in left.columns]
+    if bad:
+        raise ValueError(f"salt_cols {bad} must exist on the left side")
+    salted_left = left.withColumn(_SALT, salt_expr(src, n_salts))
     replicated_right = right.withColumn(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )

@@ -269,6 +269,7 @@ _D14_MIN_AGREE = 8  # jaccard_est >= 0.5 (8 of 16 permutations agree)
 
 def _d14_sql() -> str:
     from liq_stream_spark.plans.llm_ops import (
+        _duck_band_pairs_cte,
         _duck_bands_cte,
         _duck_components_ctes,
         _duck_minhash_cte,
@@ -277,14 +278,10 @@ def _d14_sql() -> str:
     return f"""
     WITH RECURSIVE {_duck_minhash_cte()},
     {_duck_bands_cte()},
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b USING (band, band_key)
-      WHERE a.doc_id < b.doc_id
-    ),
+    {_duck_band_pairs_cte()},
     verified AS (
       SELECT c.id_a, c.id_b
-      FROM cand c
+      FROM pairs c
       JOIN sigs a ON a.doc_id = c.id_a
       JOIN sigs b ON b.doc_id = c.id_b AND b.perm_id = a.perm_id
       GROUP BY c.id_a, c.id_b

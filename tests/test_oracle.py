@@ -14,7 +14,7 @@ import duckdb
 import pytest
 
 import __spark_entry__ as entrymod
-from liq_stream_spark.compare import canon, frame_repr
+from liq_stream_spark.compare import frame_repr
 from liq_stream_spark.schema import TESTDATA_TABLES
 
 SF_DIR = "/root/testdata/sf0.01"

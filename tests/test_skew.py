@@ -63,17 +63,28 @@ def test_salt_cols_subset_and_determinism(spark):
 
 
 def test_salt_actually_spreads(spark):
-    """With a single hot key, the salted left side must occupy >1 salt
-    value — otherwise the rewrite silently degenerates to the plain
-    join's one-task-per-key behavior."""
+    """With a single hot key, the OPERATOR'S salt derivation (salt_expr,
+    the exact expression salted_join assigns) must place the key's rows
+    on >1 salt value — otherwise the rewrite silently degenerates to the
+    plain join's one-task-per-key behavior. Uses the exported expression,
+    not a copy, so a regression in the derivation (e.g. hashing only the
+    join key) fails here even though every parity test would still pass."""
+    from liq_stream_spark.operators.skew import salt_expr
+
     left = spark.range(200).select(
         F.col("id"), F.lit("hot").alias("k")
     )
-    salted = left.withColumn(
-        "__s", F.pmod(F.xxhash64("id"), F.lit(8))
+    n_distinct = (
+        left.select(salt_expr(["id"], 8).alias("__s"))
+        .distinct()
+        .count()
     )
-    n_distinct = salted.select("__s").distinct().count()
     assert n_distinct > 4  # 200 xxhash64 draws over 8 buckets
+    # hashing a constant column must NOT spread — guards the scenario
+    # where salt_cols defaults to just the (hot) join key
+    assert (
+        left.select(salt_expr(["k"], 8).alias("__s")).distinct().count() == 1
+    )
 
 
 def test_invalid_args(spark):
@@ -86,3 +97,7 @@ def test_invalid_args(spark):
         salted_join(left, right, "nope")
     with pytest.raises(ValueError, match="__salt"):
         salted_join(left.withColumn("__salt", F.lit(1)), right, "k")
+    with pytest.raises(ValueError, match="at least one column"):
+        salted_join(left, right, "k", salt_cols=[])
+    with pytest.raises(ValueError, match="left side"):
+        salted_join(left, right, "k", salt_cols=["typo"])
