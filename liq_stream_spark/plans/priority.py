@@ -37,99 +37,51 @@ from __future__ import annotations
 # driver-green row. Reset this list each round to the queries the round
 # actually touched (the commit log is the source of truth).
 #
-# Round 4 additions: sj02 (new streaming-enrich parity), q41 (new
-# bucketed fact join), t11 (new BPE merge pairs), d15 (new bucketed
-# band-index pairs), s09 (new pruned-IVF oracle), m01 (synth bodies went
-# ASCII + gained a full oracle), s06/s08 (ivf/ivfpq probe ranking now
-# 9-dp-rounded — result-identical at their degenerations, but the
-# operator changed after their r3 green). Carried from late-r3 (their
-# greens still predate the change until CORRECTNESS_r04 lands): q15/
-# liq_cascades (sessionize_bucketed rewrite), sj01/d12/d11/s04/s05/s07.
+# Round 5 reset (VERDICT r4 item 1): the r4 tier was 68 entries against
+# a ~50 budget and ordered JVM-first, so the 18 that fell off the end
+# were exactly the pandas-UDF/k-means similarity+dedup family. This
+# round the tier is exactly (a) the 5 never-driver-sampled queries,
+# (b) the 18 stale pandas-UDF/k-means entries (s04/s05/m01 among them
+# gained oracles after their last sample, so their first hash-green is
+# pending), and (c) the queries r5 itself rewrites — and the
+# never-sampled + pandas family LEAD so the ~50 budget cannot miss them
+# again.
 CHANGED_SINCE_GREEN: list[str] = [
-    # Round-close additions: new salted skew-join query (never sampled);
-    # d06/d14/p13/p14/t14/q50 oracle CTE refactors are below already.
-    "q51_salted_skew_join",
-    # Round 5 (this round): twenty-three NEW queries — lateral top-n, IGNORE NULLS
-    # gap fill, streaming tumbling-agg parity, bigram-LM perplexity,
-    # hashed linear classifier, fixed-iteration PageRank. All JVM-only
-    # expression plans, so they lead the tier.
-    "q43_lateral_topn",
-    "q44_gap_fill",
-    "sj03_tumbling_agg_batch_parity",
-    "t13_lm_perplexity",
-    "t14_quality_classifier",
-    "g01_pagerank",
-    "p10_perplexity_buckets",
-    "p11_source_caps",
-    "t15_gopher_rules",
-    "q45_twap",
-    "d18_winnow_clone_pairs",
-    "g02_triangle_counts",
-    "p12_corpus_report",
-    "s12_label_centroids",
-    "q46_retention_cohorts",
-    "d19_containment_pairs",
-    "q47_anomaly_zscore",
-    "p13_leakage_free_split",
-    "q48_above_nation_average",
-    "q49_scd2_history",
-    "t16_unigram_entropy",
-    "q50_ewma",
-    "p14_quality_survivors",
-    # JVM-only first (no Arrow/pandas worker spin-up)
-    "liq_unified_rows",
-    "q42_recursive_month_spine",
-    "q15_sessionization",
-    "liq_cascades",
-    "sj01_interval_join_batch_parity",
-    "sj02_enrich_batch_parity",
-    "q41_bucketed_revenue",
-    "t11_bpe_merge_pairs",
-    "t12_winnowing_fingerprints",
-    "d12_minhash_jaccard_est",
-    "d15_band_index_pairs",
-    "d16_jaccard_prefix_filter",
-    "p09_temperature_mix",
-    "d17_lsh_tuning_curve",
-    # operator/oracle-level review fixes late in r4 (results unchanged
-    # on the fixtures, but the code or oracle under these greens moved):
-    # fingerprint NULL arm (t03), _banded_keys ''-key drop
-    # (d03/d06/d10/d14), survivor broadcast knob (d07), interval-join
-    # rid materialization (q32), md5_bucket extraction (p02/p04), cosine
-    # zero-norm guard (s01-s03), t01/p01 empty-doc score guard, binance
-    # keep-filter oracle alignment (liq_*), dsum consolidation
-    # (q37/q39/liq aggregates), shared bands CTE (d12/d14/d15)
-    "t01_doc_stats",
-    "p01_training_prep",
-    "q37_unpivot_measures",
-    "q39_grouping_sets",
-    "liq_venue_stats",
-    "liq_top_by_notional",
-    "liq_hourly_by_symbol",
-    "liq_sixhour_dashboard",
-    "t03_fingerprint",
-    "q32_interval_join",
-    "p02_hash_split",
-    "p04_stratified_sample",
-    # pandas-UDF / k-means entries after
+    # (a) never driver-sampled at all (zero rows in any CORRECTNESS_r*)
+    "d13_dup_span_removal",
+    "d14_verified_dedup_clusters",
+    "s09_ivf_topk_pruned",
+    "s10_lsh_topk_pruned",
+    "s11_lsh_near_dup_pruned",
+    # (b) oracles attached r4 after their last sample — first hash-green
+    # pending
+    "s04_cosine_topk_lsh",
+    "s05_cosine_near_dup_lsh",
     "m01_multimodal_pipeline",
+    # (b) stale greens: operator changed late in r4 (cosine zero-norm
+    # guard, _banded_keys ''-key drop, 9-dp probe quantization, survivor
+    # broadcast knob) after the r2/r3 green rows
+    "s01_cosine_topk",
+    "s02_knn_label_vote",
+    "s03_cosine_near_dup_pairs",
+    "s06_ivf_topk",
+    "s07_pq_topk",
+    "s08_ivfpq_topk",
     "d03_minhash_lsh_pairs",
     "d06_dedup_clusters",
     "d07_dedup_survivors",
     "d10_incremental_dedup",
-    "d14_verified_dedup_clusters",
-    "s01_cosine_topk",
-    "s02_knn_label_vote",
-    "s03_cosine_near_dup_pairs",
-    "s04_cosine_topk_lsh",
-    "s05_cosine_near_dup_lsh",
-    "s06_ivf_topk",
-    "s07_pq_topk",
-    "s08_ivfpq_topk",
-    "s09_ivf_topk_pruned",
-    "s10_lsh_topk_pruned",
-    "s11_lsh_near_dup_pruned",
     "d11_semantic_dedup",
+    # (c) rewritten this round: bucketed bounded windows for the
+    # event_type hot keys (q45/q47/q50), decile thresholds instead of a
+    # global ntile (q36), d03 pair emission without distinct (above),
+    # sessionize boundary-merge shave (q15 + liq_cascades ride it)
+    "q45_twap",
+    "q47_anomaly_zscore",
+    "q50_ewma",
+    "q36_spend_deciles",
+    "q15_sessionization",
+    "liq_cascades",
 ]
 
 

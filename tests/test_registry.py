@@ -65,6 +65,24 @@ def test_coverage_green_ledger_in_sync():
     )
 
 
+def test_coverage_ledger_covers_every_correctness_artifact():
+    """The r4 failure mode, gated explicitly: a CORRECTNESS_r*.json that
+    landed AFTER the last ledger regeneration means the committed ledger
+    was built from a strict subset of the artifacts on disk. The ledger
+    embeds its source list ('Built from: ...'); every artifact at the
+    repo root must appear in it."""
+    from liq_stream_spark.tools import correctness_artifacts
+
+    text = (ROOT / "COVERAGE.md").read_text()
+    block = text.split(_LEDGER_BEGIN)[1].split(_LEDGER_END)[0]
+    missing = [a for a in correctness_artifacts() if f"`{a}`" not in block]
+    assert not missing, (
+        f"COVERAGE.md ledger predates driver artifacts {missing} — run "
+        "python -m liq_stream_spark.tools ledger (and reset "
+        "CHANGED_SINCE_GREEN for the new round)"
+    )
+
+
 def test_green_ledger_classification(tmp_path):
     """A FAILED oracle comparison (matches false, err null) must NOT
     register as a verification signal — it would sort the failing query
