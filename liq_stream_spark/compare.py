@@ -1,7 +1,8 @@
 """Order-insensitive result canonicalization shared by the local oracle
 gate (tests/test_oracle.py) and the ``tools drive`` subcommand.
 
-Floats are compared to 9 significant digits: per-row double arithmetic is
+Floats are compared to 10 significant digits (``%.9e`` prints one leading
+digit plus 9 fractional — ADVICE r5 doc fix): per-row double arithmetic is
 IEEE-identical across engines and multi-row sums go through exact decimal
 accumulation (plans/tables.dsum), so anything looser than ~1e-9 relative
 indicates a real bug, not float noise. Keeping this in ONE place means the

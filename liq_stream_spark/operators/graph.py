@@ -49,6 +49,15 @@ def pagerank(
     and vertices with no in-edges settle at the teleport floor
     ``(1-d)/N``; both behaviors are mirrored exactly in the oracle.
 
+    Open-graph inputs are CLOSED up front (ADVICE r5): node ids are
+    deduplicated (duplicate vertex rows would multiply-count teleport
+    mass) and edges whose src or dst is not in ``nodes`` are dropped by
+    two semi-joins before degrees are computed. Without the dst filter,
+    mass sent to an unknown vertex would silently vanish at the
+    rank-update join while still inflating its source's out-degree —
+    diluting every sibling edge's contribution; with it, an edge either
+    participates fully or not at all.
+
     Scale shape: per iteration, one shuffle joining ranks to edges on
     ``src`` and one shuffle aggregating contributions on ``dst`` — the
     canonical distributed-PageRank plan. The rank frame is one row per
@@ -63,10 +72,11 @@ def pagerank(
     decimal places (exactly representable multiples of 10^-SCALE up to
     double precision).
     """
-    n = nodes.count()
+    nd = nodes.select(F.col(id_col).alias("node_id")).distinct()
+    n = nd.count()
     if n == 0:
-        return nodes.select(
-            F.col(id_col).alias("node_id"),
+        return nd.select(
+            "node_id",
             F.lit(0).cast("long").alias("out_deg"),
             F.lit(0.0).alias("pr"),
         )
@@ -81,13 +91,13 @@ def pagerank(
         edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
         )
+        .join(nd.select(F.col("node_id").alias("src")), "src", "left_semi")
+        .join(nd.select(F.col("node_id").alias("dst")), "dst", "left_semi")
         .localCheckpoint(eager=False)
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
 
-    ranks = nodes.select(F.col(id_col).alias("node_id")).withColumn(
-        "r", r0
-    )
+    ranks = nd.withColumn("r", r0)
     for _ in range(n_iters):
         contrib = (
             e.join(ranks, e.src == ranks.node_id)

@@ -77,9 +77,23 @@ def salted_join(
     if _SALT in left.columns or _SALT in right.columns:
         raise ValueError(f"{_SALT} column already present")
     src = salt_cols if salt_cols is not None else left.columns
+    if not src:
+        raise ValueError("salt_cols must name at least one column")
     bad = [c for c in src if c not in left.columns]
     if bad:
         raise ValueError(f"salt_cols {bad} must exist on the left side")
+    if set(src) <= set(keys):
+        # a salt derived only from the join key is CONSTANT within each
+        # key, so every hot-key row still lands in one shuffle partition
+        # — the join stays correct but the operator silently degenerates
+        # to the plain join's one-task-per-key behavior (ADVICE r5).
+        # Happens by default when the left frame carries nothing but the
+        # key columns; pass a row-distinguishing column explicitly.
+        raise ValueError(
+            f"salt_cols {list(src)} are a subset of the join keys {keys}: "
+            "the salt would be constant per key and spread nothing — "
+            "include a column that varies within a key (e.g. a row id)"
+        )
     salted_left = left.withColumn(_SALT, salt_expr(src, n_salts))
     replicated_right = right.withColumn(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -28,7 +28,14 @@ _DUCK_TOKS = (
 
 
 # -- t13: bigram-LM perplexity scoring (CCNet-style) -----------------------
-# CTE chain shared by t13 (per-doc scores) and p10 (bucketing on them)
+# CTE chain shared by t13 (per-doc scores) and p10 (bucketing on them).
+# NB (ADVICE r5): this oracle INNER-joins occ->model/starts, which is
+# equivalent to the operator's LEFT join + coalesce-to-0 smoothing ONLY
+# in the self-train case (train == docs) registered here — every scored
+# bigram then exists in the model by construction. A train != docs
+# deployment of operators/text.lm_perplexity scores unseen bigrams
+# through the coalesce path, which this SQL does not model; its gate is
+# tests/test_quality_models.py, not this CTE.
 _T13_CTES = f"""tk AS (
       SELECT doc_id, {_DUCK_TOKS} AS T FROM documents
     ),

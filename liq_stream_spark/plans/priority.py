@@ -34,54 +34,17 @@ green row.
 from __future__ import annotations
 
 # Queries whose builder or underlying operator changed after their last
-# driver-green row. Reset this list each round to the queries the round
-# actually touched (the commit log is the source of truth).
-#
-# Round 5 reset (VERDICT r4 item 1): the r4 tier was 68 entries against
-# a ~50 budget and ordered JVM-first, so the 18 that fell off the end
-# were exactly the pandas-UDF/k-means similarity+dedup family. This
-# round the tier is exactly (a) the 5 never-driver-sampled queries,
-# (b) the 18 stale pandas-UDF/k-means entries (s04/s05/m01 among them
-# gained oracles after their last sample, so their first hash-green is
-# pending), and (c) the queries r5 itself rewrites — and the
-# never-sampled + pandas family LEAD so the ~50 budget cannot miss them
-# again.
+# driver-green row. POLICY (VERDICT r5 items 1/4): an entry is added in
+# the SAME COMMIT as the code change it describes — never pre-declared
+# for planned work — so this list and `git log` always agree. Reset to
+# the new round's committed changes at round open (r5 greened all 23 of
+# its entries and changed no operator code, so the r6 baseline is
+# empty); entries below accumulate as r6 commits land.
 CHANGED_SINCE_GREEN: list[str] = [
-    # (a) never driver-sampled at all (zero rows in any CORRECTNESS_r*)
-    "d13_dup_span_removal",
-    "d14_verified_dedup_clusters",
-    "s09_ivf_topk_pruned",
-    "s10_lsh_topk_pruned",
-    "s11_lsh_near_dup_pruned",
-    # (b) oracles attached r4 after their last sample — first hash-green
-    # pending
-    "s04_cosine_topk_lsh",
-    "s05_cosine_near_dup_lsh",
-    "m01_multimodal_pipeline",
-    # (b) stale greens: operator changed late in r4 (cosine zero-norm
-    # guard, _banded_keys ''-key drop, 9-dp probe quantization, survivor
-    # broadcast knob) after the r2/r3 green rows
-    "s01_cosine_topk",
-    "s02_knn_label_vote",
-    "s03_cosine_near_dup_pairs",
-    "s06_ivf_topk",
-    "s07_pq_topk",
-    "s08_ivfpq_topk",
-    "d03_minhash_lsh_pairs",
-    "d06_dedup_clusters",
-    "d07_dedup_survivors",
-    "d10_incremental_dedup",
-    "d11_semantic_dedup",
-    # (c) rewritten this round: bucketed bounded windows for the
-    # event_type hot keys (q45/q47/q50), decile thresholds instead of a
-    # global ntile (q36), d03 pair emission without distinct (above),
-    # sessionize boundary-merge shave (q15 + liq_cascades ride it)
-    "q45_twap",
-    "q47_anomaly_zscore",
-    "q50_ewma",
-    "q36_spend_deciles",
-    "q15_sessionization",
-    "liq_cascades",
+    # r6: pagerank closes open-graph inputs (semi-join edges -> node set,
+    # distinct nodes) — g01's fixture graph is closed, so the result
+    # should be unchanged, but the operator moved (operators/graph.py)
+    "g01_pagerank",
 ]
 
 

@@ -15,24 +15,30 @@ _LEDGER_BEGIN = "<!-- BEGIN GENERATED: green-ledger -->"
 _LEDGER_END = "<!-- END GENERATED: green-ledger -->"
 
 
-def green_ledger(root: str | None = None) -> dict[str, dict]:
+def green_ledger(
+    root: str | None = None, only: set[str] | None = None
+) -> dict[str, dict]:
     """Latest driver signal per query, parsed from CORRECTNESS_r*.json:
     ``{name: {"round": N, "kind": "green" | "rows-only"}}``. "green" =
     rows+schema+hash all matched that round; "rows-only" = the query ran
     clean but had no oracle. A later rows-only run never downgrades an
     earlier green (kind upgrades only; round always advances to the
-    latest signal of the recorded kind)."""
+    latest signal of the recorded kind). ``only`` restricts to the named
+    artifact files — the drift gate uses it to rebuild the ledger from
+    exactly the artifacts a committed COVERAGE.md says it was built from,
+    so a driver artifact that lands AFTER the commit doesn't read as
+    content drift (tests/test_registry.py)."""
     import json
     import re
     from pathlib import Path
 
     base = Path(root) if root else Path(__file__).resolve().parents[1]
     ledger: dict[str, dict] = {}
-    for path in sorted(base.glob("CORRECTNESS_r*.json")):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path.name)
-        if not m:
+    for name_ in correctness_artifacts(root):
+        if only is not None and name_ not in only:
             continue
-        rnd = int(m.group(1))
+        path = base / name_
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", name_).group(1))
         try:
             data = json.loads(path.read_text())
         except (OSError, json.JSONDecodeError):  # pragma: no cover
@@ -70,32 +76,44 @@ def green_ledger(root: str | None = None) -> dict[str, dict]:
 
 def correctness_artifacts(root: str | None = None) -> list[str]:
     """Names of the driver CORRECTNESS_r*.json artifacts present at the
-    repo root, sorted. The generated ledger embeds this list so the
-    drift gate can tell 'ledger predates a new artifact' apart from
-    ordinary content drift (the r4 failure mode: CORRECTNESS_r04.json
-    landed after the last regeneration)."""
+    repo root, sorted by PARSED round number (lexicographic name sort
+    would order r10 before r2 once rounds hit double digits — ADVICE r5).
+    The generated ledger embeds this list so the drift gate can tell
+    'ledger predates a new artifact' apart from ordinary content drift
+    (the r4 failure mode: CORRECTNESS_r04.json landed after the last
+    regeneration). green_ledger iterates this exact list, so the two can
+    never disagree on which artifacts exist or their round order."""
     import re
     from pathlib import Path
 
     base = Path(root) if root else Path(__file__).resolve().parents[1]
-    return sorted(
-        p.name
-        for p in base.glob("CORRECTNESS_r*.json")
-        if re.search(r"CORRECTNESS_r(\d+)\.json$", p.name)
-    )
+    found = []
+    for p in base.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p.name)
+        if m:
+            found.append((int(m.group(1)), p.name))
+    return [name for _, name in sorted(found)]
 
 
-def ledger_md() -> str:
+def ledger_md(only: set[str] | None = None) -> str:
     """The cumulative-green ledger table: one row per registered query
     with its latest driver-green round, so a stale green (query rewritten
     after its row) is visible at a glance — entries the current round
-    changed are flagged from plans.priority.CHANGED_SINCE_GREEN."""
+    changed are flagged from plans.priority.CHANGED_SINCE_GREEN.
+    ``only`` rebuilds the table from exactly the named artifacts (and
+    lists exactly them in the Built-from line) — the in-memory form the
+    drift gate compares against a committed COVERAGE.md."""
     from liq_stream_spark.plans import REGISTRY
     from liq_stream_spark.plans.priority import CHANGED_SINCE_GREEN
 
-    ledger = green_ledger()
+    ledger = green_ledger(only=only)
     changed = set(CHANGED_SINCE_GREEN)
-    artifacts = ", ".join(f"`{a}`" for a in correctness_artifacts())
+    names = (
+        correctness_artifacts()
+        if only is None
+        else [a for a in correctness_artifacts() if a in only]
+    )
+    artifacts = ", ".join(f"`{a}`" for a in names)
     lines = [
         f"Built from: {artifacts or '(no artifacts yet)'}.",
         "",

@@ -89,6 +89,38 @@ def test_empty_graph(spark):
     assert pagerank(spark, nodes, e).count() == 0
 
 
+def test_open_graph_edges_to_unknown_vertices_are_dropped(spark):
+    """ADVICE r5 (graph.py open-graph mass loss): an edge whose dst is
+    not in `nodes` used to inflate its source's out-degree while its
+    contribution silently vanished at the rank-update join — diluting
+    the sibling edges. Closing the graph up front means the result is
+    IDENTICAL to running on the pre-filtered edge list, and duplicate
+    node rows don't multiply-count teleport mass."""
+    nodes = spark.createDataFrame(
+        [(0,), (1,), (2,), (2,)], "node_id long"  # dup vertex row
+    )
+    open_edges = spark.createDataFrame(
+        # (0->99) dangles off the vertex set; (98->1) has unknown src
+        [(0, 1), (0, 99), (1, 2), (2, 0), (98, 1)],
+        "src long, dst long",
+    )
+    closed_edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+    )
+    got = {
+        r["node_id"]: (r["out_deg"], r["pr"])
+        for r in pagerank(spark, nodes, open_edges).collect()
+    }
+    want = {
+        r["node_id"]: (r["out_deg"], r["pr"])
+        for r in pagerank(
+            spark, nodes.distinct(), closed_edges
+        ).collect()
+    }
+    assert got == want
+    assert got[0][0] == 1  # 0->99 no longer counted in out_deg
+
+
 def test_triangle_counts_on_known_graph(spark):
     from liq_stream_spark.operators.graph import triangle_counts
 

@@ -101,3 +101,17 @@ def test_invalid_args(spark):
         salted_join(left, right, "k", salt_cols=[])
     with pytest.raises(ValueError, match="left side"):
         salted_join(left, right, "k", salt_cols=["typo"])
+
+
+def test_degenerate_salt_cols_rejected(spark):
+    """salt_cols ⊆ join keys makes the salt constant per key — the join
+    would still be correct but the hot key stays in one partition, which
+    is the exact failure the operator exists to prevent; it must refuse
+    loudly rather than silently degenerate (ADVICE r5). Also fires via
+    the default salt_cols=all-columns when the left frame carries only
+    the key columns."""
+    left, right = _frames(spark)
+    with pytest.raises(ValueError, match="constant per key"):
+        salted_join(left, right, "k", salt_cols=["k"])
+    with pytest.raises(ValueError, match="constant per key"):
+        salted_join(left.select("k"), right, "k")
