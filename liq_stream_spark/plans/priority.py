@@ -45,6 +45,12 @@ CHANGED_SINCE_GREEN: list[str] = [
     # distinct nodes) — g01's fixture graph is closed, so the result
     # should be unchanged, but the operator moved (operators/graph.py)
     "g01_pagerank",
+    # r6: q45/q47/q50 rewritten onto operators/bounded_window (two-phase
+    # bucketed bounded frames — the r4/r5 hot-key ask); plan pins in
+    # tests/test_plans.py::test_hot_key_windows_are_bucketed
+    "q45_twap",
+    "q47_anomaly_zscore",
+    "q50_ewma",
 ]
 
 

@@ -7,8 +7,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from liq_stream_spark.operators.bounded_window import (
+    lead_ts_bucketed,
+    trailing_decimal_moments_bucketed,
+    trailing_values_bucketed,
+)
 from liq_stream_spark.plans import register
 from liq_stream_spark.plans.tables import load
+
+# bucket width for the event_type-keyed bounded windows (q45/q47/q50):
+# the fixture's event log spans one month, so day buckets give each of
+# the 5 hot keys ~30-way parallelism with hundreds of rows per bucket —
+# far above the deepest frame (20 rows), so carry joins stay tiny. At
+# 100 TB the same width scales DOWN (more rows per bucket, same bucket
+# count) — parallelism per key is span/bucket regardless of volume.
+_EVT_BUCKET_S = 24 * 3600
 
 
 @register(
@@ -106,21 +119,27 @@ def q44_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "weighted by the microseconds until the NEXT event of the same "
     "type (the standard market-data aggregate the reference's "
     "liquidation consumers compute downstream; last event per type "
-    "carries no interval). One window shuffle on event_type + one agg "
-    "on the same key — the partitioning is reused, and at scale the "
-    "window key would extend to (symbol, day) exactly like the "
-    "sessionizer's buckets. value x dt products accumulate as exact "
-    "DECIMAL x BIGINT (task-order-free); one IEEE division per group.",
+    "carries no interval). The lead runs BUCKETED "
+    "(operators/bounded_window.lead_ts_bucketed, r4/r5 hot-key ask): "
+    "the event-level window partitions on (event_type, day bucket) so "
+    "a 5-value key never serializes into one task; each bucket's last "
+    "row takes the next bucket's head from a bucket-level lead over "
+    "~30 rows per key. The agg then shuffles on event_type. value x dt "
+    "products accumulate as exact DECIMAL x BIGINT (task-order-free); "
+    "one IEEE division per group. Plan pinned: no event-level window "
+    "partitioned on event_type alone (tests/test_plans.py).",
 )
 def q45_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    d = ev.select(
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "value", "ts", "event_id"
+    )
+    led = lead_ts_bucketed(
+        ev, "event_type", "ts", "event_id", _EVT_BUCKET_S, out_col="__lead"
+    )
+    d = led.select(
         "event_type",
         "value",
-        (
-            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
-        ).alias("dt_us"),
+        (F.unix_micros("__lead") - F.unix_micros("ts")).alias("dt_us"),
     )
     return d.groupBy("event_type").agg(
         F.count("dt_us").alias("n_intervals"),
@@ -206,40 +225,40 @@ def q46_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "against the trailing 20 same-type events' mean/stddev (frame "
     "excludes the current row — no self-contamination; NULL until 5 "
     "non-NULL priors exist or when variance is 0; NULL readings count "
-    "toward neither sums nor denominators). The moments come from "
-    "EXACT DECIMAL(18,6) sum / sum-of-squares window accumulators "
-    "(the square stays within decimal precision in BOTH engines), so the "
-    "mean and variance are IEEE functions of exact inputs and sqrt is "
-    "IEEE-correctly-rounded — the whole score is oracle-exact with no "
-    "quantization. One window shuffle on event_type; the incremental "
-    "ROWS frame makes it O(1) per row. The batch form of the "
-    "monitoring rule a streaming deploy runs with "
-    "applyInPandasWithState.",
+    "toward neither sums nor denominators but DO occupy frame slots). "
+    "The 20-PRECEDING moments run BUCKETED (operators/bounded_window."
+    "trailing_decimal_moments_bucketed, r4/r5 hot-key ask): the "
+    "event-level window partitions on (event_type, day bucket) — never "
+    "event_type alone — with INCREMENTAL decimal window sums; only the "
+    "<= 20 first rows of each bucket fold the broadcast carry of the "
+    "previous buckets' 20-row tails. DECIMAL(18,6) values, sums in "
+    "(26,6), squares (37,12 — exact in BOTH engines; a (25,6) square "
+    "would overflow and re-round divergently) summed in (36,12): every "
+    "accumulation and re-cast is exact at these magnitudes, so mean and "
+    "variance are IEEE functions of exact inputs and sqrt is IEEE-"
+    "correctly-rounded — the whole score is oracle-exact with no "
+    "quantization, identical to the single-window form. The batch form "
+    "of the monitoring rule a streaming deploy runs with "
+    "applyInPandasWithState. Plan pinned: no event-level window "
+    "partitioned on event_type alone (tests/test_plans.py).",
 )
 def q47_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    tw = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-20, -1)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", "ts"
     )
-    # DECIMAL(18,6): the square is then DECIMAL(37,12) in Spark and
-    # DECIMAL(36,12) in DuckDB — both EXACT. (25,6) squares to a
-    # precision-overflowing product that Spark re-rounds to scale 6 and
-    # DuckDB keeps at scale 12 — a verified cross-engine divergence for
-    # values with >3 decimal digits.
-    dec = F.col("value").cast("decimal(18,6)")
-    s = F.sum(dec).over(tw).cast("double")
-    ssq = F.sum(dec * dec).over(tw).cast("double")
-    # count the VALUE, not the row: NULL readings must not deflate the
-    # mean/variance denominators (the sums already skip them)
-    n = F.count("value").over(tw)
+    fr = trailing_decimal_moments_bucketed(
+        ev, "event_type", "ts", "event_id", "value",
+        preceding=20, bucket_seconds=_EVT_BUCKET_S,
+    )
+    n = F.col("__n")
+    s = F.col("__s")
+    ssq = F.col("__ssq")
     var = (ssq - s * s / n) / (n - F.lit(1))
     z = F.when(
         (n >= 5) & (var > 0),
         (F.col("value") - s / n) / F.sqrt(var),
     )
-    return ev.select(
+    return fr.select(
         "event_id",
         "event_type",
         "value",
@@ -375,23 +394,27 @@ _CUMW_SQL = ", ".join(repr(w) for w in _Q50_CUMW)
     "literals shipped to both engines, and the weighted sum is a "
     "sequential in-row left fold — identical IEEE operation order on "
     "identical bits, so the result is oracle-exact with zero runtime "
-    "transcendentals and no quantization. One window shuffle; the "
-    "in-row work is O(K) per row.",
+    "transcendentals and no quantization. The 20-row frame is "
+    "materialized BUCKETED (operators/bounded_window."
+    "trailing_values_bucketed, r4/r5 hot-key ask): the event-level "
+    "window partitions on (event_type, day bucket), never event_type "
+    "alone, and the frame array is identical to the single-window "
+    "collect_list (values pre-filtered non-NULL). In-row work is O(K) "
+    "per row. Plan pinned: no event-level window partitioned on "
+    "event_type alone (tests/test_plans.py).",
 )
 def q50_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-(_Q50_K - 1), Window.currentRow)
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value", "ts")
     )
     pw = ", ".join(repr(x) + "D" for x in _Q50_PW)
     cumw = ", ".join(repr(x) + "D" for x in _Q50_CUMW)
-    base = ev.select(
-        "event_id",
-        "event_type",
-        "value",
-        F.collect_list("value").over(w).alias("xs"),
+    base = trailing_values_bucketed(
+        ev, "event_type", "ts", "event_id", "value",
+        preceding=_Q50_K - 1, bucket_seconds=_EVT_BUCKET_S,
+        include_current=True, out_col="xs",
     )
     ewma = F.expr(
         f"aggregate(zip_with(reverse(xs), slice(array({pw}), 1, size(xs)), "

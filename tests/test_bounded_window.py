@@ -1,0 +1,154 @@
+"""operators/bounded_window: the bucketed two-phase rewrite must be
+output-IDENTICAL to the plain one-window-per-key form for any bucket
+width — including widths that force deep carry chains (bucket << frame,
+so a frame spans many buckets) and the degenerate one-bucket width (pure
+phase-1). NULL values must keep their frame slots, and NULL keys must
+group together like Window.partitionBy does."""
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from liq_stream_spark.operators.bounded_window import (
+    lead_ts_bucketed,
+    trailing_decimal_moments_bucketed,
+    trailing_values_bucketed,
+)
+
+
+def _events(spark, with_null_key=False):
+    # 2 hot keys x 60 rows, irregular second-spaced ts, some NULL values,
+    # duplicate timestamps within a key (tiebreak exercises total order)
+    rows = []
+    eid = 0
+    for k in ("a", "b") + ((None,) if with_null_key else ()):
+        t = 0
+        for i in range(60):
+            t += (i * 7) % 13  # includes 0 steps -> duplicate ts
+            v = None if i % 11 == 5 else float((i * 31) % 97)
+            rows.append((eid, k, t, v))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, k string, s long, v double")
+    return df.withColumn("ts", F.timestamp_seconds("s")).drop("s")
+
+
+def _ref_frame(df, preceding, include_current):
+    w = (
+        W.partitionBy("k")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-preceding, 0 if include_current else -1)
+    )
+    return df.withColumn(
+        "want",
+        F.transform(
+            F.collect_list(F.struct(F.col("v").alias("v"))).over(w),
+            lambda s: s["v"],
+        ),
+    )
+
+
+@pytest.mark.parametrize("bucket", [1, 5, 40, 10_000])
+@pytest.mark.parametrize(
+    "preceding,include_current", [(1, False), (3, True), (20, False), (19, True)]
+)
+def test_trailing_frame_equivalent_for_any_bucket(
+    spark, bucket, preceding, include_current
+):
+    df = _events(spark)
+    got = trailing_values_bucketed(
+        df, "k", "ts", "event_id", "v", preceding, bucket,
+        include_current=include_current, out_col="got",
+    )
+    ref = _ref_frame(df, preceding, include_current)
+    merged = got.join(ref.select("event_id", "want"), "event_id")
+    bad = merged.filter(
+        ~F.coalesce(
+            F.col("got").eqNullSafe(F.col("want")), F.lit(False)
+        )
+    )
+    assert bad.count() == 0, bad.select("event_id", "got", "want").take(5)
+    assert got.count() == df.count()
+
+
+def test_null_keys_group_like_partition_by(spark):
+    df = _events(spark, with_null_key=True)
+    got = trailing_values_bucketed(
+        df, "k", "ts", "event_id", "v", 5, 7, out_col="got"
+    )
+    ref = _ref_frame(df, 5, False)
+    merged = got.join(ref.select("event_id", "want"), "event_id")
+    assert merged.count() == df.count()
+    assert (
+        merged.filter(~F.col("got").eqNullSafe(F.col("want"))).count() == 0
+    )
+
+
+@pytest.mark.parametrize("bucket", [1, 5, 10_000])
+def test_lead_equivalent_for_any_bucket(spark, bucket):
+    df = _events(spark, with_null_key=True)
+    got = lead_ts_bucketed(df, "k", "ts", "event_id", bucket, out_col="got")
+    w = W.partitionBy("k").orderBy("ts", "event_id")
+    ref = df.withColumn("want", F.lead("ts").over(w))
+    merged = got.join(ref.select("event_id", "want"), "event_id")
+    assert merged.count() == df.count()
+    assert (
+        merged.filter(~F.col("got").eqNullSafe(F.col("want"))).count() == 0
+    )
+
+
+@pytest.mark.parametrize("bucket", [1, 5, 40, 10_000])
+@pytest.mark.parametrize("preceding", [1, 3, 20])
+def test_moments_equivalent_to_window_sums(spark, bucket, preceding):
+    """The incremental-sums specialization must reproduce the plain
+    decimal window sums BIT-exactly (the doubles, not approximately) —
+    including NULL results on frames with no non-NULL value, and the
+    NULL-slot semantics (NULL rows occupy frame positions but join no
+    sum). Bucket widths down to 1 s force carry-dominated frames."""
+    df = _events(spark, with_null_key=True)
+    got = trailing_decimal_moments_bucketed(
+        df, "k", "ts", "event_id", "v", preceding, bucket
+    )
+    w = (
+        W.partitionBy("k")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-preceding, -1)
+    )
+    dec = F.col("v").cast("decimal(18,6)")
+    ref = df.select(
+        "event_id",
+        F.sum(dec).over(w).cast("double").alias("ws"),
+        F.sum(dec * dec).over(w).cast("double").alias("wq"),
+        F.count("v").over(w).alias("wn"),
+    )
+    merged = got.join(ref, "event_id")
+    assert merged.count() == df.count()
+    bad = merged.filter(
+        ~F.col("__s").eqNullSafe(F.col("ws"))
+        | ~F.col("__ssq").eqNullSafe(F.col("wq"))
+        | (F.col("__n") != F.col("wn"))
+    )
+    assert bad.count() == 0, bad.select(
+        "event_id", "__s", "ws", "__ssq", "wq", "__n", "wn"
+    ).take(5)
+
+
+def test_moments_all_null_frame_is_null(spark):
+    """A frame whose every slot is NULL must yield NULL sums and n=0 —
+    exactly like a plain window sum over the same frame."""
+    rows = [(i, "k", i, None if i < 25 else float(i)) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "event_id long, k string, s long, v double"
+    ).withColumn("ts", F.timestamp_seconds("s")).drop("s")
+    got = trailing_decimal_moments_bucketed(
+        df, "k", "ts", "event_id", "v", 5, 7
+    )
+    r10 = got.filter(F.col("event_id") == 10).collect()[0]
+    assert r10["__s"] is None and r10["__ssq"] is None and r10["__n"] == 0
+
+
+def test_rejects_bad_args(spark):
+    df = _events(spark)
+    with pytest.raises(ValueError, match="positive"):
+        trailing_values_bucketed(df, "k", "ts", "event_id", "v", 5, 0)
+    with pytest.raises(ValueError, match=">= 1"):
+        trailing_values_bucketed(df, "k", "ts", "event_id", "v", 0, 10)

@@ -300,10 +300,33 @@ def test_t15_gopher_gate_is_shuffle_free(spark):
     assert "Join" not in plan
 
 
-def test_q45_twap_reuses_window_partitioning(spark):
-    # lead() window and the final agg share hash(event_type): ONE Exchange
-    plan = plan_of(spark, "q45_twap")
-    assert count("Exchange", plan) == 1
+def _assert_event_windows_bucketed(plan: str, name: str) -> None:
+    """Every window operator that runs over EVENT rows (orders by the
+    event timestamp + tiebreak) must partition on (key, __b) — the
+    bounded_window two-phase shape — so no 5-value hot key ever
+    serializes its history into one task. Bucket-LEVEL windows (order
+    by __b, span/bucket rows per key) are the intended small second
+    phase and are exempt."""
+    event_windows = [
+        seg
+        for seg in plan.splitlines()
+        if "windowspecdefinition" in seg and " ts#" in seg
+    ]
+    assert event_windows, f"{name}: expected event-level window operators"
+    for seg in event_windows:
+        assert "__b#" in seg, (
+            f"{name}: event-level window not bucket-partitioned: {seg[:200]}"
+        )
+
+
+@pytest.mark.parametrize(
+    "name", ["q45_twap", "q47_anomaly_zscore", "q50_ewma"]
+)
+def test_hot_key_windows_are_bucketed(spark, name):
+    """VERDICT r5 item 1: the event_type-keyed bounded windows must run
+    the two-phase bucketed shape (operators/bounded_window) — no window
+    over raw events partitioned on the 5-value key alone."""
+    _assert_event_windows_bucketed(plan_of(spark, name), name)
 
 
 def test_d18_winnow_pairs_no_cross_join(spark):
