@@ -51,6 +51,10 @@ CHANGED_SINCE_GREEN: list[str] = [
     "q45_twap",
     "q47_anomaly_zscore",
     "q50_ewma",
+    # r6: q36 rewritten from the global ntile window to distributed
+    # range-bucket ranking (no unpartitioned WindowExec); pin + small-n
+    # ntile-arithmetic test in tests/test_plans.py
+    "q36_spend_deciles",
 ]
 
 

@@ -96,13 +96,67 @@ def test_q34_single_partitioning_for_window_and_agg(spark):
     assert count("Exchange hashpartitioning", plan) == 1
 
 
-def test_q36_window_runs_over_preaggregated_rows(spark):
-    # the global-order window must consume the customer-level aggregate
-    # (SinglePartition exchange AFTER the custkey agg), never raw orders
+def test_q36_has_no_unpartitioned_window(spark):
+    """VERDICT r5 item 2: the NTILE/PERCENT_RANK distribution must never
+    plan a no-partition WindowExec (one task for the whole customer
+    dimension). The distributed-rank rewrite's only window partitions on
+    the 32-value range bucket; the tiny prefix-sum/percentile aggregates
+    may SinglePartition-exchange a handful of rows, but no window runs
+    unpartitioned."""
     plan = plan_of(spark, "q36_spend_deciles")
-    assert count("Exchange SinglePartition", plan) == 1
-    win_part = plan.split("Window")[-1]
-    assert "HashAggregate" in win_part  # agg sits below the window
+    for seg in plan.splitlines():
+        if "windowspecdefinition" not in seg:
+            continue
+        assert "__rb" in seg.split("windowspecdefinition")[0] or "__rb" in seg, (
+            f"unpartitioned/mispartitioned window: {seg[:200]}"
+        )
+    assert "windowspecdefinition" in plan  # the bucket window exists
+
+
+def test_q36_small_n_matches_ntile_exactly(spark, tmp_path):
+    """The NTILE fill arithmetic must match Spark's own ntile() on an
+    n < tiles input (base = 0: every tile holds at most one row) and on
+    an uneven n — the branches the parquet fixtures (n >= 150) never
+    exercise."""
+    import pyspark.sql.functions as SF
+    from pyspark.sql import Window as W
+
+    import __spark_entry__ as entrymod
+
+    for n_cust in (7, 23):
+        rows = [
+            (i % n_cust + 1, i, float(((i * 37) % 100) + 1))
+            for i in range(n_cust * 3)
+        ]
+        df = spark.createDataFrame(
+            rows, "o_custkey long, o_orderkey long, o_totalprice double"
+        )
+        d = tmp_path / f"sf_tiny_{n_cust}"
+        d.mkdir()
+        df.coalesce(1).write.parquet(str(d / "orders.parquet"))
+        got = {
+            r["custkey"]: (r["decile"], r["pct_rank"])
+            for r in entrymod.queries()["q36_spend_deciles"](
+                spark, str(d)
+            ).collect()
+        }
+        from liq_stream_spark.plans.tables import dsum, load
+
+        spend = (
+            load(spark, str(d), "orders")
+            .groupBy(SF.col("o_custkey").alias("custkey"))
+            .agg(dsum("o_totalprice").alias("total_spend"))
+        )
+        w = W.orderBy(SF.desc("total_spend"), SF.asc("custkey"))
+        want = {
+            r["custkey"]: (r["d"], r["p"])
+            for r in spend.select(
+                "custkey",
+                SF.ntile(10).over(w).cast("long").alias("d"),
+                SF.percent_rank().over(w).alias("p"),
+            ).collect()
+        }
+        assert got == want
 
 
 def test_q38_funnel_rides_one_key(spark):
