@@ -215,11 +215,87 @@ def lsh_candidate_pairs_banded(
 ) -> DataFrame:
     """LSH candidate pairs straight from the array-form signatures
     (minhash_sig_arrays): band keys are sliced out of the in-row array, so
-    the groupBy(id, band) collect shuffle of the long-form path disappears
-    — the ONLY shuffles left are the band-key equi-join and the final
-    distinct. Identical output to lsh_candidate_pairs on the same docs."""
-    banded = _banded_keys(sig_wide, id_col, bands, rows_per_band)
-    return _pairs_from_banded(banded, id_col, max_bucket)
+    the groupBy(id, band) collect shuffle of the long-form path disappears.
+    Identical output to lsh_candidate_pairs on the same docs.
+
+    Uncapped (``max_bucket=None``, the oracle/verify setting d03/d12/d13/
+    d14 run): pairs are emitted EXACTLY ONCE BY CONSTRUCTION (VERDICT r5
+    item 5) — each posting-list row carries the doc's full band-key
+    array, and a pair expands only at its FIRST shared band (an in-row
+    earlier-band check), so the plan needs NO distinct over the
+    quadratic expansion. The only shuffles are the (band, key) groupBy;
+    the dedup work that distinct did over ~|pairs| x |bands| expanded
+    rows becomes an O(bands) string compare inside the expansion.
+
+    Capped (``max_bucket`` set, the 100 TB degenerate-content valve):
+    falls back to the expand-then-distinct shape. The first-band rule
+    cannot see whether a pair's first shared band was itself a capped
+    (dropped) bucket — suppressing on it would lose pairs the old
+    semantics kept via their later bands — and the cap already bounds
+    the expansion the distinct runs over, so the distinct is cap-bounded
+    there, not corpus-bounded."""
+    if max_bucket is not None:
+        banded = _banded_keys(sig_wide, id_col, bands, rows_per_band)
+        return _pairs_from_banded(banded, id_col, max_bucket)
+
+    with_keys = sig_wide.select(
+        F.col(id_col), _band_key_array(bands, rows_per_band).alias("__bk")
+    )
+    banded = with_keys.select(
+        F.col(id_col),
+        "__bk",
+        F.posexplode("__bk").alias("band", "band_key"),
+    ).filter(F.col("band_key") != "")
+    grouped = (
+        banded.groupBy("band", "band_key")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("i"), F.col("__bk").alias("k"))
+            ).alias("xs")
+        )
+        .filter(F.size("xs") > 1)
+        # sort ONCE per bucket (id is unique, so struct order == id order)
+        .select("band", F.array_sort("xs").alias("xs"))
+    )
+    # emit (x, y) at band b only if NO earlier band j < b collides —
+    # exactly the long-form pair set, each pair once at its first shared
+    # band. element_at is 1-based; band is 0-based, so earlier bands are
+    # j in [1, band]. An empty key never collides (neither doc is in
+    # that band's index). Filter BEFORE building pair structs so the
+    # expansion materializes two ids per surviving pair, never the
+    # key arrays (the key compare reads x.k/y.k in place — measured 1.4x
+    # on the whole d03 chain vs struct-then-filter).
+    pair_expr = (
+        "flatten(transform(xs, (x, i) -> "
+        "transform(filter(slice(xs, i + 2, size(xs)), "
+        f"y -> NOT exists(sequence(1, {bands}), j -> "
+        "j <= band AND element_at(x.k, j) != '' "
+        "AND element_at(x.k, j) = element_at(y.k, j))), "
+        "y -> struct(x.i AS id_a, y.i AS id_b))))"
+    )
+    return (
+        grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b")
+    )
+
+
+def _band_key_array(bands: int, rows_per_band: int):
+    """array<string> of the per-band keys sliced out of ``sig`` — the
+    single derivation both the bucket grouping and the first-band
+    uniqueness check use (they can never drift). Past-signature bands
+    yield ''."""
+    return F.array(
+        *[
+            F.array_join(
+                F.transform(
+                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+            for b in range(bands)
+        ]
+    )
 
 
 def _banded_keys(
@@ -236,20 +312,9 @@ def _banded_keys(
     for misconfigured bands*rows_per_band > k."""
     return sig_wide.select(
         F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.array_join(
-                        F.transform(
-                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                        ",",
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_key"),
+        F.posexplode(_band_key_array(bands, rows_per_band)).alias(
+            "band", "band_key"
+        ),
     ).filter(F.col("band_key") != "")
 
 

@@ -55,6 +55,14 @@ CHANGED_SINCE_GREEN: list[str] = [
     # range-bucket ranking (no unpartitioned WindowExec); pin + small-n
     # ntile-arithmetic test in tests/test_plans.py
     "q36_spend_deciles",
+    # r6: uncapped LSH pair emission restructured — each pair emitted
+    # once at its first shared band, no distinct over the expansion
+    # (operators/dedup.lsh_candidate_pairs_banded); d12/d13/d14 consume
+    # the same path
+    "d03_minhash_lsh_pairs",
+    "d12_minhash_jaccard_est",
+    "d13_dup_span_removal",
+    "d14_verified_dedup_clusters",
 ]
 
 

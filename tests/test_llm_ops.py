@@ -503,13 +503,19 @@ def test_banded_keys_overconfigured_bands_match_long_form(spark):
     )
     wide = minhash_sig_arrays(docs)
     longf = minhash_signatures(docs)
-    for bands, rpb in [(8, 4), (4, 4), (5, 3)]:
-        got = {
+    # (3, 7): band 2's slice is PARTIAL (2 of 7 minhashes) — both paths
+    # must key it on the short slice, not drop or pad it
+    for bands, rpb in [(8, 4), (4, 4), (5, 3), (3, 7)]:
+        got_rows = [
             tuple(r)
             for r in lsh_candidate_pairs_banded(
                 wide, bands=bands, rows_per_band=rpb, max_bucket=None
             ).collect()
-        }
+        ]
+        got = set(got_rows)
+        # the uncapped path emits each pair ONCE BY CONSTRUCTION (first
+        # shared band) — no distinct hides a double emission
+        assert len(got_rows) == len(got), (bands, rpb, got_rows)
         want = {
             tuple(r)
             for r in lsh_candidate_pairs(
