@@ -18,9 +18,16 @@ When to reach for it at scale:
   hitters (few event types / symbols / languages over billions of rows);
 - AQE's skew-join split (`spark.sql.adaptive.skewJoin.enabled`) already
   splits oversized PARTITIONS, but a single key's rows still meet one
-  matching-side partition per split; salting additionally spreads the
-  key itself, and works on static plans and in structured streaming
-  where AQE does not apply.
+  matching-side partition per split — salting additionally spreads the
+  key itself. That distinction holds in batch AND in Structured
+  Streaming micro-batches (where, empirically on Spark 4, AQE DOES run
+  — the earlier claim that it doesn't was wrong: micro-batch plans show
+  AdaptiveSparkPlan with AQEShuffleRead, and its partition COALESCING
+  will even merge small shuffle partitions back together). Proven live:
+  streaming/joins.enrich_stream routes through this operator, and
+  tests/test_streaming_joins.py::
+  test_salted_enrichment_spreads_hot_key_in_microbatch asserts a hot
+  key's rows land on multiple tasks WITHIN one micro-batch.
 
 The salt must be deterministic (task retries must re-derive the same
 value — `rand()` would break exactly-once sinks), so it is

@@ -48,7 +48,9 @@ _Q51_SALTS = 8
     "tests/test_plans.py: join keys include __salt, no "
     "BroadcastHashJoin. See also AQE skew-join, which splits oversized "
     "partitions at runtime but cannot split a single key across "
-    "matching-side partitions and does not apply in streaming.",
+    "matching-side partitions — in batch or in streaming micro-batches "
+    "(where Spark 4's AQE does run; the streaming salted path is "
+    "proven live in tests/test_streaming_joins.py).",
 )
 def q51_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from liq_stream_spark.operators.skew import salted_join

@@ -33,11 +33,34 @@ def enrich_stream(
     dim: DataFrame,
     on: list[str] | str,
     how: str = "left",
+    salt_n: int | None = None,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Stream-static enrichment: broadcast the (small) dimension onto the
-    unbounded stream. Stateless — safe in any output mode."""
+    """Stream-static enrichment. Default: broadcast the (small) dimension
+    onto the unbounded stream — stateless, safe in any output mode.
+
+    ``salt_n``: the NON-broadcastable-dim variant. When the dimension is
+    too large to broadcast AND the stream's join key has hot values (a
+    few symbols dominating the tape), each micro-batch's shuffle join
+    serializes every hot key into one task — AQE runs inside Spark 4
+    micro-batches, but its skew split divides oversized PARTITIONS, not
+    a single key, and its coalescing can even merge the key's rows back
+    together. Routing
+    through :func:`liq_stream_spark.operators.skew.salted_join` spreads
+    each hot key over ``salt_n`` shuffle partitions per micro-batch
+    (identical result set; the salt is deterministic xxhash64 over
+    ``salt_cols``, so task retries re-derive it — safe under
+    exactly-once sinks). Proven live in
+    tests/test_streaming_joins.py::test_salted_enrichment_spreads_hot_key_in_microbatch.
+    """
     keys = [on] if isinstance(on, str) else list(on)
-    return stream.join(F.broadcast(dim), keys, how)
+    if salt_n is None:
+        return stream.join(F.broadcast(dim), keys, how)
+    from liq_stream_spark.operators.skew import salted_join
+
+    return salted_join(
+        stream, dim, on=keys, n_salts=salt_n, how=how, salt_cols=salt_cols
+    )
 
 
 def interval_join_streams(

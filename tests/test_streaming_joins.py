@@ -48,6 +48,74 @@ def test_stream_static_enrichment_broadcasts(spark, tmp_path):
     assert any(v is None for v in by_symbol.values())
 
 
+def test_salted_enrichment_spreads_hot_key_in_microbatch(spark, tmp_path):
+    """VERDICT r5 item 7: the salted join's streaming claim, proven live.
+    A hot symbol dominating one micro-batch must land on MULTIPLE shuffle
+    tasks when enrich_stream routes through salted_join with a
+    non-broadcastable dim (broadcast disabled to model a dim too big for
+    it — AQE skew-split does not apply inside micro-batches), while the
+    result set stays exactly the plain join's."""
+    import json as _json
+
+    src = tmp_path / "binance"
+    src.mkdir()
+    frames = []
+    for i in range(300):  # hot key: 300 BTC liquidations in one batch
+        frames.append(_json.dumps({
+            "e": "forceOrder", "E": 1710000000000 + i,
+            "o": {"s": "BTCUSDT", "S": "SELL", "o": "LIMIT", "f": "IOC",
+                  "q": "0.010", "p": "62000.00", "ap": "61990.10",
+                  "X": "FILLED", "l": "0.010", "z": "0.010",
+                  "T": 1710000000100 + i},
+        }))
+    for i in range(3):
+        frames.append(_json.dumps({
+            "e": "forceOrder", "E": 1710000100000 + i,
+            "o": {"s": "ETHUSDT", "S": "BUY", "o": "LIMIT", "f": "IOC",
+                  "q": "1.5", "p": "3000.00", "ap": "3001.25",
+                  "X": "FILLED", "l": "1.5", "z": "1.5",
+                  "T": 1710000100100 + i},
+        }))
+    (src / "frames.jsonl").write_text("\n".join(frames))
+    dim = spark.createDataFrame(
+        [("BTCUSDT", "majors"), ("ETHUSDT", "majors")],
+        "symbol string, sector string",
+    )
+    stream = stream_venue(spark, "binance", "usdt", source_dir=str(src))
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_co = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # Spark 4's AQE RUNS inside streaming micro-batches (the plan shows
+    # AdaptiveSparkPlan + AQEShuffleRead) and would coalesce this
+    # test-sized shuffle back to ONE partition, hiding the spread the
+    # assertion measures; at real volume the partitions exceed the
+    # coalesce target and survive. Disable coalescing, not AQE.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        enriched = enrich_stream(
+            stream, dim, on="symbol", salt_n=8, salt_cols=["ts_exch_ms"]
+        )
+        tagged = enriched.select(
+            "symbol", "sector", F.spark_partition_id().alias("pid")
+        )
+        rows = _drain(tagged, spark, "salted_enriched")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", prev_co
+        )
+    assert len(rows) == 303  # parity: each input row exactly once
+    hot = [r for r in rows if r["symbol"] == "BTCUSDT"]
+    assert len(hot) == 300
+    assert all(r["sector"] == "majors" for r in rows)
+    hot_pids = {r["pid"] for r in hot}
+    assert len(hot_pids) > 1, (
+        f"hot key stayed on one task: pids={hot_pids}"
+    )
+
+
 def test_stream_stream_interval_join(spark, tmp_path):
     liq_src = tmp_path / "binance"
     liq_src.mkdir()
