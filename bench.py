@@ -11,9 +11,18 @@ Catalyst prune the plan to a row count).
 
 Per-query JIT/codegen warm-up dominates single runs (~0.5-2 s each), so the
 reported per-query figure and the headline total are STEADY-STATE: each
-query runs ``BENCH_RUNS`` times (default 2) and the minimum is kept. The
-first-run (cold) timings ride along under "cold_queries"/"cold_total_sec"
-for the cold-start story; set BENCH_RUNS=1 to benchmark cold only.
+query runs ``BENCH_RUNS`` times (default 3 — r5 measured a +/-35%
+per-query band at min-of-2 on IDENTICAL code, so per-query deltas were
+ungradeable; VERDICT r5 item 6) and the minimum is kept. The first-run
+(cold) timings ride along under "cold_queries"/"cold_total_sec" for the
+cold-start story; set BENCH_RUNS=1 to benchmark cold only.
+
+The heavyweight non-headline operators d14/d16/s09 (VERDICT r5 item 6)
+join the multi-run set under "extra_queries_min": d14/s09 at min-of-3
+like the headline, d16 at min-of-2 — its exact-Jaccard verifier is ~90 s
+a run, and a third run would cost more wall-clock than the entire rest
+of the bench buys in precision. The remaining extras stay single-run
+informative figures.
 """
 
 from __future__ import annotations
@@ -76,13 +85,22 @@ def main() -> None:
         .save()
     )
 
+    runs = max(1, int(os.environ.get("BENCH_RUNS", "3")))
+    # heavyweight extras, multi-run (min-of-N like the headline); d16
+    # capped at 2 runs — ~90 s each, a third buys little precision for
+    # half the bench's wall-clock
+    # BENCH_EXTRA_RUNS overrides for every multi-run extra; 0/unset keeps
+    # the per-query defaults
+    extra_override = int(os.environ.get("BENCH_EXTRA_RUNS", "0"))
+    extra_multi = {
+        "d14_verified_dedup_clusters": extra_override or runs,
+        "d16_jaccard_prefix_filter": extra_override or min(2, runs),
+        "s09_ivf_topk_pruned": extra_override or runs,
+    }
     # informative single-run timings for operators added after the
     # headline set froze — NOT part of the headline total, so
     # cross-round totals stay comparable
-    extra_names = [
-        "d14_verified_dedup_clusters",
-        "d16_jaccard_prefix_filter",
-        "s09_ivf_topk_pruned",
+    extra_single = [
         "t12_winnowing_fingerprints",
         "q43_lateral_topn",
         "q44_gap_fill",
@@ -91,30 +109,36 @@ def main() -> None:
         "g01_pagerank",
     ]
 
-    runs = max(1, int(os.environ.get("BENCH_RUNS", "2")))
+    def run_query(name: str) -> float:
+        t0 = time.perf_counter()
+        REGISTRY[name].build(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        return time.perf_counter() - t0
+
     cold: dict[str, float] = {}
     steady: dict[str, float] = {}
     for name in HEADLINE:
-        q = REGISTRY[name]
         best = float("inf")
         for i in range(runs):
-            t0 = time.perf_counter()
-            q.build(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            dt = time.perf_counter() - t0
+            dt = run_query(name)
             if i == 0:
                 cold[name] = round(dt, 3)
             best = min(best, dt)
         steady[name] = round(best, 3)
 
-    extra: dict[str, float] = {}
-    for name in extra_names:
+    extra_min: dict[str, float] = {}
+    for name, n_runs in extra_multi.items():
         if name not in REGISTRY:
             continue
-        t0 = time.perf_counter()
-        REGISTRY[name].build(spark, sf_dir).write.mode("overwrite").format(
-            "noop"
-        ).save()
-        extra[name] = round(time.perf_counter() - t0, 3)
+        extra_min[name] = round(
+            min(run_query(name) for _ in range(n_runs)), 3
+        )
+    extra: dict[str, float] = {}
+    for name in extra_single:
+        if name not in REGISTRY:
+            continue
+        extra[name] = round(run_query(name), 3)
 
     total = round(sum(steady.values()), 3)
     print(
@@ -136,6 +160,9 @@ def main() -> None:
                 "runs_per_query": runs,
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "cold_queries": cold,
+                # min-of-N for the heavy extras (d16 min-of-2, see module
+                # doc); single-run figures below carry no precision claim
+                "extra_queries_min": extra_min,
                 "extra_queries_single_run": extra,
             }
         )
