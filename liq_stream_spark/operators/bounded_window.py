@@ -14,11 +14,18 @@ makes the sessionize_bucketed trick (operators/sessionize.py) apply:
 - phase 1: window inside (keys, floor(ts / bucket)) — the hot key
   becomes span/bucket parallel tasks, and every row whose frame lies
   entirely inside its bucket is already final;
-- tails, for free: each bucket's LAST row already carries the bucket's
-  P-row suffix in its own local frame (plus itself), so the per-bucket
-  tail is a FILTER on the phase-1 output — no second scan, no groupBy;
-  the whole operator reads and shuffles the event table exactly once
-  (the tail branch reuses the phase-1 exchange);
+- tails: each bucket's LAST row already carries the bucket's P-row
+  suffix in its own local frame (plus itself), so the per-bucket tail
+  is a FILTER on the phase-1 window output and the tail groupBy
+  collects <= P rows per bucket — NEVER a whole-bucket collect_list
+  (which would buffer a 100 TB bucket in one agg buffer). The branch
+  does plan its own column-pruned scan+shuffle of the narrow
+  (keys, ts, tiebreak, value) projection — differently-pruned subtrees
+  defeat Catalyst's exchange reuse — so the operator costs two fully
+  parallel narrow passes, not one; measured ~1.2x the (scale-broken)
+  single-window form at sf0.1. For the LEAD variant the second pass is
+  a map-side-combinable min aggregate: its shuffle ships one row per
+  (key, bucket, input partition);
 - carry: a tiny per-key pass over BUCKET-level rows — span/bucket rows
   of <= P values each, orders of magnitude smaller than the event pass
   — prefixes each bucket with the last P values of everything before
@@ -324,17 +331,25 @@ def lead_ts_bucketed(
     in-bucket lead covers every row but each bucket's last, which takes
     the FIRST timestamp of the key's next non-empty bucket from a
     bucket-level lead (span/bucket rows per key, broadcast back).
-    ts_col must be non-NULL (it is the ordering prefix)."""
+    ts_col must be non-NULL (it is the ordering prefix).
+
+    The head branch is a plain min aggregate — map-side COMBINABLE, so
+    its shuffle ships one row per (key, bucket, input partition) however
+    large the buckets grow (cheaper than filtering the windowed frame,
+    which would re-shuffle every event row)."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     ev = _with_bucket(df, ts_col, bucket_seconds)
     wl = W.partitionBy(*keys, "__b").orderBy(ts_col, tiebreak_col)
-    ev = ev.withColumn("__local_lead", F.lead(ts_col).over(wl)).withColumn(
-        "__r", F.row_number().over(wl)
-    )
+    ev = ev.withColumn("__local_lead", F.lead(ts_col).over(wl))
 
-    # bucket heads from phase 1: the first row per bucket, by filter
-    bt = ev.filter(F.col("__r") == 1).select(
-        *keys, "__b", F.col(ts_col).alias("__head")
+    # bucket heads: min over the (ts, tiebreak) total order per bucket
+    head = F.min(
+        F.struct(F.col(ts_col).alias("t"), F.col(tiebreak_col).alias("o"))
+    )["t"]
+    bt = (
+        _with_bucket(df, ts_col, bucket_seconds)
+        .groupBy(*keys, "__b")
+        .agg(head.alias("__head"))
     )
     wb = W.partitionBy(*keys).orderBy("__b")
     bt = bt.withColumn("__next_head", F.lead("__head").over(wb)).drop(
@@ -343,4 +358,4 @@ def lead_ts_bucketed(
     joined = _join_back(ev, bt, keys)
     return joined.withColumn(
         out_col, F.coalesce("__local_lead", "__next_head")
-    ).drop("__b", "__r", "__local_lead", "__next_head")
+    ).drop("__b", "__local_lead", "__next_head")

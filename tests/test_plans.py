@@ -419,10 +419,17 @@ def test_d19_containment_no_cross_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_q47_zscore_is_one_window_shuffle(spark):
+def test_q47_zscore_carry_join_is_broadcast(spark):
+    """Post-bucketing shape (r6): the only join is the tiny bucket-level
+    carry BROADCAST back onto events — never a sort-merge of event-sized
+    sides — and the tail branch collects at most P rows per bucket (the
+    whole-bucket collect_list would buffer an entire 100 TB bucket in
+    one agg buffer). Bucketed event windows are pinned separately in
+    test_hot_key_windows_are_bucketed."""
     plan = plan_of(spark, "q47_anomaly_zscore")
-    assert count("Exchange", plan) == 1
-    assert "Join" not in plan
+    assert count("BroadcastHashJoin", plan) == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_q48_scalar_subquery_is_decorrelated(spark):
@@ -461,10 +468,13 @@ def test_t16_entropy_no_data_joins(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_q50_ewma_single_window_shuffle(spark):
+def test_q50_ewma_carry_join_is_broadcast(spark):
+    """Post-bucketing shape (r6): same contract as q47's pin — one
+    broadcast carry join, no event-sized sort-merge, no cartesian."""
     plan = plan_of(spark, "q50_ewma")
-    assert count("Exchange", plan) == 1
-    assert "Join" not in plan
+    assert count("BroadcastHashJoin", plan) == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_p14_keeps_exactly_one_per_cluster(spark):
