@@ -146,6 +146,55 @@ def test_moments_all_null_frame_is_null(spark):
     assert r10["__s"] is None and r10["__ssq"] is None and r10["__n"] == 0
 
 
+def test_multi_key_windows_equivalent(spark):
+    """Composite partition keys (the (symbol, venue)-shaped case) must
+    behave exactly like Window.partitionBy(k1, k2) across all three
+    operators."""
+    df = _events(spark).withColumn(
+        "k2", (F.col("event_id") % 2).cast("string")
+    )
+    keys = ["k", "k2"]
+    w = W.partitionBy(*keys).orderBy("ts", "event_id")
+
+    got_lead = lead_ts_bucketed(df, keys, "ts", "event_id", 7, out_col="g")
+    ref_lead = df.withColumn("w", F.lead("ts").over(w))
+    m = got_lead.join(ref_lead.select("event_id", "w"), "event_id")
+    assert m.filter(~F.col("g").eqNullSafe(F.col("w"))).count() == 0
+
+    got_fr = trailing_values_bucketed(
+        df, keys, "ts", "event_id", "v", 5, 7, out_col="g"
+    )
+    ref_fr = df.withColumn(
+        "w",
+        F.transform(
+            F.collect_list(F.struct(F.col("v").alias("v"))).over(
+                w.rowsBetween(-5, -1)
+            ),
+            lambda s: s["v"],
+        ),
+    )
+    m = got_fr.join(ref_fr.select("event_id", "w"), "event_id")
+    assert m.filter(~F.col("g").eqNullSafe(F.col("w"))).count() == 0
+
+    got_mo = trailing_decimal_moments_bucketed(
+        df, keys, "ts", "event_id", "v", 5, 7
+    )
+    dec = F.col("v").cast("decimal(18,6)")
+    ref_mo = df.select(
+        "event_id",
+        F.sum(dec).over(w.rowsBetween(-5, -1)).cast("double").alias("ws"),
+        F.count("v").over(w.rowsBetween(-5, -1)).alias("wn"),
+    )
+    m = got_mo.join(ref_mo, "event_id")
+    assert (
+        m.filter(
+            ~F.col("__s").eqNullSafe(F.col("ws"))
+            | (F.col("__n") != F.col("wn"))
+        ).count()
+        == 0
+    )
+
+
 def test_rejects_bad_args(spark):
     df = _events(spark)
     with pytest.raises(ValueError, match="positive"):
