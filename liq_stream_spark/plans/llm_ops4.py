@@ -196,7 +196,13 @@ def _d12_sql() -> str:
 def d12_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     from liq_stream_spark.operators import dedup as D
 
-    sigs = D.minhash_sig_arrays(load(spark, sf_dir, "documents"))
+    # THREE consumers read the signatures (pair generation + both sides
+    # of the estimate join) — without materialization the pandas-UDF
+    # signing pass runs three times (the pagerank/t13 checkpoint
+    # convention; measured ~20% off the whole chain at sf0.1)
+    sigs = D.minhash_sig_arrays(
+        load(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=False)
     pairs = D.lsh_candidate_pairs_banded(sigs, max_bucket=None)
     return D.minhash_jaccard_estimates(sigs, pairs)
 
@@ -315,7 +321,11 @@ def _d14_sql() -> str:
 def d14_verified_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from liq_stream_spark.operators import dedup as D
 
-    sigs = D.minhash_sig_arrays(load(spark, sf_dir, "documents"))
+    # sigs feed candidates + both estimate-join sides: materialize once
+    # (d12's rationale; 11.2 -> 8.7 s min-of-3 at sf0.1)
+    sigs = D.minhash_sig_arrays(
+        load(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=False)
     cand = D.lsh_candidate_pairs_banded(sigs, max_bucket=None)
     verified = (
         D.minhash_jaccard_estimates(sigs, cand)

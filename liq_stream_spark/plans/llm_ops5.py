@@ -254,7 +254,9 @@ def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     sigs = D.minhash_sig_arrays(docs)
-    e0 = D.lsh_star_edges(sigs)
+    # both unionAll branches read e0 — materialize the star-edge chain
+    # (incl. the pandas-UDF signing) once, not per branch
+    e0 = D.lsh_star_edges(sigs).localCheckpoint(eager=False)
     edges = e0.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(e0.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
