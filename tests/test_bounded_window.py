@@ -195,6 +195,76 @@ def test_multi_key_windows_equivalent(spark):
     )
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b"]),
+                st.integers(min_value=0, max_value=5_000),  # seconds
+                st.one_of(
+                    st.none(),
+                    st.floats(
+                        min_value=-1e3,
+                        max_value=1e3,
+                        allow_nan=False,
+                        allow_infinity=False,
+                    ),
+                ),
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        bucket=st.sampled_from([1, 17, 300, 100_000]),
+        preceding=st.integers(min_value=1, max_value=8),
+    )
+    def test_random_gaps_equivalent(spark, rows, bucket, preceding):
+        """Hypothesis sweep: irregular timestamps create EMPTY buckets
+        between events (runs of buckets with no rows), duplicate
+        timestamps across keys, and frames spanning many sparse buckets
+        — the gap patterns the fixed generator can't reach. All three
+        operators must match the plain one-window-per-key form
+        exactly."""
+        df = spark.createDataFrame(
+            [(i, k, s, v) for i, (k, s, v) in enumerate(rows)],
+            "event_id long, k string, s long, v double",
+        ).withColumn("ts", F.timestamp_seconds("s")).drop("s")
+        w = W.partitionBy("k").orderBy("ts", "event_id")
+
+        got = trailing_values_bucketed(
+            df, "k", "ts", "event_id", "v", preceding, bucket, out_col="g"
+        )
+        ref = df.withColumn(
+            "w",
+            F.transform(
+                F.collect_list(F.struct(F.col("v").alias("v"))).over(
+                    w.rowsBetween(-preceding, -1)
+                ),
+                lambda s: s["v"],
+            ),
+        )
+        m = got.join(ref.select("event_id", "w"), "event_id")
+        assert m.count() == len(rows)
+        assert m.filter(~F.col("g").eqNullSafe(F.col("w"))).count() == 0
+
+        got_l = lead_ts_bucketed(
+            df, "k", "ts", "event_id", bucket, out_col="g"
+        )
+        ref_l = df.withColumn("w", F.lead("ts").over(w))
+        m = got_l.join(ref_l.select("event_id", "w"), "event_id")
+        assert m.filter(~F.col("g").eqNullSafe(F.col("w"))).count() == 0
+
+
 def test_rejects_bad_args(spark):
     df = _events(spark)
     with pytest.raises(ValueError, match="positive"):
