@@ -1008,7 +1008,19 @@ def ngram_jaccard_pairs_prefix(
     ``max_doc_freq`` valve never reach the join at all. The costs that
     remain (one df aggregation, one per-doc window over that doc's own
     shingles, the verify join on candidate ids) are all equi-keyed and
-    skew-safe."""
+    skew-safe.
+
+    Negative result, measured r6 (don't re-derive): PPJoin+'s per-pair
+    refinement — group prefix matches per pair and prune on
+    cpx + min(|A|-max_ia, |B|-max_ib) < ceil(t/(1+t)(|A|+|B|)), a
+    lossless bound here because the global token order makes counted
+    common tokens a PREFIX of the common sequence — pruned 0 of the
+    9.5M candidates on the template-heavy sf0.1 fixture: rarest-FIRST
+    ordering puts matches at minimal positions, so the positional slack
+    min(|A|-pos, ...) is near-maximal exactly when the match is in the
+    prefix head. The verify join over the surviving candidates is this
+    corpus's exact-verify floor; the approximate d14 chain is the
+    fast path."""
     shingles = df.select(
         F.col(id_col),
         F.explode(
