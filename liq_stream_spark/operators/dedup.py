@@ -573,7 +573,13 @@ def simhash_near_pairs(
     per-bucket pair generation at large N).
 
     For ``max_hamming`` <= 3 the blocking is lossless (recall 1.0), which
-    is what lets d05 be checked against an exact DuckDB popcount oracle."""
+    is what lets d05 be checked against an exact DuckDB popcount oracle.
+
+    A pair agreeing on SEVERAL blocks meets once per shared block; it is
+    kept only at its FIRST shared block_idx (both signatures ride the
+    join, so earlier blocks compare in-row — the d03 r6 technique), which
+    makes emission unique BY CONSTRUCTION: no distinct over the
+    per-bucket quadratic expansion."""
     sig = simhash_table(df, id_col, text_col)
     blocks = sig.select(
         id_col,
@@ -593,11 +599,16 @@ def simhash_near_pairs(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
         "block_idx", "block",
     )
+    first_shared_block = ~F.expr(
+        "exists(sequence(0, 3), j -> j < block_idx "
+        "AND (shiftrightunsigned(sig_a, j * 16) & 65535) = "
+        "(shiftrightunsigned(sig_b, j * 16) & 65535))"
+    )
     cand = (
         a.join(b, ["block_idx", "block"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(first_shared_block)
         .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
     )
     hamming = F.bit_count(
         F.col("sig_a").bitwiseXOR(F.col("sig_b"))

@@ -63,6 +63,10 @@ CHANGED_SINCE_GREEN: list[str] = [
     "d12_minhash_jaccard_est",
     "d13_dup_span_removal",
     "d14_verified_dedup_clusters",
+    # r6: SimHash pairs emit once at the first shared 16-bit block — the
+    # d03 technique applied to d05's block join (no distinct over the
+    # expansion)
+    "d05_simhash_near_pairs",
 ]
 
 

@@ -59,10 +59,15 @@ def test_ngram_jaccard_exact_values(docs):
 
 
 def test_simhash_hamming_close_for_near_dups(docs):
-    pairs = {
-        (r["id_a"], r["id_b"]): r["hamming"]
+    rows = [
+        (r["id_a"], r["id_b"], r["hamming"])
         for r in D.simhash_near_pairs(docs, max_hamming=64).collect()
-    }
+    ]
+    pairs = {(a, b): h for a, b, h in rows}
+    # first-shared-block emission (r6): identical signatures share all 4
+    # blocks — each pair must still appear exactly once, with no distinct
+    # in the plan to hide a double emission
+    assert len(rows) == len(pairs)
     assert pairs[(0, 2)] == 0
     assert pairs[(0, 1)] <= 12  # near-dup: few of 64 bits flip
     if (0, 3) in pairs:
