@@ -67,6 +67,10 @@ CHANGED_SINCE_GREEN: list[str] = [
     # d03 technique applied to d05's block join (no distinct over the
     # expansion)
     "d05_simhash_near_pairs",
+    # r6: q02's revenue aggregation pushed below the orderkey join
+    # (map-side partial combine shrinks the fact shuffle ~4x; lossless —
+    # orderkey is orders' PK); pin asserts the agg sits below the join
+    "q02_top_revenue_orders",
 ]
 
 

@@ -66,16 +66,25 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, o_orderkey
     LIMIT 10
     """,
-    doc="fact-fact equi-join on orderkey + agg + deterministic top-k.",
+    doc="fact-fact equi-join on orderkey + agg + deterministic top-k. "
+    "The revenue aggregation is PUSHED BELOW the join (r6): lineitem "
+    "pre-aggregates per l_orderkey with a map-side partial combine, so "
+    "the join ships one decimal per order instead of ~4 full-width "
+    "lineitem rows — at 100 TB that shrinks the fact shuffle by the "
+    "lines-per-order factor before a byte moves. Lossless rewrite: "
+    "o_orderkey is orders' primary key, so (orderkey, date, priority) "
+    "groups == orderkey groups, and the exact-decimal sum is "
+    "associative across the split. Catalyst does not push aggregates "
+    "through joins itself, so the plan declares it.",
 )
 def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pre = li.groupBy("l_orderkey").agg(dsum(rev).alias("revenue"))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(rev).alias("revenue"))
+        pre.join(orders, pre.l_orderkey == orders.o_orderkey)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority", "revenue")
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )

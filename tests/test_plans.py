@@ -47,6 +47,15 @@ def test_q02_global_topk_without_full_sort(spark):
     plan = plan_of(spark, "q02_top_revenue_orders")
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+    # the revenue aggregation must sit BELOW the join (r6 pushdown): the
+    # per-orderkey partial combine shrinks the fact shuffle before the
+    # join ships anything — a HashAggregate above the join would mean
+    # the rewrite regressed to join-then-aggregate
+    join_pos = plan.find("Join")
+    agg_pos = plan.rfind("HashAggregate")
+    assert join_pos != -1 and agg_pos > join_pos, (
+        "expected the lineitem aggregate below the join"
+    )
 
 
 def test_q03_all_dimension_joins_broadcast(spark):
