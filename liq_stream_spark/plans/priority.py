@@ -37,47 +37,13 @@ from __future__ import annotations
 # driver-green row. POLICY (VERDICT r5 items 1/4): an entry is added in
 # the SAME COMMIT as the code change it describes — never pre-declared
 # for planned work — so this list and `git log` always agree. Reset to
-# the new round's committed changes at round open (r5 greened all 23 of
-# its entries and changed no operator code, so the r6 baseline is
-# empty); entries below accumulate as r6 commits land.
-CHANGED_SINCE_GREEN: list[str] = [
-    # --- cheap JVM-only entries lead (tier convention: cold-session
-    # Arrow/daemon spin-up must not land on a pandas-UDF query) ---
-    # r6: q02's revenue aggregation pushed below the orderkey join
-    # (map-side partial combine shrinks the fact shuffle ~4x; lossless —
-    # orderkey is orders' PK); pin asserts the agg sits below the join
-    "q02_top_revenue_orders",
-    # r6: q36 rewritten from the global ntile window to distributed
-    # range-bucket ranking (no unpartitioned WindowExec); pin + small-n
-    # ntile-arithmetic test in tests/test_plans.py
-    "q36_spend_deciles",
-    # r6: q45/q47/q50 rewritten onto operators/bounded_window (two-phase
-    # bucketed bounded frames — the r4/r5 hot-key ask); plan pins in
-    # tests/test_plans.py::test_hot_key_windows_are_bucketed
-    "q45_twap",
-    "q47_anomaly_zscore",
-    "q50_ewma",
-    # --- pandas-UDF (MinHash/SimHash signing) family ---
-    # r6: uncapped LSH pair emission restructured — each pair emitted
-    # once at its first shared band, no distinct over the expansion
-    # (operators/dedup.lsh_candidate_pairs_banded); d12/d13/d14 consume
-    # the same path (d12/d14 additionally materialize the signature
-    # frame once for their three consumers)
-    "d03_minhash_lsh_pairs",
-    "d12_minhash_jaccard_est",
-    "d13_dup_span_removal",
-    "d14_verified_dedup_clusters",
-    # r6: SimHash pairs emit once at the first shared 16-bit block — the
-    # d03 technique applied to d05's block join (no distinct over the
-    # expansion)
-    "d05_simhash_near_pairs",
-    # r6: pagerank closes open-graph inputs (semi-join edges -> node set,
-    # distinct nodes) — g01's fixture graph is closed, so the result
-    # should be unchanged, but the operator moved (operators/graph.py);
-    # its star-edge input is also materialized once for both union
-    # branches
-    "g01_pagerank",
-]
+# the new round's committed changes at round open (CORRECTNESS_r06
+# greened all 11 r6 entries — the changed tier led the sample and every
+# oracled one hash-matched — so the r7 baseline is empty); entries below
+# accumulate as r7 commits land. Tier convention: cheap JVM-only entries
+# lead (cold-session Arrow/daemon spin-up must not land on a pandas-UDF
+# query).
+CHANGED_SINCE_GREEN: list[str] = []
 
 
 def verification_order() -> list[str]:

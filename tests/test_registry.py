@@ -99,20 +99,41 @@ def test_coverage_ledger_covers_every_correctness_artifact():
     at every judge checkpoint (the driver writes CORRECTNESS_r{N}.json
     after the round's last commit), so it surfaces as a SKIP naming the
     pending regeneration, not a failure; the content gate above still
-    catches genuine drift. At round open, `python -m
-    liq_stream_spark.tools ledger` clears the skip."""
+    catches genuine drift. The skip is BOUNDED (ADVICE r6): it only fires
+    when every missing artifact is strictly newer than the ledger's whole
+    Built-from set — the one-round-boundary case. Any other gap (an old
+    artifact the ledger never picked up, or a ledger lagging two or more
+    rounds, which implies a round opened without regeneration) fails. At
+    round open, `python -m liq_stream_spark.tools ledger` clears it."""
+    import re
+
     import pytest
 
     from liq_stream_spark.tools import correctness_artifacts
 
     block = _ledger_block()
+    built = _built_from(block)
     missing = [a for a in correctness_artifacts() if f"`{a}`" not in block]
-    if missing:
+    if not missing:
+        return
+
+    def rnd(name: str) -> int:
+        return int(re.search(r"CORRECTNESS_r(\d+)\.json", name).group(1))
+
+    max_built = max((rnd(a) for a in built), default=0)
+    boundary = all(rnd(a) == max_built + 1 for a in missing)
+    if boundary:
         pytest.skip(
             f"ledger pending round-open regeneration for driver artifacts "
             f"{missing} — run python -m liq_stream_spark.tools ledger (and "
             "reset CHANGED_SINCE_GREEN for the new round)"
         )
+    pytest.fail(
+        f"COVERAGE.md ledger (built from rounds <= r{max_built}) is "
+        f"missing artifacts {missing} that are not the single next round "
+        "— the ledger lagged past a round boundary; run python -m "
+        "liq_stream_spark.tools ledger"
+    )
 
 
 def test_green_ledger_classification(tmp_path):
