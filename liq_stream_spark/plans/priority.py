@@ -43,7 +43,17 @@ from __future__ import annotations
 # accumulate as r7 commits land. Tier convention: cheap JVM-only entries
 # lead (cold-session Arrow/daemon spin-up must not land on a pandas-UDF
 # query).
-CHANGED_SINCE_GREEN: list[str] = []
+CHANGED_SINCE_GREEN: list[str] = [
+    # r7: q45/q47/q50's bounded-window bucket width is now DERIVED from
+    # the frame's measured density (operators/bounded_window.
+    # derive_bucket_seconds) instead of the hardcoded 24 h constant
+    # (VERDICT r6 item 1); the moments operator also keeps its phase-1
+    # decimal accumulators at natural precision (ADVICE r6 overflow
+    # range fix). Oracles unchanged. All three JVM-only.
+    "q45_twap",
+    "q47_anomaly_zscore",
+    "q50_ewma",
+]
 
 
 def verification_order() -> list[str]:

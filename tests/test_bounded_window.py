@@ -10,6 +10,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from liq_stream_spark.operators.bounded_window import (
+    derive_bucket_seconds,
     lead_ts_bucketed,
     trailing_decimal_moments_bucketed,
     trailing_values_bucketed,
@@ -271,3 +272,113 @@ def test_rejects_bad_args(spark):
         trailing_values_bucketed(df, "k", "ts", "event_id", "v", 5, 0)
     with pytest.raises(ValueError, match=">= 1"):
         trailing_values_bucketed(df, "k", "ts", "event_id", "v", 0, 10)
+    with pytest.raises(ValueError, match=">= 1"):
+        derive_bucket_seconds(df, "k", "ts", 0)
+    with pytest.raises(ValueError, match=">= 2"):
+        derive_bucket_seconds(df, "k", "ts", 5, target_multiple=1)
+
+
+def _dense_frame(spark, n_per_key, span_s, keys=("a", "b")):
+    """n_per_key rows per key spread uniformly over [0, span_s)."""
+    rows = []
+    eid = 0
+    for k in keys:
+        for i in range(n_per_key):
+            rows.append((eid, k, i * span_s // n_per_key, float(i % 50)))
+            eid += 1
+    return (
+        spark.createDataFrame(
+            rows, "event_id long, k string, s long, v double"
+        )
+        .withColumn("ts", F.timestamp_seconds("s"))
+        .drop("s")
+    )
+
+
+def test_derived_width_shrinks_as_density_grows(spark):
+    """VERDICT r6 item 1's done-criterion: same span, 10x the rows ->
+    ~10x narrower buckets, so rows per (key, bucket) stay ~constant at
+    target_multiple * preceding instead of one (key, span-chunk) window
+    task growing without bound."""
+    span = 30 * 24 * 3600  # a month, like the events fixture
+    sparse = _dense_frame(spark, 2_000, span)
+    dense = _dense_frame(spark, 20_000, span)
+    P = 20
+    w_sparse = derive_bucket_seconds(sparse, "k", "ts", P)
+    w_dense = derive_bucket_seconds(dense, "k", "ts", P)
+    assert w_dense < w_sparse
+    # ratio tracks the density ratio (approx_count_distinct slack aside)
+    assert 5 <= w_sparse / w_dense <= 20
+    # rows per (key, bucket) land at ~ target_multiple * P in both
+    for df_, width in ((sparse, w_sparse), (dense, w_dense)):
+        per_bucket = df_.count() / 2 / (span / width)
+        assert 0.5 * 64 * P <= per_bucket <= 2 * 64 * P
+
+
+def test_derived_width_caps_bucket_count_for_sparse_spans(spark):
+    """A long sparse span must not explode into millions of near-empty
+    buckets (the carry pass is per-key serialized over bucket rows):
+    the bucket count per key is capped at max_buckets_per_key."""
+    span = 10 * 365 * 24 * 3600  # ten sparse years
+    df = _dense_frame(spark, 3_000, span)
+    w = derive_bucket_seconds(
+        df, "k", "ts", 1, target_multiple=2, max_buckets_per_key=100
+    )
+    assert span / w <= 101  # bucket count per key capped (+rounding)
+
+
+def test_derived_width_degenerate_frames(spark):
+    """Empty frames and single-instant frames have nothing to
+    parallelize — any width is correct; the fallback must simply not
+    divide by zero."""
+    empty = _dense_frame(spark, 1, 1).filter(F.lit(False))
+    assert derive_bucket_seconds(empty, "k", "ts", 5) >= 1
+    one_ts = _dense_frame(spark, 1, 1)
+    assert derive_bucket_seconds(one_ts, "k", "ts", 5) >= 1
+
+
+def test_moments_exact_at_large_magnitudes(spark):
+    """ADVICE r6: the old (36,12) re-cast silently NULLed the square-sum
+    once P * v^2 >= 1e24 (|v| >= ~2.2e11 at P=20) — a range the plain
+    single-window form handled. The natural-precision accumulators must
+    stay bit-exact there, INCLUDING carry-folding rows (bucket << span
+    forces them), up to square-sums ~1e25 near the documented carry-row
+    ceiling."""
+    # |v| ~ 4.9e11 -> v^2 ~ 2.4e23; 20-row frames sum to ~4.8e24 — past
+    # the old 1e24 NULL cliff, inside the new (37,12) carry ceiling
+    rows = [
+        (i, "k", i * 3, 4.9e11 + (i % 7) * 1e5 + 0.25) for i in range(80)
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, "event_id long, k string, s long, v double"
+        )
+        .withColumn("ts", F.timestamp_seconds("s"))
+        .drop("s")
+    )
+    P = 20
+    got = trailing_decimal_moments_bucketed(
+        df, "k", "ts", "event_id", "v", P, 7  # 7 s buckets: carry rows
+    )
+    w = W.partitionBy("k").orderBy("ts", "event_id").rowsBetween(-P, -1)
+    dec = F.col("v").cast("decimal(18,6)")
+    ref = df.select(
+        "event_id",
+        F.sum(dec).over(w).cast("double").alias("ws"),
+        F.sum(dec * dec).over(w).cast("double").alias("wq"),
+        F.count("v").over(w).alias("wn"),
+    )
+    m = got.join(ref, "event_id")
+    # every full frame is PAST the old overflow cliff — assert we are
+    # actually exercising that band, then exact equality incl. no NULLs
+    full = m.filter(F.col("__n") == P)
+    assert full.count() > 0
+    assert full.filter(F.col("__ssq") < 1e24).count() == 0
+    bad = m.filter(
+        ~F.col("__s").eqNullSafe(F.col("ws"))
+        | ~F.col("__ssq").eqNullSafe(F.col("wq"))
+        | (F.col("__n") != F.col("wn"))
+    )
+    assert bad.count() == 0, bad.select(
+        "event_id", "__s", "ws", "__ssq", "wq"
+    ).take(5)
