@@ -17,11 +17,17 @@ ungradeable; VERDICT r5 item 6) and the minimum is kept. The first-run
 (cold) timings ride along under "cold_queries"/"cold_total_sec" for the
 cold-start story; set BENCH_RUNS=1 to benchmark cold only.
 
-The heavyweight non-headline operators d14/d16/s09 (VERDICT r5 item 6)
-join the multi-run set under "extra_queries_min": d14/s09 at min-of-3
-like the headline, d16 at min-of-2 — its exact-Jaccard verifier is ~90 s
-a run, and a third run would cost more wall-clock than the entire rest
-of the bench buys in precision. The remaining extras stay single-run
+The heavyweight non-headline operators d14/s09 (VERDICT r5 item 6) and
+the round-6 bespoke-plan rewrites q36/q45/q47/q50/d05 (VERDICT r6 item
+2: exactly the queries with hand-built distributed plans need a tracked
+regression surface) join the multi-run set under "extra_queries_min" at
+min-of-N like the headline. d16 (exact PPJoin Jaccard verifier, ~85 s a
+run — 8x the next-slowest query) is DEMOTED to on-demand (VERDICT r6
+item 4b): it is the documented exact-verify floor for the ~11 s
+approximate d14 chain, not a per-round regression surface, and two runs
+of it cost more wall-clock than the entire rest of the bench; set
+BENCH_D16=1 to include it (min-of-2). d14 — the fast path users actually
+run — is benched in its place. The remaining extras stay single-run
 informative figures.
 """
 
@@ -86,17 +92,25 @@ def main() -> None:
     )
 
     runs = max(1, int(os.environ.get("BENCH_RUNS", "3")))
-    # heavyweight extras, multi-run (min-of-N like the headline); d16
-    # capped at 2 runs — ~90 s each, a third buys little precision for
-    # half the bench's wall-clock
-    # BENCH_EXTRA_RUNS overrides for every multi-run extra; 0/unset keeps
-    # the per-query defaults
+    # multi-run extras (min-of-N like the headline): the heavy operators
+    # plus the bespoke-plan rewrites whose regressions a headline-only
+    # bench would miss (VERDICT r6 item 2). BENCH_EXTRA_RUNS overrides
+    # for every multi-run extra; 0/unset keeps the per-query defaults
     extra_override = int(os.environ.get("BENCH_EXTRA_RUNS", "0"))
     extra_multi = {
         "d14_verified_dedup_clusters": extra_override or runs,
-        "d16_jaccard_prefix_filter": extra_override or min(2, runs),
         "s09_ivf_topk_pruned": extra_override or runs,
+        "q36_spend_deciles": extra_override or runs,
+        "q45_twap": extra_override or runs,
+        "q47_anomaly_zscore": extra_override or runs,
+        "q50_ewma": extra_override or runs,
+        "d05_simhash_near_pairs": extra_override or runs,
     }
+    # on-demand: d16's exact-Jaccard verify floor, ~85 s/run (module doc)
+    if os.environ.get("BENCH_D16"):
+        extra_multi["d16_jaccard_prefix_filter"] = extra_override or min(
+            2, runs
+        )
     # informative single-run timings for operators added after the
     # headline set froze — NOT part of the headline total, so
     # cross-round totals stay comparable
