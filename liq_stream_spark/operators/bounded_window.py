@@ -38,6 +38,13 @@ makes the sessionize_bucketed trick (operators/sessionize.py) apply:
   outgrew broadcast, dropping the hint leaves a (keys, bucket)
   equi-shuffle — still never one task per key.)
 
+Runtime SPREAD, not just plan shape, is asserted: with one key holding
+95% of rows, the window stage's max-task row share stays < 30% while the
+single-window form concentrates ~95% in one task — measured via
+spark_partition_id() on the operator output, which shares the phase-1
+window's physical stage (tests/test_bounded_window.py::
+test_hot_key_spreads_across_tasks_at_runtime, VERDICT r6 item 5).
+
 Output equivalence holds for ANY bucket width because the bucket is a
 monotone function of the ordering prefix ``ts``: (bucket, ts, tiebreak)
 order == (ts, tiebreak) order, rows with equal ts share a bucket, and

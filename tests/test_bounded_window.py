@@ -337,6 +337,85 @@ def test_derived_width_degenerate_frames(spark):
     assert derive_bucket_seconds(one_ts, "k", "ts", 5) >= 1
 
 
+def test_hot_key_spreads_across_tasks_at_runtime(spark):
+    """VERDICT r6 item 5: the plan pins prove SHAPE (window partitioned
+    on (key, bucket)); this proves SPREAD — with one event_type holding
+    95% of rows, the operator's window stage must not concentrate the
+    hot key into one task. Measured from inside the job: rows per
+    physical partition via spark_partition_id() on the operator output
+    (no exchange sits between the phase-1 window and the output — the
+    carry comes back by broadcast — so the ids ARE the window stage's
+    tasks). The single-window form measured the same way concentrates
+    ~95% in one task; the bucketed form's max-task share stays < 30%.
+    AQE partition coalescing is disabled for the measurement (it merges
+    small test-sized shuffles back to one partition — the r6 lesson)."""
+    rows = []
+    eid = 0
+    for k, n in (("hot", 19_000), ("a", 250), ("b", 250), ("c", 250),
+                 ("d", 250)):
+        for i in range(n):
+            rows.append((eid, k, i * 20_000 // n, float(i % 100)))
+            eid += 1
+    df = (
+        spark.createDataFrame(
+            rows, "event_id long, k string, s long, v double"
+        )
+        .withColumn("ts", F.timestamp_seconds("s"))
+        .drop("s")
+    )
+    total = len(rows)
+
+    conf = spark.conf
+    saved = {
+        "spark.sql.adaptive.coalescePartitions.enabled": conf.get(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        ),
+        "spark.sql.shuffle.partitions": conf.get(
+            "spark.sql.shuffle.partitions"
+        ),
+    }
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        width = derive_bucket_seconds(
+            df, "k", "ts", 20, target_multiple=8
+        )
+        got = trailing_decimal_moments_bucketed(
+            df, "k", "ts", "event_id", "v", 20, width
+        )
+        # aggregate the MOMENT columns, not a bare count — an unused
+        # window gets pruned by Catalyst and the measurement would then
+        # read the scan stage's uniform input partitions, not the
+        # window stage
+        spread = (
+            got.withColumn("__pid", F.spark_partition_id())
+            .groupBy("__pid")
+            .agg(F.count(F.lit(1)).alias("count"), F.sum("__n").alias("f"))
+            .collect()
+        )
+        max_share = max(r["count"] for r in spread) / total
+        assert len(spread) > 1
+        assert max_share < 0.30, (
+            f"hot key concentrated: max task holds {max_share:.0%} "
+            f"of rows across {len(spread)} tasks"
+        )
+
+        # contrast: the single-window form serializes the hot key
+        w = W.partitionBy("k").orderBy("ts", "event_id")
+        single = (
+            df.withColumn("__x", F.row_number().over(w))
+            .withColumn("__pid", F.spark_partition_id())
+            .groupBy("__pid")
+            .agg(F.count(F.lit(1)).alias("count"), F.max("__x").alias("f"))
+            .collect()
+        )
+        single_max = max(r["count"] for r in single) / total
+        assert single_max > 0.9  # the failure mode being engineered out
+    finally:
+        for key_, val in saved.items():
+            conf.set(key_, val)
+
+
 def test_moments_exact_at_large_magnitudes(spark):
     """ADVICE r6: the old (36,12) re-cast silently NULLed the square-sum
     once P * v^2 >= 1e24 (|v| >= ~2.2e11 at P=20) — a range the plain
