@@ -233,7 +233,20 @@ def lsh_candidate_pairs_banded(
     (dropped) bucket — suppressing on it would lose pairs the old
     semantics kept via their later bands — and the cap already bounds
     the expansion the distinct runs over, so the distinct is cap-bounded
-    there, not corpus-bounded."""
+    there, not corpus-bounded.
+
+    Memory price of the in-row earlier-band check (ADVICE r6): the
+    uncapped posting lists collect struct(id, full band-key array), so a
+    bucket's collect_list agg buffer grows ~``bands`` x key-string-size
+    per member versus an ids-only collect (~25x at the default 4 bands
+    of 4-minhash comma-joined keys) — and uncapped degenerate buckets
+    are exactly where that buffer is largest. The keys must be the
+    ACTUAL band keys, not fixed-width hashes: the bucket join and the
+    earlier-band equality must agree exactly (a hash collision in the
+    check alone would silently DROP a pair; hashing both sides would
+    ADD phantom candidates and break oracle parity). Deployments whose
+    degenerate buckets outgrow executor memory should set ``max_bucket``
+    — that is what the valve is for."""
     if max_bucket is not None:
         banded = _banded_keys(sig_wide, id_col, bands, rows_per_band)
         return _pairs_from_banded(banded, id_col, max_bucket)
