@@ -101,9 +101,10 @@ def derive_bucket_seconds(
     frozen by a hardcoded constant (VERDICT r6 item 1). Guard rails:
 
     - buckets per key are capped at ``max_buckets_per_key`` — the carry
-      pass is a per-key serialized window over bucket rows whose
-      running-flatten cost is quadratic in bucket count, so sparse-but-
-      long spans must not explode into millions of near-empty buckets;
+      pass is a per-key serialized window over bucket rows and the
+      carry frame ships back by broadcast (keys x buckets x <= P
+      scalars), so sparse-but-long spans must not explode into millions
+      of near-empty buckets;
     - the result is clamped to >= 1 s (the operators' resolution) and,
       for empty/degenerate frames (0 rows or a single distinct ts),
       falls back to the whole span (one bucket is correct AND cheap
@@ -233,12 +234,12 @@ def trailing_values_bucketed(
         *keys, "__b", tail.alias("__tail")
     )
     # per-key scan over BUCKET rows (tiny): carry = last P values of all
-    # preceding buckets' tails, in global frame order
-    wb = (
-        W.partitionBy(*keys)
-        .orderBy("__b")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
+    # preceding buckets' tails, in global frame order. The frame needs
+    # only the PREVIOUS P buckets: every non-empty bucket's tail holds
+    # >= 1 value, so P buckets always cover the last P values — an
+    # unbounded-preceding flatten would make this pass quadratic in
+    # bucket count per key
+    wb = W.partitionBy(*keys).orderBy("__b").rowsBetween(-P, -1)
     bt = bt.withColumn(
         "__carry", _last_n(F.flatten(F.collect_list("__tail").over(wb)), P)
     ).drop("__tail")
@@ -352,11 +353,9 @@ def trailing_decimal_moments_bucketed(
         .groupBy(*keys, "__b")
         .agg(tail_arr.alias("__tail"))
     )
-    wb = (
-        W.partitionBy(*keys)
-        .orderBy("__b")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
+    # previous-P-buckets frame: non-empty tails hold >= 1 value each, so
+    # P buckets always cover the last P values (see the values variant)
+    wb = W.partitionBy(*keys).orderBy("__b").rowsBetween(-P, -1)
     bt = bt.withColumn(
         "__carry", _last_n(F.flatten(F.collect_list("__tail").over(wb)), P)
     ).drop("__tail")
