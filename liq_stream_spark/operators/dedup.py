@@ -520,14 +520,20 @@ def simhash_table(
     Plan shape: with Arrow available this is ONE narrow Pandas-UDF
     projection — the whole signature (token hashes, 64 bit-sums, sign
     fold) is computed per doc in numpy (text.simhash64_fast): no explode,
-    no shuffle, no join. The fallback is the explode + 64 codegen'd
+    no shuffle, no join, with one exception: an input arriving in fewer
+    splits than the session has cores (a single-row-group parquet file —
+    the sf fixtures — or a gzipped dump) is round-robined first so the
+    UDF pass engages every core (skew.spread_for_compute; a no-op
+    whenever splits >= cores, i.e. always at 100 TB — measured 0.93 ->
+    0.43 s warm at sf0.1). The fallback is the explode + 64 codegen'd
     conditional-sum aggregates shape below (the interpreted 64-fold
     variant is operators/text.simhash64, kept for streaming single-row
     use)."""
     from liq_stream_spark.operators import text as X
+    from liq_stream_spark.operators.skew import spread_for_compute
 
     if X.pd is not None and X.np is not None:
-        return df.select(
+        return spread_for_compute(df).select(
             F.col(id_col), X.simhash64_fast(text_col).alias("simhash")
         )
     from liq_stream_spark.operators.text import (
@@ -592,8 +598,17 @@ def simhash_near_pairs(
     kept only at its FIRST shared block_idx (both signatures ride the
     join, so earlier blocks compare in-row — the d03 r6 technique), which
     makes emission unique BY CONSTRUCTION: no distinct over the
-    per-bucket quadratic expansion."""
-    sig = simhash_table(df, id_col, text_col)
+    per-bucket quadratic expansion.
+
+    The signature frame is MATERIALIZED once (localCheckpoint, the d12/
+    d14 convention): both self-join sides consume it, and Catalyst's
+    inferred non-null join-key constraint additionally splits each side's
+    Pandas-UDF projection into a filter evaluation plus a project
+    evaluation — four full signature passes over the corpus for one
+    logical computation (measured 5.5 -> 1.2 s warm at sf0.1).
+    (id, simhash) is 16 bytes/doc, negligible executor storage beside
+    the text corpus it summarizes at any scale."""
+    sig = simhash_table(df, id_col, text_col).localCheckpoint(eager=False)
     blocks = sig.select(
         id_col,
         "simhash",

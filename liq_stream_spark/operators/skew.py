@@ -107,3 +107,31 @@ def salted_join(
     )
     out = salted_left.join(replicated_right, keys + [_SALT], how)
     return out.drop(_SALT)
+
+
+def spread_for_compute(df: DataFrame, min_tasks: int | None = None) -> DataFrame:
+    """Round-robin ``df`` across the session's cores IFF its physical
+    partitioning is narrower than half of them — the compute-parallelism
+    guard for expensive per-row projections (Pandas-UDF signature /
+    scoring passes) whose input arrives in too few splits.
+
+    Why it exists: Spark parallelizes a scan stage by input splits, and a
+    parquet ROW GROUP is the unit a split can't subdivide — a
+    single-row-group file (or a gzipped dump, or a small-but-hot dim
+    about to fan into heavy compute) runs its whole scan stage, UDFs
+    included, on ONE task no matter how many cores the cluster has. At
+    100 TB inputs arrive as thousands of row groups and this helper is a
+    NO-OP (the guard sees parallelism >= cores and returns ``df``
+    unchanged — nothing moves, the scan-splits-are-the-parallelism story
+    holds). It only pays the one narrow shuffle when upstream physically
+    cannot feed the cores, where shuffle bytes << the compute it
+    unlocks.
+
+    Caveat: the guard reads ``df.rdd.getNumPartitions()``, so call it at
+    SCAN boundaries (a freshly loaded frame) — on an AQE shuffle-derived
+    frame building the RDD can execute upstream stages."""
+    sc = df.sparkSession.sparkContext
+    target = min_tasks or sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 > target:
+        return df
+    return df.repartition(target)

@@ -53,6 +53,15 @@ CHANGED_SINCE_GREEN: list[str] = [
     "q45_twap",
     "q47_anomaly_zscore",
     "q50_ewma",
+    # r7: d05's signature frame is materialized once (localCheckpoint —
+    # both self-join sides plus Catalyst's inferred non-null join-key
+    # filter were re-running the Pandas-UDF pass FOUR times), and
+    # simhash_table round-robins a narrower-than-cores input before the
+    # UDF (skew.spread_for_compute, no-op at real split counts). Oracles
+    # unchanged; both re-driven green locally at sf0.01. Pandas-UDF
+    # entries -> after the JVM-only tier above.
+    "t04_simhash",
+    "d05_simhash_near_pairs",
 ]
 
 
