@@ -212,6 +212,7 @@ def lsh_candidate_pairs_banded(
     bands: int = 4,
     rows_per_band: int = 4,
     max_bucket: int | None = 1000,
+    chunk: int = 256,
 ) -> DataFrame:
     """LSH candidate pairs straight from the array-form signatures
     (minhash_sig_arrays): band keys are sliced out of the in-row array, so
@@ -223,9 +224,25 @@ def lsh_candidate_pairs_banded(
     item 5) — each posting-list row carries the doc's full band-key
     array, and a pair expands only at its FIRST shared band (an in-row
     earlier-band check), so the plan needs NO distinct over the
-    quadratic expansion. The only shuffles are the (band, key) groupBy;
-    the dedup work that distinct did over ~|pairs| x |bands| expanded
-    rows becomes an O(bands) string compare inside the expansion.
+    quadratic expansion. The dedup work that distinct did over ~|pairs|
+    x |bands| expanded rows becomes an O(bands) string compare inside
+    the expansion.
+
+    The expansion itself is CHUNK-PARALLEL: a bucket's sorted posting
+    list is cut into ``chunk``-sized slices and each (slice_i, slice_j)
+    pair (i <= j; a triangle within a slice, a full cross of two slices
+    otherwise — every unordered doc pair lands in exactly one such row,
+    so exactly-once emission is preserved) becomes its own row,
+    round-robined across the cluster before the in-row pair generation
+    runs. Without this a degenerate bucket's O(n^2) expansion serializes
+    into the ONE task that owns its (band, key) — a 1,166-member bucket
+    in the sf0.1 fixture generated 40% of all pairs in one task, and a
+    degenerate-content bucket at 100 TB would be a straggler however
+    many executors exist. Price: each posting list crosses ONE extra
+    round-robin exchange, duplicated ceil(n/chunk) times for an
+    n-member bucket — linear in the posting data and ~1x for the
+    common small bucket, against an expansion output that is quadratic
+    in n; per-task work is bounded by chunk^2 pairs.
 
     Capped (``max_bucket`` set, the 100 TB degenerate-content valve):
     falls back to the expand-then-distinct shape. The first-band rule
@@ -270,6 +287,25 @@ def lsh_candidate_pairs_banded(
         # sort ONCE per bucket (id is unique, so struct order == id order)
         .select("band", F.array_sort("xs").alias("xs"))
     )
+    if chunk < 1:
+        raise ValueError("chunk must be >= 1")
+    # cut each bucket's sorted posting list into chunk-sized slices and
+    # emit one row per slice pair (ci <= cj): a small bucket (n <= chunk)
+    # is exactly one (0, 0) row, a degenerate bucket becomes
+    # C*(C+1)/2 rows whose expansions spread over the cluster after the
+    # round-robin repartition below. xb = empty slice marks the
+    # same-slice (triangle) case without duplicating xa's bytes.
+    nch = f"cast(ceil(size(xs) / {chunk}.0) as int)"
+    chunk_rows = (
+        f"flatten(transform(sequence(0, {nch} - 1), ci -> "
+        f"transform(sequence(ci, {nch} - 1), cj -> "
+        f"struct(slice(xs, ci * {chunk} + 1, {chunk}) AS xa, "
+        f"if(cj = ci, slice(xs, 1, 0), "
+        f"slice(xs, cj * {chunk} + 1, {chunk})) AS xb))))"
+    )
+    spread = grouped.select(
+        "band", F.explode(F.expr(chunk_rows)).alias("cp")
+    ).repartition(sig_wide.sparkSession.sparkContext.defaultParallelism)
     # emit (x, y) at band b only if NO earlier band j < b collides —
     # exactly the long-form pair set, each pair once at its first shared
     # band. element_at is 1-based; band is 0-based, so earlier bands are
@@ -277,17 +313,27 @@ def lsh_candidate_pairs_banded(
     # that band's index). Filter BEFORE building pair structs so the
     # expansion materializes two ids per surviving pair, never the
     # key arrays (the key compare reads x.k/y.k in place — measured 1.4x
-    # on the whole d03 chain vs struct-then-filter).
-    pair_expr = (
-        "flatten(transform(xs, (x, i) -> "
-        "transform(filter(slice(xs, i + 2, size(xs)), "
-        f"y -> NOT exists(sequence(1, {bands}), j -> "
+    # on the whole d03 chain vs struct-then-filter). Within a slice the
+    # triangle (i < j) keeps id_a < id_b; across slices every xa id
+    # precedes every xb id (xs is id-sorted and slices are ordered).
+    first_band_ok = (
+        f"NOT exists(sequence(1, {bands}), j -> "
         "j <= band AND element_at(x.k, j) != '' "
-        "AND element_at(x.k, j) = element_at(y.k, j))), "
-        "y -> struct(x.i AS id_a, y.i AS id_b))))"
+        "AND element_at(x.k, j) = element_at(y.k, j))"
+    )
+    pair_expr = (
+        "CASE WHEN size(cp.xb) = 0 THEN "
+        "flatten(transform(cp.xa, (x, i) -> "
+        "transform(filter(slice(cp.xa, i + 2, size(cp.xa)), "
+        f"y -> {first_band_ok}), "
+        "y -> struct(x.i AS id_a, y.i AS id_b)))) "
+        "ELSE "
+        "flatten(transform(cp.xa, x -> "
+        f"transform(filter(cp.xb, y -> {first_band_ok}), "
+        "y -> struct(x.i AS id_a, y.i AS id_b)))) END"
     )
     return (
-        grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+        spread.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.id_a", "p.id_b")
     )
 

@@ -62,6 +62,17 @@ CHANGED_SINCE_GREEN: list[str] = [
     # entries -> after the JVM-only tier above.
     "t04_simhash",
     "d05_simhash_near_pairs",
+    # r7: the uncapped LSH expansion is chunk-parallel — each bucket's
+    # sorted posting list is sliced into chunk-pair rows round-robined
+    # across the cluster before the in-row pair generation, so a
+    # degenerate bucket's O(n^2) expansion no longer serializes into
+    # the one task owning its (band, key) (d03 2.8 -> 1.9 s, d14
+    # 12.3 -> ~7.5 s warm at sf0.1). Pair set unchanged (chunk-sweep
+    # parity test incl. chunk=1); oracles unchanged; d03/d12/d13/d14 +
+    # d06 re-driven green locally at sf0.01.
+    "d12_minhash_jaccard_est",
+    "d14_verified_dedup_clusters",
+    "d03_minhash_lsh_pairs",
 ]
 
 

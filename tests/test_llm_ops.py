@@ -583,3 +583,89 @@ def test_containment_catches_embedded_doc(spark):
     assert (2, 1) in rows and rows[(2, 1)] >= 0.9
     assert (1, 2) not in rows
     assert not any(3 in k for k in rows)
+
+
+def test_banded_chunked_expansion_matches_long_form(spark):
+    """The chunk-parallel expansion must emit the long-form pair set
+    exactly once for ANY chunk size: chunk=1 forces every pair through
+    the cross-slice arm, chunk >= bucket size forces the single-slice
+    triangle arm, and the in-between sizes mix both (including partial
+    final slices). The corpus plants a template family large enough to
+    span many slices so the degenerate-bucket path really executes."""
+    from liq_stream_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_banded,
+        minhash_sig_arrays,
+        minhash_signatures,
+    )
+
+    rows = [(i, f"shared boilerplate template text block number {i % 3}")
+            for i in range(17)]
+    rows += [(100 + i, f"unique content {i} with nothing in common "
+              f"beyond words {i * 7} and {i * 13}") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wide = minhash_sig_arrays(docs)
+    want_rows = [
+        tuple(r)
+        for r in lsh_candidate_pairs(
+            minhash_signatures(docs), max_bucket=None
+        ).collect()
+    ]
+    want = set(want_rows)
+    assert len(want) >= 17 * 16 // 6  # the template family really pairs
+    for chunk in (1, 2, 3, 5, 16, 17, 1000):
+        got_rows = [
+            tuple(r)
+            for r in lsh_candidate_pairs_banded(
+                wide, max_bucket=None, chunk=chunk
+            ).collect()
+        ]
+        # exactly-once: no distinct hides a double emission
+        assert len(got_rows) == len(set(got_rows)), chunk
+        assert set(got_rows) == want, chunk
+        assert all(a < b for a, b in got_rows), chunk
+
+
+def test_banded_degenerate_bucket_expansion_spreads(spark):
+    """The chunked expansion's point: a degenerate bucket's O(n^2) pair
+    generation must not serialize into the one task that owns its
+    (band, key). 600 near-identical docs collapse into one LSH bucket
+    (~180k pairs); with chunk=64 the expansion runs after a round-robin
+    repartition, so the max share of emitted pairs in any one physical
+    partition stays bounded — measured via spark_partition_id() on the
+    expansion output (no exchange sits between the expansion and the
+    output). AQE coalescing is disabled for the measurement (it merges
+    small test-sized shuffles back to one partition — the r6 lesson)."""
+    from liq_stream_spark.operators.dedup import (
+        lsh_candidate_pairs_banded,
+        minhash_sig_arrays,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate body shared by every document")
+         for i in range(600)],
+        "doc_id long, text string",
+    )
+    conf = spark.conf
+    saved = conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        pairs = lsh_candidate_pairs_banded(
+            minhash_sig_arrays(docs), max_bucket=None, chunk=64
+        )
+        spread = (
+            pairs.withColumn("__pid", F.spark_partition_id())
+            .groupBy("__pid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        total = sum(r["n"] for r in spread)
+        assert total == 600 * 599 // 2
+        max_share = max(r["n"] for r in spread) / total
+        assert len(spread) > 1
+        assert max_share < 0.30, (
+            f"degenerate bucket concentrated: max task holds "
+            f"{max_share:.0%} of pairs across {len(spread)} tasks"
+        )
+    finally:
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", saved)
