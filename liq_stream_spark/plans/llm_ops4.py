@@ -599,10 +599,15 @@ def _t12_sql() -> str:
     "Integer hashes — fully oracled.",
 )
 def t12_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.operators.skew import spread_for_compute
     from liq_stream_spark.operators.text import winnow_fingerprints
 
+    # heavy per-row Pandas-UDF pass over an input that may arrive in
+    # fewer splits than the session has cores (single-row-group fixture
+    # parquet) — spread first; no-op at real split counts
     return winnow_fingerprints(
-        load(spark, sf_dir, "documents"), window=_T12_W
+        spread_for_compute(load(spark, sf_dir, "documents")),
+        window=_T12_W,
     )
 
 

@@ -96,9 +96,14 @@ _T13_SQL = f"""
     "accumulate as exact BIGINT sums — task-order-free, oracle-exact.",
 )
 def t13_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.operators.skew import spread_for_compute
     from liq_stream_spark.operators.text import bigram_lm_scores
 
-    return bigram_lm_scores(load(spark, sf_dir, "documents"))
+    # spread the narrow-split fixture input before the per-row scoring
+    # pass (t12's rationale; no-op at real split counts)
+    return bigram_lm_scores(
+        spread_for_compute(load(spark, sf_dir, "documents"))
+    )
 
 
 # -- t14: hashed linear quality classifier ---------------------------------
@@ -154,9 +159,14 @@ _T14_SQL = f"""
     "transcendental-safe).",
 )
 def t14_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.operators.skew import spread_for_compute
     from liq_stream_spark.operators.text import hashed_linear_score
 
-    return hashed_linear_score(load(spark, sf_dir, "documents"))
+    # spread the narrow-split fixture input before the per-row scoring
+    # pass (t12's rationale; no-op at real split counts)
+    return hashed_linear_score(
+        spread_for_compute(load(spark, sf_dir, "documents"))
+    )
 
 
 def _duck_star_edges_ctes() -> str:

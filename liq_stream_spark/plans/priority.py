@@ -73,6 +73,14 @@ CHANGED_SINCE_GREEN: list[str] = [
     "d12_minhash_jaccard_est",
     "d14_verified_dedup_clusters",
     "d03_minhash_lsh_pairs",
+    # r7: t12/t13/t14 spread their narrow-split fixture input before
+    # the per-row Pandas-UDF scoring pass (skew.spread_for_compute at
+    # the builder; no-op at real split counts). Oracles unchanged;
+    # all three re-driven green locally at sf0.01. All three were
+    # r4-stale, so listing them here costs the sample no extra slots.
+    "t12_winnowing_fingerprints",
+    "t13_lm_perplexity",
+    "t14_quality_classifier",
 ]
 
 
