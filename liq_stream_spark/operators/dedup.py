@@ -156,10 +156,18 @@ def minhash_signatures(
     ngram: int = 3,
 ) -> DataFrame:
     """Long-form MinHash signatures: (id, perm_id, minhash) — the oracle/
-    interchange shape; posexplode of the narrow array form."""
+    interchange shape; posexplode of the narrow array form.
+
+    posexplode_OUTER: an inner posexplode makes Catalyst infer a
+    size(sig) > 0 filter below the Generate, which splits the Arrow
+    signing pass into a filter evaluation plus a project evaluation —
+    the whole UDF runs TWICE (r7 audit; outer generates skip that
+    inference). The signature array is never NULL or empty (empty docs
+    get the k-long sentinel array), so the outer form emits identical
+    rows."""
     wide = minhash_sig_arrays(df, id_col, text_col, k, ngram)
     return wide.select(
-        F.col(id_col), F.posexplode("sig").alias("perm_id", "minhash")
+        F.col(id_col), F.posexplode_outer("sig").alias("perm_id", "minhash")
     ).select(
         F.col(id_col),
         F.col("perm_id").cast("long").alias("perm_id"),
@@ -271,10 +279,15 @@ def lsh_candidate_pairs_banded(
     with_keys = sig_wide.select(
         F.col(id_col), _band_key_array(bands, rows_per_band).alias("__bk")
     )
+    # posexplode_OUTER so Catalyst's InferFiltersFromGenerate does not
+    # add a size(__bk) > 0 filter below the Generate and split the Arrow
+    # signing pass into two full evaluations (r7 audit; the band-key
+    # array is never NULL/empty, and the != '' filter drops any NULL row
+    # the outer form could emit)
     banded = with_keys.select(
         F.col(id_col),
         "__bk",
-        F.posexplode("__bk").alias("band", "band_key"),
+        F.posexplode_outer("__bk").alias("band", "band_key"),
     ).filter(F.col("band_key") != "")
     grouped = (
         banded.groupBy("band", "band_key")
@@ -368,10 +381,16 @@ def _banded_keys(
     degenerate bucket (all-pairs candidates, or a silently vanished
     bucket under max_bucket). A real band key is never empty (minhash
     values always print), so the filter is exact long-form parity even
-    for misconfigured bands*rows_per_band > k."""
+    for misconfigured bands*rows_per_band > k.
+
+    posexplode_OUTER so Catalyst's InferFiltersFromGenerate does not
+    re-evaluate the Arrow signing pass for an inferred size() > 0
+    pre-filter (r7 audit; the key array is a fixed ``bands``-long
+    literal construction — never NULL/empty — and the != '' filter
+    drops any NULL row the outer form could emit)."""
     return sig_wide.select(
         F.col(id_col),
-        F.posexplode(_band_key_array(bands, rows_per_band)).alias(
+        F.posexplode_outer(_band_key_array(bands, rows_per_band)).alias(
             "band", "band_key"
         ),
     ).filter(F.col("band_key") != "")
@@ -510,11 +529,18 @@ def ngram_jaccard_pairs(
     shingles from BOTH the intersection AND the per-doc set sizes, so the
     result is exact Jaccard over the capped shingle universe (high-freq
     grams carry ~no similarity signal — the same reason IDF discounts
-    them). Default None = exact over all shingles (the oracle setting)."""
+    them). Default None = exact over all shingles (the oracle setting).
+
+    The shingle table is MATERIALIZED at creation (localCheckpoint):
+    three subtrees consume it (sizes + both join sides), so without it
+    the Arrow gram-hashing pass re-runs per consumer — the r7 audit
+    measured four full evaluations in the uncapped plan (the capped
+    path additionally re-checkpoints after its semi-join so the cap
+    itself also runs once)."""
     shingles = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(char_ngram_hashes_fast(text_col, ngram))).alias("sh"),
-    )
+    ).localCheckpoint(eager=False)
     if max_doc_freq is not None:
         keep = (
             shingles.groupBy("sh")
@@ -1232,13 +1258,18 @@ def ngram_containment_pairs(
     one shingle equi-join, per-pair intersection counts, set sizes by
     broadcast-friendly join; ``max_doc_freq`` is the usual boilerplate
     skew valve. The containment is a quotient of exact BIGINTs — one
-    IEEE division, oracle-exact with no quantization."""
+    IEEE division, oracle-exact with no quantization.
+
+    The shingle table is MATERIALIZED at creation (localCheckpoint) for
+    its three consumers — same rationale and measurement as
+    :func:`ngram_jaccard_pairs` (r7 audit: four UDF evaluations in the
+    uncapped plan without it)."""
     shingles = df.select(
         F.col(id_col),
         F.explode(
             F.array_distinct(char_ngram_hashes_fast(text_col, ngram))
         ).alias("sh"),
-    )
+    ).localCheckpoint(eager=False)
     if max_doc_freq is not None:
         keep = (
             shingles.groupBy("sh")

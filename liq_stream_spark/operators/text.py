@@ -906,12 +906,20 @@ def winnow_fingerprints(
         F.sequence(F.lit(0), F.greatest(m - F.lit(window), F.lit(0))),
         lambda i: F.array_min(F.slice(h, i + 1, window)),
     )
+    # explode_OUTER, then drop the NULL fp an empty doc yields (its mins
+    # list is [array_min([])] = [NULL]): an inner explode makes Catalyst
+    # infer a size(__fps) > 0 filter BELOW the Generate, which re-splits
+    # the Arrow gram hashing into a filter evaluation plus a project
+    # evaluation — the whole UDF pass would run TWICE (r7 audit; outer
+    # generates skip that inference). Output is identical: non-empty
+    # docs never produce a NULL fingerprint (every window slice of a
+    # non-empty hash list is non-empty).
     return (
         base.select(
-            F.col(id_col), F.array_distinct(mins).alias("__fps"), m.alias("__m")
+            F.col(id_col), F.array_distinct(mins).alias("__fps")
         )
-        .filter(F.col("__m") > 0)
-        .select(id_col, F.explode("__fps").alias("fp"))
+        .select(id_col, F.explode_outer("__fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
     )
 
 
@@ -1195,8 +1203,18 @@ def winnow_clone_pairs(
 
     The Jaccard is a quotient of exact BIGINTs — one IEEE division,
     no quantization needed. Output: (id_a, id_b, n_shared, fp_jaccard),
-    id_a < id_b."""
-    fps = winnow_fingerprints(docs, window=window, ngram=ngram)
+    id_a < id_b.
+
+    The posting table is MATERIALIZED once (localCheckpoint, the d12/
+    d14 convention): FOUR subtrees consume it (both join sides plus the
+    size table behind both per-doc denominators), so without it the
+    whole winnowing UDF pass re-runs per consumer — the r7 audit
+    measured EIGHT full evaluations of the gram-hashing UDF in this one
+    plan. (doc, fp) rows are two longs each, negligible executor
+    storage beside the text they summarize."""
+    fps = winnow_fingerprints(
+        docs, window=window, ngram=ngram
+    ).localCheckpoint(eager=False)
     if max_doc_freq is not None:
         keep = (
             fps.groupBy("fp")

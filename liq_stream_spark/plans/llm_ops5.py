@@ -608,7 +608,13 @@ def g02_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from liq_stream_spark.operators.graph import triangle_counts
 
     sigs = D.minhash_sig_arrays(load(spark, sf_dir, "documents"))
-    return triangle_counts(D.lsh_star_edges(sigs))
+    # the two-path triangle join consumes the edge frame on several
+    # sides — materialize once so the Arrow signing pass behind it runs
+    # once (g01/p13's e0 convention; r7 audit measured three full
+    # evaluations without it)
+    return triangle_counts(
+        D.lsh_star_edges(sigs).localCheckpoint(eager=False)
+    )
 
 
 # -- p12: corpus mixture report --------------------------------------------

@@ -81,6 +81,21 @@ CHANGED_SINCE_GREEN: list[str] = [
     "t12_winnowing_fingerprints",
     "t13_lm_perplexity",
     "t14_quality_classifier",
+    # r7: duplicate-UDF-evaluation audit — inner (pos)explodes let
+    # Catalyst's InferFiltersFromGenerate add a size() > 0 filter below
+    # the Generate that re-ran the whole Arrow signing/gram pass (now
+    # *_outer + an explicit post-filter, emitted rows identical), and
+    # the shingle/fingerprint/edge tables feeding 3-4 consumers are now
+    # materialized once (localCheckpoint, the d11 convention; d18's
+    # gram pass ran EIGHT times before). Oracles unchanged; pinned by
+    # tests/test_plans.py::test_shingle_udf_evaluates_once_per_plan;
+    # d06/d08/d12/d13/d15/d16/g01 also re-driven green locally at
+    # sf0.01. Pandas-UDF entries -> changed tier tail.
+    "d02_minhash_signatures",
+    "d04_ngram_jaccard_pairs",
+    "d19_containment_pairs",
+    "d18_winnow_clone_pairs",
+    "g02_triangle_counts",
 ]
 
 

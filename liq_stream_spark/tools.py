@@ -223,11 +223,23 @@ def plans_md(sf_dir: str = "/root/testdata/sf0.01") -> str:
         "print codegen span ids only after execution, so their codegen "
         "column reads 0 here — shuffle-free plans show the true span "
         "count. BNLJ > 0 is always a corpus-x-broadcast-tiny-index "
-        "join (centroids / single-row totals), never data x data.",
+        "join (centroids / single-row totals), never data x data. "
+        "pyeval counts Python-evaluation nodes (ArrowEvalPython / "
+        "BatchEvalPython / MapInPandas / FlatMapGroupsInPandas) in the "
+        "plan — the SAME UDF pass appearing more than once means "
+        "Catalyst duplicated it (an inferred filter below a Generate, "
+        "or a multi-consumer subtree that should be materialized once; "
+        "the r7 audit found both shapes — d18's gram pass ran 8x). A "
+        "pass behind a one-time localCheckpoint scan counts 0. The "
+        "entries still > 1 after the audit are all DISTINCT passes, "
+        "not duplicates: different UDFs (m01's four pipeline stages) "
+        "or the same UDF over different input frames (d10 signs the "
+        "new batch AND the stored corpus; s06/s08/s09 run cosine over "
+        "corpus-x-centroid, query-x-centroid, and query-x-corpus).",
         "",
         "| query | shuffles | BHJ | SMJ | BNLJ | cartesian | codegen | "
-        "pushed filters |",
-        "|---|---|---|---|---|---|---|---|",
+        "pyeval | pushed filters |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     rows = []
     for name in sorted(REGISTRY):
@@ -240,7 +252,9 @@ def plans_md(sf_dir: str = "/root/testdata/sf0.01") -> str:
                 .toString()
             )
         except Exception as e:  # pragma: no cover - audit must not abort
-            rows.append(f"| `{name}` | ERROR: {type(e).__name__} | | | | | | |")
+            rows.append(
+                f"| `{name}` | ERROR: {type(e).__name__} | | | | | | | |"
+            )
             continue
 
         def n(marker: str) -> int:
@@ -265,10 +279,16 @@ def plans_md(sf_dir: str = "/root/testdata/sf0.01") -> str:
         # whole-stage-codegen spans are the distinct *(N) stage ids in
         # the simple plan string
         codegen = len(set(re.findall(r"\*\((\d+)\)", plan)))
+        pyeval = (
+            n("ArrowEvalPython")
+            + n("BatchEvalPython")
+            + n("MapInPandas")
+            + n("FlatMapGroupsInPandas")
+        )
         rows.append(
             f"| `{name}` | {shuffles} | {n('BroadcastHashJoin')} "
             f"| {n('SortMergeJoin')} | {n('BroadcastNestedLoopJoin')} "
-            f"| {n('CartesianProduct')} | {codegen} "
+            f"| {n('CartesianProduct')} | {codegen} | {pyeval} "
             f"| {pushed} |"
         )
     return "\n".join(header + rows) + "\n"

@@ -531,3 +531,30 @@ def test_q51_salted_join_spreads_hot_keys(spark):
         if "ShuffledHashJoin" in l or "SortMergeJoin" in l
     )
     assert "__salt" in join_line  # the salt is part of the join key
+
+
+def test_shingle_udf_evaluates_once_per_plan(spark):
+    """The Arrow gram/sign pass must appear at most ONCE in each plan
+    (r7 audit): an inner (pos)explode lets Catalyst's
+    InferFiltersFromGenerate add a size() > 0 filter BELOW the Generate,
+    splitting the UDF into a filter evaluation plus a project evaluation
+    (two full passes); multi-consumer subtrees without materialization
+    re-ran it once per consumer (four times in d04/d19, EIGHT in d18).
+    The outer-generate + localCheckpoint fixes pin to: <= 1
+    ArrowEvalPython node per executed plan (0 when the pass is behind
+    the one-time checkpoint scan)."""
+    import re as _re
+
+    for name in [
+        "d02_minhash_signatures",
+        "d03_minhash_lsh_pairs",
+        "d04_ngram_jaccard_pairs",
+        "d08_ngram_jaccard_capped",
+        "d19_containment_pairs",
+        "t12_winnowing_fingerprints",
+        "d18_winnow_clone_pairs",
+        "g02_triangle_counts",
+    ]:
+        plan = plan_of(spark, name)
+        n = len(_re.findall("ArrowEvalPython", plan))
+        assert n <= 1, f"{name}: {n} ArrowEvalPython nodes (duplicate UDF pass)"
