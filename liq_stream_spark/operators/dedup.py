@@ -758,9 +758,17 @@ def connected_components(
     only the eagerly-materialized loop runs under it (the returned frame
     is checkpointed, so downstream execution is unaffected)."""
     spark = pairs.sparkSession
-    edges = pairs.select(
+    # the symmetric union consumes ``pairs`` TWICE — without this
+    # materialization each branch recomputes the caller's whole
+    # candidate chain (d14's sig-scan -> band shuffle -> estimate join
+    # ran twice end-to-end inside the edge checkpoint; r7 profile).
+    # The pair block is two longs per row, negligible beside the chain.
+    directed = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    ).localCheckpoint(eager=False)
+    edges = directed.union(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
     edges = edges.localCheckpoint(eager=True)
     session_sp = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is None:

@@ -360,6 +360,97 @@ def drive(names: list[str] | None = None, sf_dir: str = "/root/testdata/sf0.01")
     return ok
 
 
+def profile(
+    names: list[str],
+    sf_dir: str = "/root/testdata/sf0.1",
+    top: int = 12,
+) -> None:
+    """Per-stage runtime/shuffle/spill/skew profile of registered queries.
+
+    Runs each query to a noop sink on a UI-enabled session and reads the
+    stage metrics back through Spark's REST status API (the same numbers
+    the web UI shows): per-stage executor run time, input/shuffle bytes,
+    spill, and a SKEW column = max/median task run time from the
+    taskSummary quantiles. This is the byte-level companion to the
+    row-level spread assertions in tests/test_plans.py — plan pins prove
+    shape, this shows where the seconds and bytes actually go, which is
+    the evidence that matters before claiming an operator survives a
+    100x scale-up. Diagnostic only: nothing here feeds the oracle gate.
+    """
+    import json
+    import urllib.request
+
+    from liq_stream_spark.plans import REGISTRY
+    from liq_stream_spark.session import get_spark
+
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        raise SystemExit(
+            f"unknown query name(s): {', '.join(unknown)} "
+            f"(see QUERIES.md for the registry)"
+        )
+    spark = get_spark(extra_conf={"spark.ui.enabled": "true"})
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+
+    def api(path: str):
+        with urllib.request.urlopen(f"{base}/api/v1/applications/{app}{path}") as r:
+            return json.loads(r.read())
+
+    def fmt_bytes(n: float) -> str:
+        for unit in ("B", "KB", "MB", "GB"):
+            if n < 1024:
+                return f"{n:.0f}{unit}"
+            n /= 1024
+        return f"{n:.1f}TB"
+
+    for name in names:
+        seen = {s["stageId"] for s in api("/stages")}
+        import time as _time
+
+        t0 = _time.time()
+        REGISTRY[name].build(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        wall = _time.time() - t0
+        stages = [
+            s
+            for s in api("/stages?status=complete")
+            if s["stageId"] not in seen
+        ]
+        stages.sort(key=lambda s: -s["executorRunTime"])
+        total_run = sum(s["executorRunTime"] for s in stages)
+        print(
+            f"\n== {name} @ {sf_dir}  wall {wall:.2f}s, "
+            f"{len(stages)} stages, executor-time {total_run/1000:.2f}s"
+        )
+        print(
+            "stage  tasks   run%    time    input   shufR   shufW "
+            "  spill  skew  top line of stage"
+        )
+        for s in stages[:top]:
+            q = "quantiles=0.5,1.0"
+            try:
+                summ = api(
+                    f"/stages/{s['stageId']}/{s['attemptId']}/taskSummary?{q}"
+                )
+                med, mx = summ["executorRunTime"]
+                skew = f"{mx / med:.1f}x" if med > 0 else "-"
+            except Exception:
+                skew = "?"
+            spill = s["memoryBytesSpilled"] + s["diskBytesSpilled"]
+            pct = 100 * s["executorRunTime"] / total_run if total_run else 0
+            desc = (s.get("description") or s["name"]).splitlines()[0][:60]
+            print(
+                f"{s['stageId']:>5}  {s['numTasks']:>5}  {pct:>4.0f}%  "
+                f"{s['executorRunTime']/1000:>5.1f}s  "
+                f"{fmt_bytes(s['inputBytes']):>6}  "
+                f"{fmt_bytes(s['shuffleReadBytes']):>6}  "
+                f"{fmt_bytes(s['shuffleWriteBytes']):>6}  "
+                f"{fmt_bytes(spill):>6}  {skew:>4}  {desc}"
+            )
+
+
 def main() -> None:
     import sys
     from pathlib import Path
@@ -383,10 +474,21 @@ def main() -> None:
         ap.add_argument("names", nargs="*")
         ns = ap.parse_args(sys.argv[2:])
         raise SystemExit(0 if drive(ns.names or None, ns.sf) else 1)
+    elif cmd == "profile":
+        import argparse
+
+        ap = argparse.ArgumentParser(prog="tools profile")
+        ap.add_argument("--sf", default="/root/testdata/sf0.1")
+        ap.add_argument("--top", type=int, default=12)
+        ap.add_argument("names", nargs="+")
+        ns = ap.parse_args(sys.argv[2:])
+        profile(ns.names, ns.sf, ns.top)
+        return
     else:
         # a typo must not silently regenerate the wrong artifact
         raise SystemExit(
-            f"unknown subcommand {cmd!r}: expected plans | ledger | queries | drive"
+            f"unknown subcommand {cmd!r}: expected plans | ledger | queries "
+            f"| drive | profile"
         )
     print(f"wrote {out}")
 
