@@ -291,7 +291,18 @@ def _assign_cells(
 ) -> DataFrame:
     """(vid, vec, cell): nearest centroid by cosine, smaller cell id as the
     deterministic tiebreak. centroids is broadcast — the corpus never
-    shuffles to be assigned."""
+    shuffles to be assigned.
+
+    The argmax is a ``max_by`` AGGREGATE, not a row_number window: both
+    shuffle on vid, but the agg partial-combines map-side, so each
+    corpus row crosses the wire once instead of n_cells times and
+    nothing sorts (r7 profile: the window form shuffled+sorted the full
+    corpus-x-cells expansion). Same order as the window it replaces —
+    lexicographic struct max on (score, -cell) ≡ ORDER BY cos DESC,
+    cell ASC: cosine ≥ -1, so the -2.0 NULL fill ranks zero-norm
+    (NULL-scored) rows below every real score exactly like the
+    window's default NULLS LAST, and -cell breaks score ties toward
+    the smaller cell on both paths."""
     scored = (
         df.select(
             F.col(id_col).alias("vid"),
@@ -305,11 +316,14 @@ def _assign_cells(
         # engines instead of an unstable float comparison
         .withColumn("cos", F.round(cosine_fast("vec", "centroid"), 9))
     )
-    w = W.partitionBy("vid").orderBy(F.desc("cos"), F.asc("cell"))
+    best = F.max_by(
+        F.struct("cell", "vec"),
+        F.struct(F.coalesce("cos", F.lit(-2.0)).alias("s"), (-F.col("cell")).alias("c")),
+    )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vid", "vec", "cell")
+        scored.groupBy("vid")
+        .agg(best.alias("__best"))
+        .select("vid", F.col("__best.vec").alias("vec"), F.col("__best.cell").alias("cell"))
     )
 
 

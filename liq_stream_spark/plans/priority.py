@@ -96,6 +96,22 @@ CHANGED_SINCE_GREEN: list[str] = [
     "d19_containment_pairs",
     "d18_winnow_clone_pairs",
     "g02_triangle_counts",
+    # r7: _assign_cells' argmax is a map-side-combinable max_by agg
+    # instead of a row_number window over the corpus-x-cells crossJoin
+    # (5x + far lower variance at 200k vectors — the window form
+    # shuffled AND sorted every expanded row). Same (desc cos, asc
+    # cell) order incl. NULL-scored zero-norm rows (pinned by
+    # test_assign_cells_zero_norm_and_tiebreak); connected_components
+    # also stops double-evaluating its callers' pair chain through the
+    # symmetric union (d06/d14/p13/p14). Oracles unchanged; all
+    # affected re-driven green locally at sf0.01.
+    "s06_ivf_topk",
+    "s08_ivfpq_topk",
+    "s09_ivf_topk_pruned",
+    "d11_semantic_dedup",
+    "d06_dedup_clusters",
+    "p13_leakage_free_split",
+    "p14_quality_survivors",
 ]
 
 

@@ -176,6 +176,29 @@ def test_ivf_exact_when_probing_all_cells(spark):
     assert full_probe == exact
 
 
+def test_assign_cells_zero_norm_and_tiebreak(spark):
+    """_assign_cells' max_by argmax must keep the row_number window's
+    exact semantics it replaced (r7): a zero-norm vector (NULL cosine
+    against every centroid — ranked below every real score) and an
+    exact score tie both resolve to the SMALLEST cell id."""
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "cell long, centroid array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [(10, [0.0, 0.0]), (11, [2.0, 0.0]), (12, [0.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["vid"], r["cell"])
+        for r in S._assign_cells(vecs, cents, "vec_id", "embedding").collect()
+    }
+    # 10: zero-norm -> all NULL scores -> min cell 1
+    # 11: ties cells 1 and 2 at cosine 1.0 -> min cell 1
+    # 12: cell 3 wins outright
+    assert got == {(10, 1), (11, 1), (12, 3)}
+
+
 def test_lsh_exact_when_zero_planes(spark):
     """Degeneration invariant (the s04/s05 driver-oracle basis): with
     n_planes=0 every vector lands in ONE bucket, the candidate set is
