@@ -318,7 +318,13 @@ def drive(names: list[str] | None = None, sf_dir: str = "/root/testdata/sf0.01")
             f"(see QUERIES.md for the registry)"
         )
 
-    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    # progress bars share stderr with the per-query OK/FAIL lines and
+    # their \r rewrites routinely garble them in captured output
+    spark = get_spark(
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(
@@ -389,7 +395,12 @@ def profile(
             f"unknown query name(s): {', '.join(unknown)} "
             f"(see QUERIES.md for the registry)"
         )
-    spark = get_spark(extra_conf={"spark.ui.enabled": "true"})
+    spark = get_spark(
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.showConsoleProgress": "false",
+        }
+    )
     base = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
 

@@ -199,6 +199,24 @@ def test_assign_cells_zero_norm_and_tiebreak(spark):
     assert got == {(10, 1), (11, 1), (12, 3)}
 
 
+def test_index_cache_rows_match_direct_build(spark):
+    """plans/index_cache's memoized ANN index must be BIT-identical to a
+    direct operator build (the deterministic-build premise the memo's
+    correctness rests on), and a second call must serve from the memo."""
+    from liq_stream_spark.plans import index_cache as IC
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    IC._rows.pop(("ivf", sf, 16, 2), None)
+    cached = IC.cached_centroids(spark, emb, sf, n_cells=16).collect()
+    direct = S.kmeans_centroids(emb, n_cells=16, iters=2).collect()
+    assert sorted(map(tuple, cached)) == sorted(map(tuple, direct))
+    # second call: memo hit — the stored list is reused, not rebuilt
+    stored = IC._rows[("ivf", sf, 16, 2)]
+    IC.cached_centroids(spark, emb, sf, n_cells=16)
+    assert IC._rows[("ivf", sf, 16, 2)] is stored
+
+
 def test_lsh_exact_when_zero_planes(spark):
     """Degeneration invariant (the s04/s05 driver-oracle basis): with
     n_planes=0 every vector lands in ONE bucket, the candidate set is
