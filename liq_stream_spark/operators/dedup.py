@@ -785,24 +785,37 @@ def connected_components(
 
 
 def _cc_loop(edges: DataFrame, max_iters: int) -> DataFrame:
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("comp")
-    )
+    # Round 1 against IDENTITY labels needs no label join at all:
+    # min(comp over neighbors) = min(dst), and the node set = the src
+    # side of the symmetric edge list — one groupBy replaces the
+    # distinct + the edges-x-labels join + the labels-x-nbr_min join
+    # the generic round below pays (r7; ~25% off the loop at d14's
+    # 3.1M-edge frame). The generic round then starts from these
+    # already-one-hop labels.
+    labels = None
     for _ in range(max_iters):
-        nbr_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        stepped = (
-            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce("nbr_comp", "comp")
-                ).alias("comp"),
+        if labels is None:
+            stepped = edges.groupBy("src").agg(
+                F.min("dst").alias("__m")
+            ).select(
+                F.col("src").alias("node"),
+                F.least(F.col("src"), F.col("__m")).alias("comp"),
             )
-        )
+        else:
+            nbr_min = (
+                edges.join(labels, edges["dst"] == labels["node"])
+                .groupBy("src")
+                .agg(F.min("comp").alias("nbr_comp"))
+            )
+            stepped = (
+                labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("comp"), F.coalesce("nbr_comp", "comp")
+                    ).alias("comp"),
+                )
+            )
         hop = stepped.select(
             F.col("node").alias("h_node"), F.col("comp").alias("h_comp")
         )
@@ -816,14 +829,24 @@ def _cc_loop(edges: DataFrame, max_iters: int) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            compressed.join(labels.withColumnRenamed("comp", "old"), "node")
-            .filter(F.col("comp") != F.col("old"))
-            .count()
-        )
+        if labels is None:
+            # round 1 compares against identity labels — no join needed
+            changed = compressed.filter(F.col("comp") != F.col("node")).count()
+        else:
+            changed = (
+                compressed.join(labels.withColumnRenamed("comp", "old"), "node")
+                .filter(F.col("comp") != F.col("old"))
+                .count()
+            )
         labels = compressed
         if changed == 0:
             break
+    if labels is None:  # max_iters == 0: identity labels, original contract
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("comp"))
+        )
     return labels
 
 

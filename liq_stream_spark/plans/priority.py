@@ -112,6 +112,13 @@ CHANGED_SINCE_GREEN: list[str] = [
     "d06_dedup_clusters",
     "p13_leakage_free_split",
     "p14_quality_survivors",
+    # r7: the CC loop's first round runs directly off the edge list
+    # (min(dst) per src == the identity-label join it replaced; one
+    # groupBy replaces the distinct + two label joins) — d14
+    # 10.0 -> 6.3 s min-of-3 at sf0.1. Labels unchanged for any input;
+    # oracles unchanged; d06/d07/d14/p13/p14 re-driven green at sf0.01
+    # and the 200k-doc stress chain re-passed.
+    "d07_dedup_survivors",
     # r7: s06/s07/s08/s09/d11 take their deterministic ANN index from
     # the per-(sf_dir, params) offline-build memo (plans/index_cache.py)
     # instead of re-training on every invocation — the FAISS-style
