@@ -361,6 +361,50 @@ def test_connected_components_long_path_pointer_jumping(spark):
     assert {r["comp"] for r in out} == {0}
 
 
+def test_connected_components_matches_union_find(spark):
+    """Random-graph property: the distributed min-label loop (with its
+    r7 specialized first round) must equal a sequential union-find with
+    min-node representatives — self-loops, parallel/reversed duplicate
+    edges, stars, chains, and multi-component shapes included."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=40),
+                st.integers(min_value=0, max_value=40),
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def check(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {n: find(n) for n in parent}
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["node"]: r["comp"]
+            for r in D.connected_components(pairs).collect()
+        }
+        assert got == expected
+
+    check()
+
+
 def test_tfidf_top_terms_ranking(spark):
     """A term appearing in every doc (df=N) has idf 0 and can never beat a
     rarer term with tf >= 1; rank ties break on the term string."""
