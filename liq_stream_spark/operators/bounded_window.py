@@ -107,8 +107,8 @@ def derive_bucket_seconds(
       of near-empty buckets;
     - the result is clamped to >= 1 s (the operators' resolution) and,
       for empty/degenerate frames (0 rows or a single distinct ts),
-      falls back to the whole span (one bucket is correct AND cheap
-      when there is nothing to parallelize).
+      falls back to a fixed 24 h (the span is 0/undefined there; ANY
+      width is correct when there is nothing to parallelize).
 
     The derivation costs one extra narrow scan; callers that know their
     density (or reuse a width across queries over the same frame) can
@@ -306,10 +306,18 @@ def trailing_decimal_moments_bucketed(
     are 10x narrower on the squares: the (38,12)+(37,12) add ceiling
     forces the windowed square-sum through (37,12), so they overflow to
     NULL at square-sums >= 1e25 (|value| >= ~3e12/sqrt(P)); sums match
-    the 1e22 bound everywhere. Overflow yields NULL moments for the
-    affected row, never a silently-rounded value (decimal overflow is
-    NULL under ANSI-off, and the suite pins exactness at 5e11-scale
-    values — tests/test_bounded_window.py)."""
+    the 1e22 bound everywhere. A carry-band overflow yields NULL
+    moments for the affected row under EITHER ANSI setting, never a
+    silently-wrong value and never a job abort: the narrowing casts are
+    try_cast (r7 — a plain cast throws under ANSI, Spark 4's default,
+    and an earlier coalesce substituted 0 for the overflow-NULL under
+    ANSI-off) and the empty-frame zero substitution is gated on the
+    frame count so it cannot swallow an overflow-NULL. Beyond the
+    NATURAL (28,6)/(38,12) window-sum range, behavior is the engine's
+    own (ANSI error / NULL), identical to the single-window form this
+    replaces. Pins: exactness at 5e11-scale values incl. carry rows,
+    and NULL (not zero) in the carry overflow band —
+    tests/test_bounded_window.py."""
     if preceding < 1:
         raise ValueError("preceding must be >= 1")
     keys = [keys] if isinstance(keys, str) else list(keys)
@@ -374,17 +382,23 @@ def trailing_decimal_moments_bucketed(
     # (37,12)+(37,12) -> 38), so no add ever triggers Spark's silent
     # scale reduction, and the re-cast overflows (to NULL) only at
     # 1e22 / 1e25 — see the docstring's range bounds
+    # try_cast, not cast: the fold's re-casts are where the documented
+    # carry ceilings live (1e22 / 1e25), and NULL-on-overflow must hold
+    # under BOTH ANSI settings — a plain cast aborts the whole job under
+    # ANSI (Spark 4's default) and silently zeroes through the old
+    # coalesce under ANSI-off (r7 review). A NULL mid-fold propagates to
+    # the row's output moment, which is the contract.
     s_carry = F.aggregate(
         cnn,
         F.lit(0).cast("decimal(28,6)"),
-        lambda a, x: (a + x.cast("decimal(18,6)")).cast("decimal(28,6)"),
+        lambda a, x: (a + x.cast("decimal(18,6)")).try_cast("decimal(28,6)"),
     )
     q_carry = F.aggregate(
         cnn,
         F.lit(0).cast("decimal(37,12)"),
         lambda a, x: (
             a + x.cast("decimal(18,6)") * x.cast("decimal(18,6)")
-        ).cast("decimal(37,12)"),
+        ).try_cast("decimal(37,12)"),
     )
     zero_s = F.lit(0).cast("decimal(28,6)")
     zero_q = F.lit(0).cast("decimal(37,12)")
@@ -394,14 +408,20 @@ def trailing_decimal_moments_bucketed(
     )
     # (28,6)+(28,6) -> (29,6) exact; the squares add needs __ql through
     # (37,12) (a (38,12)+(37,12) add would reduce scale) — the ONLY
-    # narrowing, and it applies lazily to carry rows alone
-    s_exact = F.when(
-        use_carry, F.coalesce(F.col("__sl"), zero_s) + s_carry
-    ).otherwise(F.col("__sl"))
-    q_exact = F.when(
-        use_carry,
-        F.coalesce(F.col("__ql").cast("decimal(37,12)"), zero_q) + q_carry,
-    ).otherwise(F.col("__ql"))
+    # narrowing, and it applies lazily to carry rows alone.
+    # The empty-frame substitution is gated on __nl == 0, NOT a
+    # coalesce: a local sum that overflowed its precision (__sl at 1e22,
+    # __ql's (37,12) re-cast at 1e25) is ALSO NULL, and a coalesce would
+    # silently replace it with 0 — the exact silently-wrong-value
+    # failure the NULL-on-overflow contract forbids (r7 review). With
+    # the gate, overflow-NULL propagates through the carry add to the
+    # output as documented.
+    s_base = F.when(F.col("__nl") == 0, zero_s).otherwise(F.col("__sl"))
+    q_base = F.when(F.col("__nl") == 0, zero_q).otherwise(
+        F.col("__ql").try_cast("decimal(37,12)")
+    )
+    s_exact = F.when(use_carry, s_base + s_carry).otherwise(F.col("__sl"))
+    q_exact = F.when(use_carry, q_base + q_carry).otherwise(F.col("__ql"))
     return (
         joined.withColumn(
             "__s", F.when(n > 0, s_exact.cast("double"))

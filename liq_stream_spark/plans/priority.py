@@ -96,6 +96,12 @@ CHANGED_SINCE_GREEN: list[str] = [
     "d19_containment_pairs",
     "d18_winnow_clone_pairs",
     "g02_triangle_counts",
+    # (r7 review) two more consumers of the audited operators whose
+    # executed plans changed with them: d08 rides ngram_jaccard_pairs'
+    # materialized shingle table, g01 rides _banded_keys' outer
+    # generate — both re-driven green locally at sf0.01
+    "d08_ngram_jaccard_capped",
+    "g01_pagerank",
     # r7: _assign_cells' argmax is a map-side-combinable max_by agg
     # instead of a row_number window over the corpus-x-cells crossJoin
     # (5x + far lower variance at 200k vectors — the window form

@@ -250,12 +250,16 @@ def q46_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "time bucket) — never event_type alone — with INCREMENTAL decimal "
     "window sums; only the "
     "<= 20 first rows of each bucket fold the broadcast carry of the "
-    "previous buckets' 20-row tails. DECIMAL(18,6) values, sums in "
-    "(26,6), squares (37,12 — exact in BOTH engines; a (25,6) square "
-    "would overflow and re-round divergently) summed in (36,12): every "
-    "accumulation and re-cast is exact at these magnitudes, so mean and "
-    "variance are IEEE functions of exact inputs and sqrt is IEEE-"
-    "correctly-rounded — the whole score is oracle-exact with no "
+    "previous buckets' 20-row tails. DECIMAL(18,6) values; squares "
+    "computed at (18,6)x(18,6) -> (37,12) (exact in BOTH engines; a "
+    "(25,6) square would overflow and re-round divergently); the "
+    "windowed sums accumulate at their NATURAL precisions "
+    "((28,6)/(38,12) — the single-window form's own range) and only "
+    "carry-folding rows narrow through (37,12), NULL (try_cast) past "
+    "1e25 — see bounded_window's range-bound contract. At this "
+    "fixture's magnitudes every accumulation and re-cast is exact, so "
+    "mean and variance are IEEE functions of exact inputs and sqrt is "
+    "IEEE-correctly-rounded — the whole score is oracle-exact with no "
     "quantization, identical to the single-window form. The batch form "
     "of the monitoring rule a streaming deploy runs with "
     "applyInPandasWithState. Plan pinned: no event-level window "

@@ -402,6 +402,14 @@ def profile(
         }
     )
     base = spark.sparkContext.uiWebUrl
+    if base is None:
+        # getOrCreate() silently ignores extra_conf when a session
+        # already exists in this process — and get_spark's default
+        # builds with the UI disabled
+        raise SystemExit(
+            "profile needs the Spark UI, but this process already has a "
+            "UI-disabled session — run `tools profile` in a fresh process"
+        )
     app = spark.sparkContext.applicationId
 
     def api(path: str):

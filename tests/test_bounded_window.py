@@ -416,6 +416,39 @@ def test_hot_key_spreads_across_tasks_at_runtime(spark):
             conf.set(key_, val)
 
 
+def test_moments_carry_overflow_is_null_not_zero(spark):
+    """r7 review: a carry row whose LOCAL square-sum overflows the
+    (37,12) re-cast (>= 1e25) must surface NULL — the old coalesce
+    conflated that overflow-NULL with the empty-frame NULL and
+    substituted 0, yielding a plausible-looking wrong __ssq. Rows under
+    the cliff (either side of the carry band) must stay exact."""
+    # one bucket, 26 rows of 9e11 (square 8.1e23): at P=20, carry rows
+    # (r <= 20) overflow once >= 13 values precede (1.053e25 > 1e25);
+    # non-carry rows (r > 20) stay on the natural (38,12) path (< 1e26)
+    rows = [(i, "k", i, 9e11) for i in range(1, 27)]
+    df = (
+        spark.createDataFrame(rows, "event_id long, k string, s long, v double")
+        .withColumn("ts", F.timestamp_seconds("s"))
+        .drop("s")
+    )
+    P = 20
+    got = trailing_decimal_moments_bucketed(
+        df, "k", "ts", "event_id", "v", P, 10_000
+    ).select("event_id", "__ssq", "__n").collect()
+    by_id = {r["event_id"]: r for r in got}
+    sq = 8.1e23
+    for i in range(2, 27):
+        n_prec = min(i - 1, P)
+        r = by_id[i]
+        assert r["__n"] == n_prec
+        if i <= P and n_prec >= 13:  # carry row past the (37,12) cliff
+            assert r["__ssq"] is None, f"row {i}: expected NULL, got {r['__ssq']}"
+        else:
+            assert r["__ssq"] is not None and abs(
+                r["__ssq"] - n_prec * sq
+            ) <= 1e12, f"row {i}: {r['__ssq']} != {n_prec * sq}"
+
+
 def test_moments_exact_at_large_magnitudes(spark):
     """ADVICE r6: the old (36,12) re-cast silently NULLed the square-sum
     once P * v^2 >= 1e24 (|v| >= ~2.2e11 at P=20) — a range the plain

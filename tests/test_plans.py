@@ -126,7 +126,13 @@ def test_q36_has_no_unpartitioned_window(spark):
     )
     assert specs, "expected at least one window (the bucket window)"
     for spec in specs:
-        assert "__rb#" in spec, (
+        # the capture's LAST comma-separated element is the first ORDER
+        # BY column (its direction keyword was the regex terminator) —
+        # only the elements before it are partition columns. Without the
+        # drop, a window partitioned on NOTHING but ordered by __rb
+        # would pass (r7 review).
+        partition_cols = [p.strip() for p in spec.split(",")][:-1]
+        assert any("__rb#" in p for p in partition_cols), (
             f"window not partitioned on the range bucket: "
             f"windowspecdefinition({spec[:160]}"
         )
