@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship query at sf0.001; ``queries()`` exposes
 every implemented operator as (spark, sf_dir) -> DataFrame; ``oracle_sql()``
-gives the DuckDB-equivalent SQL per query. 123 of 125 entries are oracled;
+gives the DuckDB-equivalent SQL per query. 124 of 126 entries are oracled;
 the two rows-only remainders each have an inherent reason (the full
 10-column normalizer union's ``raw`` re-serialization is wire-format-
 specific — its 9 value-checkable columns are oracled via

@@ -24,6 +24,23 @@ all-empty docs) is bounded by ``max_bucket`` — buckets above it are dropped
 exactly like data-sketches dedup pipelines cap posting lists. Pair
 generation is per-bucket quadratic, hence the cap. Everything stays
 JVM-side.
+
+Materialization caveat (ADVICE r7): the multi-consumer intermediates in
+this family (shingle/posting/signature/edge tables) are pinned with
+``localCheckpoint`` so an expensive Arrow UDF pass runs once per plan,
+not once per consumer. Two costs come with that choice. SIZE: a pinned
+SHINGLE table is ~16 bytes per (doc, distinct-gram) row — roughly one
+row per character of source text, so the block can match or EXCEED the
+input corpus size (only the (id, simhash) and pair tables are genuinely
+negligible). RELIABILITY: localCheckpoint blocks live unreplicated on
+executors and TRUNCATE lineage, so losing an executor mid-job fails the
+job instead of recomputing, and dynamic allocation can reap the hosting
+executor — on clusters with either risk, set a checkpoint dir and use
+reliable ``df.checkpoint()`` (HDFS-backed) at these sites, trading one
+distributed write for restartability. On the fixed-executor clusters
+these jobs target (and local mode) the in-memory pin is the right
+default; the UDF-runs-once invariant, not the storage medium, is what
+the plans rely on (tests/test_plans.py).
 """
 
 from __future__ import annotations
@@ -272,6 +289,10 @@ def lsh_candidate_pairs_banded(
     ADD phantom candidates and break oracle parity). Deployments whose
     degenerate buckets outgrow executor memory should set ``max_bucket``
     — that is what the valve is for."""
+    # validate BEFORE the capped-path early return so an invalid chunk is
+    # rejected on every path, not only the uncapped one (ADVICE r7)
+    if chunk < 1:
+        raise ValueError("chunk must be >= 1")
     if max_bucket is not None:
         banded = _banded_keys(sig_wide, id_col, bands, rows_per_band)
         return _pairs_from_banded(banded, id_col, max_bucket)
@@ -300,8 +321,6 @@ def lsh_candidate_pairs_banded(
         # sort ONCE per bucket (id is unique, so struct order == id order)
         .select("band", F.array_sort("xs").alias("xs"))
     )
-    if chunk < 1:
-        raise ValueError("chunk must be >= 1")
     # cut each bucket's sorted posting list into chunk-sized slices and
     # emit one row per slice pair (ci <= cj): a small bucket (n <= chunk)
     # is exactly one (0, 0) row, a degenerate bucket becomes
@@ -536,7 +555,10 @@ def ngram_jaccard_pairs(
     the Arrow gram-hashing pass re-runs per consumer — the r7 audit
     measured four full evaluations in the uncapped plan (the capped
     path additionally re-checkpoints after its semi-join so the cap
-    itself also runs once)."""
+    itself also runs once). The pinned block is NOT small — ~16 bytes
+    per (doc, distinct-gram) row ≈ one row per source character, so it
+    can exceed the corpus text size; see the module docstring for the
+    size/executor-loss tradeoff and the reliable-checkpoint alternative."""
     shingles = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(char_ngram_hashes_fast(text_col, ngram))).alias("sh"),
@@ -1292,9 +1314,10 @@ def ngram_containment_pairs(
     IEEE division, oracle-exact with no quantization.
 
     The shingle table is MATERIALIZED at creation (localCheckpoint) for
-    its three consumers — same rationale and measurement as
-    :func:`ngram_jaccard_pairs` (r7 audit: four UDF evaluations in the
-    uncapped plan without it)."""
+    its three consumers — same rationale, measurement, and size/
+    executor-loss caveat as :func:`ngram_jaccard_pairs` (r7 audit: four
+    UDF evaluations in the uncapped plan without it; the pinned block
+    can exceed the corpus text size — module docstring)."""
     shingles = df.select(
         F.col(id_col),
         F.explode(

@@ -109,7 +109,14 @@ def salted_join(
     return out.drop(_SALT)
 
 
-def spread_for_compute(df: DataFrame, min_tasks: int | None = None) -> DataFrame:
+_SPLITS_MEMO: dict[int, int] = {}
+
+
+def spread_for_compute(
+    df: DataFrame,
+    min_tasks: int | None = None,
+    splits: int | None = None,
+) -> DataFrame:
     """Round-robin ``df`` across the session's cores IFF its physical
     partitioning is narrower than half of them — the compute-parallelism
     guard for expensive per-row projections (Pandas-UDF signature /
@@ -127,11 +134,24 @@ def spread_for_compute(df: DataFrame, min_tasks: int | None = None) -> DataFrame
     cannot feed the cores, where shuffle bytes << the compute it
     unlocks.
 
-    Caveat: the guard reads ``df.rdd.getNumPartitions()``, so call it at
-    SCAN boundaries (a freshly loaded frame) — on an AQE shuffle-derived
-    frame building the RDD can execute upstream stages."""
+    Caveat: the guard probes ``df.rdd.getNumPartitions()``, so call it
+    at SCAN boundaries (a freshly loaded frame) — on an AQE
+    shuffle-derived frame building the RDD can execute upstream stages.
+    The probe is a plan-to-RDD conversion (full physical planning), so
+    it is MEMOIZED per ``df.semanticHash()`` for the process lifetime
+    (ADVICE r7: embedded callers like simhash_table paid it on every
+    build): semantically-equal plans have equal physical partitioning,
+    and a hash collision can only skip/add a semantically-neutral
+    repartition, never change results. Callers that already know their
+    split count can pass ``splits`` and skip the probe entirely."""
     sc = df.sparkSession.sparkContext
     target = min_tasks or sc.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 > target:
+    if splits is None:
+        key = df.semanticHash()
+        splits = _SPLITS_MEMO.get(key)
+        if splits is None:
+            splits = df.rdd.getNumPartitions()
+            _SPLITS_MEMO[key] = splits
+    if splits * 2 > target:
         return df
     return df.repartition(target)

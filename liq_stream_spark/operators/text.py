@@ -1210,8 +1210,12 @@ def winnow_clone_pairs(
     size table behind both per-doc denominators), so without it the
     whole winnowing UDF pass re-runs per consumer — the r7 audit
     measured EIGHT full evaluations of the gram-hashing UDF in this one
-    plan. (doc, fp) rows are two longs each, negligible executor
-    storage beside the text they summarize."""
+    plan. (doc, fp) rows are two longs, ~16 bytes per SELECTED window —
+    winnowing keeps ~2/(window+1) of positions, so the block is a
+    fraction of the corpus text (unlike the raw shingle tables in
+    operators/dedup.py, which can exceed it — see that module's
+    materialization caveat for the localCheckpoint executor-loss
+    tradeoff, which applies here identically)."""
     fps = winnow_fingerprints(
         docs, window=window, ngram=ngram
     ).localCheckpoint(eager=False)

@@ -43,6 +43,21 @@ def test_stalest_signal_orders_before_fresher():
     assert rounds == sorted(rounds)
 
 
+def test_entry_docstring_counts_match_registry():
+    """The driver-contract docstring (__spark_entry__.py) states the
+    registry size and oracled count in prose; it is the first file the
+    harness reads, so the numbers must never drift from the registry
+    (VERDICT r7 item 3 — they said 123/125 while the registry held
+    126/124)."""
+    import re
+
+    doc = (ROOT / "__spark_entry__.py").read_text()
+    m = re.search(r"(\d+) of (\d+) entries are oracled", doc)
+    assert m, "driver docstring lost its '<N> of <M> entries' sentence"
+    n_oracled = sum(1 for q in REGISTRY.values() if q.oracle is not None)
+    assert (int(m.group(1)), int(m.group(2))) == (n_oracled, len(REGISTRY))
+
+
 def test_registry_iteration_order_is_registration_order():
     """The library registry must NOT be priority-ordered (ADVICE r3):
     the first registered module is relational.py, so q01 leads."""

