@@ -130,6 +130,32 @@ def main() -> None:
         ).save()
         return time.perf_counter() - t0
 
+    # BENCH_NOISE=N: measurement mode for the per-query noise band
+    # (VERDICT r7 item 5) — run every headline + tracked-extra query N
+    # times on UNCHANGED code and emit the full per-run sample lists, so
+    # the warm-run spread can be bounded once and cited (BENCH_NOISE.md)
+    # instead of folklore-calibrated per round. Not part of the driver
+    # contract: the normal single-JSON-line output is unchanged when the
+    # env var is unset.
+    noise = int(os.environ.get("BENCH_NOISE", "0"))
+    if noise:
+        samples = {
+            name: [round(run_query(name), 3) for _ in range(noise)]
+            for name in HEADLINE + list(extra_multi)
+        }
+        print(
+            json.dumps(
+                {
+                    "metric": "noise_band_samples",
+                    "runs": noise,
+                    "sf": sf,
+                    "samples": samples,
+                }
+            )
+        )
+        spark.stop()
+        return
+
     cold: dict[str, float] = {}
     steady: dict[str, float] = {}
     for name in HEADLINE:

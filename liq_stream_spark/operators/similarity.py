@@ -327,9 +327,39 @@ def _assign_cells(
     )
 
 
+def _probe_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, qv, cell): each query's ``nprobe`` nearest centroid
+    cells — the IVF router, shared by ivf_topk / ivfpq_topk and the
+    store probes. Centroids are broadcast; the 9-dp rounding mirrors
+    _assign_cells so probe ranking agrees with an oracle whose centroid
+    means can differ at ulp level (near-ties fall to the deterministic
+    smaller-cell tiebreak on both engines — the s09 genuinely-pruned
+    oracle relies on this)."""
+    qscored = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("cos", F.round(cosine_fast("qv", "centroid"), 9))
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cell"))
+    return (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     k: int = 10,
     n_cells: int = 16,
     nprobe: int = 4,
@@ -337,6 +367,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    inverted: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their nearest-centroid
     cell (the inverted file); each query probes its ``nprobe`` nearest
@@ -352,30 +383,27 @@ def ivf_topk(
     probed cells return fewer than k rows (standard IVF semantics).
 
     Pass a prebuilt ``centroids`` (kmeans_centroids) to reuse one index
-    across query batches — the offline-build/online-probe split IVF is for."""
+    across query batches — the offline-build/online-probe split IVF is
+    for — and/or a prebuilt ``inverted`` file ((neighbor_id, cell, vec),
+    e.g. store.write_ivf_index's layout) so the probe pays NO assignment
+    pass at all; with both supplied ``corpus`` may be None."""
     if centroids is None:
+        if corpus is None:
+            raise ValueError("corpus is required to build centroids")
         centroids = kmeans_centroids(corpus, n_cells, iters, id_col, vec_col)
-    inverted = _assign_cells(corpus, centroids, id_col, vec_col).select(
-        F.col("vid").alias("neighbor_id"), F.col("vec").alias("cv"), "cell"
-    )
-    qscored = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).cast("array<double>").alias("qv"),
+    if inverted is None:
+        if corpus is None:
+            raise ValueError("corpus is required to build the inverted file")
+        inverted = _assign_cells(corpus, centroids, id_col, vec_col).select(
+            F.col("vid").alias("neighbor_id"), F.col("vec").alias("cv"), "cell"
         )
-        .crossJoin(F.broadcast(centroids))
-        # 9-dp rounding mirrors _assign_cells: probe ranking must agree
-        # with an oracle whose centroid means can differ at ulp level, so
-        # near-ties fall to the deterministic cell tiebreak on both
-        # engines (the s09 genuinely-pruned oracle relies on this)
-        .withColumn("cos", F.round(cosine_fast("qv", "centroid"), 9))
-    )
-    wq = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cell"))
-    probes = (
-        qscored.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qv", "cell")
-    )
+    else:
+        inverted = inverted.select(
+            "neighbor_id",
+            F.col("vec").alias("cv"),
+            F.col("cell").cast("long").alias("cell"),
+        )
+    probes = _probe_cells(queries, centroids, nprobe, id_col, vec_col)
     cand = (
         inverted.join(F.broadcast(probes), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -662,9 +690,27 @@ def _pq_assign(sub: DataFrame, books: DataFrame) -> DataFrame:
     )
 
 
+def _d_sub(
+    corpus: DataFrame | None,
+    codebooks: DataFrame,
+    m: int,
+    vec_col: str,
+) -> int:
+    """Subspace width. From the corpus dim when a corpus frame is at
+    hand; otherwise from the stored codebooks' centroid length (one
+    first() over a 16-256-row index frame) — the store probes carry no
+    corpus at all."""
+    if corpus is not None:
+        dim = _corpus_dim(corpus, vec_col)
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m {m}")
+        return dim // m
+    return len(codebooks.select("centroid").first()["centroid"])
+
+
 def pq_topk(
     queries: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     k: int = 10,
     m: int = 8,
     n_codes: int = 16,
@@ -672,6 +718,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization approximate top-k via asymmetric distance
     computation (ADC): the corpus is stored as ``m`` small codes per
@@ -688,16 +735,30 @@ def pq_topk(
     IVF router (ivf_topk) for IVF-PQ when candidate pruning is also needed.
 
     Pass a prebuilt ``codebooks`` (pq_codebooks) to amortize one index
-    across query batches."""
-    dim = _corpus_dim(corpus, vec_col)
-    d_sub = dim // m
+    across query batches, and/or prebuilt ``codes`` ((neighbor_id, s,
+    code), e.g. store.write_pq_index's layout) so the probe never
+    touches raw corpus floats; with both supplied ``corpus`` may be
+    None."""
     if codebooks is None:
+        if corpus is None:
+            raise ValueError("corpus is required to build codebooks")
         codebooks = pq_codebooks(corpus, m, n_codes, iters, id_col, vec_col)
-
-    cbase = corpus.select(
-        F.col(id_col).alias("__vid"), _unit(vec_col).alias("__u")
-    )
-    codes = _pq_assign(_subspaces(cbase, "vid", m, d_sub), codebooks)
+    d_sub = _d_sub(corpus, codebooks, m, vec_col)
+    if codes is None:
+        if corpus is None:
+            raise ValueError("corpus is required to encode PQ codes")
+        cbase = corpus.select(
+            F.col(id_col).alias("__vid"), _unit(vec_col).alias("__u")
+        )
+        codes = _pq_assign(_subspaces(cbase, "vid", m, d_sub), codebooks).select(
+            F.col("vid").alias("neighbor_id"), "s", "code"
+        )
+    else:
+        codes = codes.select(
+            "neighbor_id",
+            F.col("s").cast("int").alias("s"),
+            F.col("code").cast("long").alias("code"),
+        )
 
     qbase = queries.select(
         F.col(id_col).alias("__vid"), _unit(vec_col).alias("__u")
@@ -715,8 +776,7 @@ def pq_topk(
         )
     )
     scored = (
-        codes.select(F.col("vid").alias("neighbor_id"), "s", "code")
-        .join(F.broadcast(qtable), ["s", "code"])
+        codes.join(F.broadcast(qtable), ["s", "code"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
         # re-round the sum: addition order differs per engine/partition,
@@ -740,7 +800,7 @@ def pq_topk(
 
 def ivfpq_topk(
     queries: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     k: int = 10,
     n_cells: int = 16,
     nprobe: int = 4,
@@ -751,6 +811,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the ivf_topk router composed with pq_topk's compression —
     the shape production ANN engines (FAISS IVFPQ) run at billions of
@@ -767,45 +828,48 @@ def ivfpq_topk(
     Residual encoding is the standard refinement when cells are tight.
 
     Queries whose probed cells hold fewer than k coded vectors return
-    fewer than k rows (standard IVF semantics, same as ivf_topk)."""
+    fewer than k rows (standard IVF semantics, same as ivf_topk).
+
+    Pass prebuilt ``centroids``/``codebooks``/``codes`` ((neighbor_id,
+    s, code, cell), e.g. store.write_pq_index's cell-carrying layout) to
+    probe a stored index; with all three supplied ``corpus`` may be
+    None."""
     if centroids is None:
+        if corpus is None:
+            raise ValueError("corpus is required to build centroids")
         centroids = kmeans_centroids(corpus, n_cells, iters, id_col, vec_col)
     if codebooks is None:
+        if corpus is None:
+            raise ValueError("corpus is required to build codebooks")
         codebooks = pq_codebooks(corpus, m, n_codes, iters, id_col, vec_col)
-    dim = _corpus_dim(corpus, vec_col)
-    d_sub = dim // m
+    d_sub = _d_sub(corpus, codebooks, m, vec_col)
 
-    # offline: cell per vector (router) + PQ codes per (vector, subspace)
-    cells = _assign_cells(corpus, centroids, id_col, vec_col).select(
-        F.col("vid").alias("neighbor_id"), "cell"
-    )
-    cbase = corpus.select(
-        F.col(id_col).alias("__vid"), _unit(vec_col).alias("__u")
-    )
-    codes = (
-        _pq_assign(_subspaces(cbase, "vid", m, d_sub), codebooks)
-        .select(F.col("vid").alias("neighbor_id"), "s", "code")
-        .join(cells, "neighbor_id")
-    )
+    if codes is None:
+        if corpus is None:
+            raise ValueError("corpus is required to encode PQ codes")
+        # offline: cell per vector (router) + PQ codes per (vector, subspace)
+        cells = _assign_cells(corpus, centroids, id_col, vec_col).select(
+            F.col("vid").alias("neighbor_id"), "cell"
+        )
+        cbase = corpus.select(
+            F.col(id_col).alias("__vid"), _unit(vec_col).alias("__u")
+        )
+        codes = (
+            _pq_assign(_subspaces(cbase, "vid", m, d_sub), codebooks)
+            .select(F.col("vid").alias("neighbor_id"), "s", "code")
+            .join(cells, "neighbor_id")
+        )
+    else:
+        codes = codes.select(
+            "neighbor_id",
+            F.col("s").cast("int").alias("s"),
+            F.col("code").cast("long").alias("code"),
+            F.col("cell").cast("long").alias("cell"),
+        )
 
     # online: probe cells, build the ADC table, score candidates
-    qscored = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).cast("array<double>").alias("qv"),
-        )
-        .crossJoin(F.broadcast(centroids))
-        # 9-dp rounding mirrors _assign_cells: probe ranking must agree
-        # with an oracle whose centroid means can differ at ulp level, so
-        # near-ties fall to the deterministic cell tiebreak on both
-        # engines (the s09 genuinely-pruned oracle relies on this)
-        .withColumn("cos", F.round(cosine_fast("qv", "centroid"), 9))
-    )
-    wq = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cell"))
-    probes = (
-        qscored.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "cell")
+    probes = _probe_cells(queries, centroids, nprobe, id_col, vec_col).select(
+        "query_id", "cell"
     )
     qbase = queries.select(
         F.col(id_col).alias("__vid"), _unit(vec_col).alias("__u")

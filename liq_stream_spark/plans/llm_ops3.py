@@ -306,19 +306,16 @@ def _pq_oracle_sql() -> str:
     "additionally gated in tests/test_corpus_shaping.py.",
 )
 def s07_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from liq_stream_spark.plans.index_cache import cached_codebooks
+    from liq_stream_spark import store
+    from liq_stream_spark.plans.index_cache import ensure_ann_index
 
     emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 20)
-    return S.pq_topk(
-        queries,
-        emb,
-        k=10,
-        m=16,
-        n_codes=16,
-        # offline-build/online-probe split: the deterministic codebooks
-        # are memoized per (sf_dir, params) — see plans/index_cache.py
-        codebooks=cached_codebooks(spark, emb, sf_dir, m=16, n_codes=16),
+    # offline build persisted once per corpus version (index_cache ->
+    # store.write_pq_index); the probe is pure ADC over the stored code
+    # table — no training, no encode pass in this plan
+    path = ensure_ann_index(spark, emb, sf_dir, n_cells=16, m=16)
+    return store.pq_topk_from_store(
+        spark, emb.filter(F.col("vec_id") < 20), path, k=10
     )
 
 
@@ -380,24 +377,17 @@ def d09_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(nprobe=4/16) keeps its recall gate in tests.",
 )
 def s08_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from liq_stream_spark.plans.index_cache import (
-        cached_centroids,
-        cached_codebooks,
-    )
+    from liq_stream_spark import store
+    from liq_stream_spark.plans.index_cache import ensure_ann_index
 
     emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 20)
-    return S.ivfpq_topk(
-        queries,
-        emb,
-        k=10,
-        n_cells=16,
-        nprobe=16,
-        m=16,
-        # offline-build/online-probe split: both deterministic index
-        # halves are memoized per (sf_dir, params) — plans/index_cache.py
-        centroids=cached_centroids(spark, emb, sf_dir, n_cells=16),
-        codebooks=cached_codebooks(spark, emb, sf_dir, m=16, n_codes=16),
+    # both deterministic index halves persisted once per corpus version
+    # (index_cache -> store.write_ivf_index/write_pq_index); the probe
+    # prunes the stored code table to the probed cells' partitions and
+    # ADC-scores the survivors — no training, no encode pass here
+    path = ensure_ann_index(spark, emb, sf_dir, n_cells=16, m=16)
+    return store.ivfpq_topk_from_store(
+        spark, emb.filter(F.col("vec_id") < 20), path, k=10, nprobe=16
     )
 
 

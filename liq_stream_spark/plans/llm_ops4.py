@@ -417,19 +417,21 @@ def _s09_oracle_sql(dim: int = 64) -> str:
     "n_cells of the corpus scored per query.",
 )
 def s09_ivf_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from liq_stream_spark.operators import similarity as S
-    from liq_stream_spark.plans.index_cache import cached_centroids
+    from liq_stream_spark import store
+    from liq_stream_spark.plans.index_cache import ensure_ann_index
 
     emb = load(spark, sf_dir, "embeddings")
-    return S.ivf_topk(
+    # persistent offline build (shared with s06/s07/s08); at this
+    # GENUINELY PRUNED nprobe the probe scan partition-prunes to the 4
+    # probed cells' directories of the stored inverted file — the
+    # ~nprobe/n_cells I/O claim is physical, not just compute
+    path = ensure_ann_index(spark, emb, sf_dir, n_cells=_D11_CELLS, m=16)
+    return store.ivf_topk_from_store(
+        spark,
         emb.filter(F.col("vec_id") < 20),
-        emb,
+        path,
         k=_S09_K,
-        n_cells=_D11_CELLS,
         nprobe=_S09_NPROBE,
-        # offline-build/online-probe split: the deterministic index is
-        # memoized per (sf_dir, params) — see plans/index_cache.py
-        centroids=cached_centroids(spark, emb, sf_dir, n_cells=_D11_CELLS),
     )
 
 

@@ -22,7 +22,14 @@ from liq_stream_spark.plans.tables import load
 # hardcoded day bucket put 100 TB/day back into one (key, day) task
 # (VERDICT r6 item 1). One narrow min/max/count scan per build, cached
 # per (sf_dir, preceding) so rebuilding a query (bench warm runs, plan
-# audits) never re-scans.
+# audits) never re-scans. The cache is process-lifetime with NO
+# invalidation — correct for the immutable fixture dirs it keys on; if a
+# directory were rewritten in-process the width would be stale but the
+# ANSWER would not (the bucketed operators are equivalence-proven for
+# ANY width — tests/test_bounded_window.py — so a stale width costs
+# parallelism tuning only, never correctness). Deployments indexing
+# mutable paths should key on a corpus version instead (the
+# index_cache._fingerprint pattern).
 _BUCKET_CACHE: dict[tuple[str, int], int] = {}
 
 

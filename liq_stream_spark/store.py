@@ -250,3 +250,244 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.format("parquet").saveAsTable(table)
+
+
+# ---------------------------------------------------------------------------
+# Persistent ANN index — offline build on disk, online probe from store
+# ---------------------------------------------------------------------------
+#
+# The physical completion of the FAISS-style train/add/search split the
+# IVF/PQ operators document (reference intent: precompute at write time
+# what queries need at read time — the PG index DDL, writer_pg.py:38-57;
+# lake precedent: write_band_index above). Layout under one index root:
+#
+#   {path}/centroids/   (cell, centroid)           tiny, plain parquet
+#   {path}/inverted/    (neighbor_id, vec) PARTITIONED BY cell
+#   {path}/codebooks/   (s, code, centroid)        tiny, plain parquet
+#   {path}/codes/       (neighbor_id, s, code) PARTITIONED BY cell
+#
+# Partitioning the inverted file / code lists by cell is the parquet form
+# of FAISS's per-cell posting lists: an online probe lists its nprobe
+# cells and the scan reads ONLY those directories (static partition
+# pruning — PartitionFilters in the plan), so probe I/O is ~nprobe/
+# n_cells of the index however large the corpus. At production cell
+# counts (auto_n_cells: ~244k cells at 1B vectors) one directory per
+# cell stays within lake-layout norms because cells are sized (~4096
+# vectors) exactly so their lists are one-file-sized; a deployment with
+# a small-files concern composes this with the date-partition scheme of
+# compact_store (cell dirs inside corpus-version dirs).
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> None:
+    """Build and persist the IVF half: trained centroids + the corpus
+    assigned to cells WITH raw vectors (IVF-Flat — probes rescore exact
+    cosine). Pass prebuilt ``centroids`` to skip retraining (e.g. the
+    index_cache shim already holds them)."""
+    from liq_stream_spark.operators.similarity import (
+        _assign_cells,
+        kmeans_centroids,
+    )
+
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, n_cells, iters, id_col, vec_col)
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    inverted = _assign_cells(corpus, centroids, id_col, vec_col).select(
+        F.col("vid").alias("neighbor_id"), "vec", "cell"
+    )
+    (
+        inverted.write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/inverted")
+    )
+
+
+def write_pq_index(
+    corpus: DataFrame,
+    path: str,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+) -> None:
+    """Build and persist the PQ half: per-subspace codebooks + the
+    corpus encoded as (neighbor_id, s, code) rows — m codes per vector,
+    the 64x-smaller representation that is PQ's reason to exist. When
+    ``centroids`` are given (or already stored at ``path`` by
+    write_ivf_index) each code row also carries its IVF ``cell`` and the
+    code table is partitioned by it — that is the IVF-PQ layout
+    ivfpq_topk_from_store probes. Pass prebuilt ``codebooks`` to skip
+    retraining."""
+    from liq_stream_spark.operators.similarity import (
+        _assign_cells,
+        _pq_assign,
+        _subspaces,
+        _unit,
+        pq_codebooks,
+    )
+
+    spark = corpus.sparkSession
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, m, n_codes, iters, id_col, vec_col)
+    codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+    d_sub = len(codebooks.select("centroid").first()["centroid"])
+    cbase = corpus.select(
+        F.col(id_col).alias("__vid"), _unit(vec_col).alias("__u")
+    )
+    codes = _pq_assign(_subspaces(cbase, "vid", m, d_sub), codebooks).select(
+        F.col("vid").alias("neighbor_id"), "s", "code"
+    )
+    if centroids is None:
+        import os
+
+        if os.path.isdir(f"{path}/centroids"):
+            centroids = spark.read.parquet(f"{path}/centroids")
+    if centroids is not None:
+        cells = _assign_cells(corpus, centroids, id_col, vec_col).select(
+            F.col("vid").alias("neighbor_id"), "cell"
+        )
+        (
+            codes.join(cells, "neighbor_id")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{path}/codes")
+        )
+    else:
+        codes.write.mode("overwrite").parquet(f"{path}/codes")
+
+
+def _probed_cell_list(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> list[int]:
+    """The online router's first step: collect the distinct cells the
+    query batch probes. Index-metadata-sized by construction (<=
+    n_queries x nprobe, <= n_cells) — the same class of driver-side
+    frame as the collected centroid/codebook tables, NOT a data-path
+    collect. Feeding it back as a literal IN-filter turns the probe scan
+    into a statically partition-pruned read of only the probed cell
+    directories (exactly FAISS reading nprobe posting lists)."""
+    from liq_stream_spark.operators.similarity import _probe_cells
+
+    probes = _probe_cells(queries, centroids, nprobe, id_col, vec_col)
+    return sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+
+
+def ivf_topk_from_store(
+    spark: SparkSession,
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k served from a write_ivf_index store: the probe reads
+    ONLY the probed cells' partitions of the inverted file and rescores
+    exact cosine there. No training, no assignment pass — the plan's
+    only corpus-shaped input is the partition-pruned index scan (pinned
+    in tests/test_index_store.py). Results are row-identical to
+    ivf_topk on the same corpus/params (same deterministic build, same
+    probe ranking, same rescore)."""
+    from liq_stream_spark.operators import similarity as S
+
+    centroids = spark.read.parquet(f"{path}/centroids")
+    cells = _probed_cell_list(queries, centroids, nprobe, id_col, vec_col)
+    inverted = (
+        spark.read.parquet(f"{path}/inverted")
+        .filter(F.col("cell").isin(cells))
+        .select("neighbor_id", "vec", F.col("cell").cast("long").alias("cell"))
+    )
+    return S.ivf_topk(
+        queries,
+        corpus=None,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=centroids,
+        inverted=inverted,
+    )
+
+
+def pq_topk_from_store(
+    spark: SparkSession,
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ top-k served from a write_pq_index store: ADC against the
+    stored codebooks over the stored code table — raw corpus floats
+    appear nowhere in the plan. m is derived from the stored codebooks
+    (max subspace id + 1), so the probe needs no build parameters."""
+    from liq_stream_spark.operators import similarity as S
+
+    codebooks = spark.read.parquet(f"{path}/codebooks")
+    m = codebooks.agg(F.max("s")).first()[0] + 1
+    codes = spark.read.parquet(f"{path}/codes").select(
+        "neighbor_id", "s", "code"
+    )
+    return S.pq_topk(
+        queries,
+        corpus=None,
+        k=k,
+        m=m,
+        id_col=id_col,
+        vec_col=vec_col,
+        codebooks=codebooks,
+        codes=codes,
+    )
+
+
+def ivfpq_topk_from_store(
+    spark: SparkSession,
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ served from a store holding both halves (write_ivf_index +
+    write_pq_index at the same path): the router prunes the code scan to
+    the probed cells' partitions, ADC scores the survivors. The heavy
+    offline work (training, assignment, encoding) happened at write
+    time; the probe plan touches only index files + the query batch."""
+    from liq_stream_spark.operators import similarity as S
+
+    centroids = spark.read.parquet(f"{path}/centroids")
+    codebooks = spark.read.parquet(f"{path}/codebooks")
+    m = codebooks.agg(F.max("s")).first()[0] + 1
+    cells = _probed_cell_list(queries, centroids, nprobe, id_col, vec_col)
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("cell").isin(cells)
+    )
+    return S.ivfpq_topk(
+        queries,
+        corpus=None,
+        k=k,
+        nprobe=nprobe,
+        m=m,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=centroids,
+        codebooks=codebooks,
+        codes=codes,
+    )

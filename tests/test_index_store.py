@@ -1,0 +1,204 @@
+"""Persistent ANN index store (store.write_ivf_index / write_pq_index +
+*_from_store probes) and the store-backed index_cache shim (r8,
+VERDICT r7 item 1): results from the stored index must be row-identical
+to the direct operators, the probe plans must never rebuild the index,
+and the cache must refuse foreign corpora and track fixture versions."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from liq_stream_spark import store
+from liq_stream_spark.operators import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture()
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 20)
+
+
+@pytest.fixture()
+def index_path(spark, emb, tmp_path):
+    path = str(tmp_path / "ann")
+    store.write_ivf_index(emb, path, n_cells=8, iters=2)
+    store.write_pq_index(emb, path, m=8, n_codes=16, iters=2)
+    return path
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_ivf_from_store_matches_direct(spark, emb, queries, index_path):
+    """Pruned (nprobe=2) AND exact-degenerate (nprobe=n_cells) probes
+    from the stored index equal the direct operator row-for-row — the
+    build is deterministic and parquet round-trips doubles exactly."""
+    for nprobe in (2, 8):
+        got = _rows(
+            store.ivf_topk_from_store(
+                spark, queries, index_path, k=5, nprobe=nprobe
+            )
+        )
+        want = _rows(
+            S.ivf_topk(queries, emb, k=5, n_cells=8, nprobe=nprobe)
+        )
+        assert got == want and got, nprobe
+
+
+def test_pq_from_store_matches_direct(spark, emb, queries, index_path):
+    got = _rows(store.pq_topk_from_store(spark, queries, index_path, k=5))
+    want = _rows(S.pq_topk(queries, emb, k=5, m=8, n_codes=16))
+    assert got == want and got
+
+
+def test_ivfpq_from_store_matches_direct(spark, emb, queries, index_path):
+    got = _rows(
+        store.ivfpq_topk_from_store(spark, queries, index_path, k=5, nprobe=3)
+    )
+    want = _rows(
+        S.ivfpq_topk(queries, emb, k=5, n_cells=8, nprobe=3, m=8, n_codes=16)
+    )
+    assert got == want and got
+
+
+def test_store_probe_never_rebuilds_and_partition_prunes(
+    spark, queries, index_path
+):
+    """THE plan pin of the offline/online split: the probe plan's only
+    scan of the embeddings table is the query side — the corpus enters
+    exclusively through the stored index files — and the inverted-file
+    scan carries a cell partition filter, so a pruned probe physically
+    reads ~nprobe/n_cells of the index (the FAISS posting-list read)."""
+    df = store.ivf_topk_from_store(spark, queries, index_path, k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the probe subtree (queries x broadcast centroids) appears once in
+    # the main tree; Spark's dynamic-partition-pruning SUBQUERY on the
+    # inverted scan repeats its text, but SubqueryAdaptiveBroadcast
+    # REUSES the probe broadcast at runtime — it is not a second
+    # execution, so <= 1 scan outside that case is the real invariant
+    n_emb = plan.count("embeddings.parquet")
+    assert n_emb == 1 or (
+        n_emb == 2 and "SubqueryAdaptiveBroadcast" in plan
+    ), plan[:800]
+    # identify the inverted-file scan by its columns (the Location string
+    # is truncated under long tmp paths)
+    inv_scan = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan" in ln and "neighbor_id#" in ln and "vec#" in ln
+    ]
+    assert len(inv_scan) == 1, plan[:800]
+    # the cell IN (...) filter reached the partitioned scan: only the
+    # probed cell directories are read (the FAISS posting-list read)
+    assert "PartitionFilters" in inv_scan[0] and "cell" in inv_scan[0], (
+        inv_scan[0]
+    )
+    # no Lloyd lineage in the probe: the per-dim posexplode/avg rollup
+    # exists only in the (offline) kmeans build
+    assert "posexplode" not in plan
+
+
+def test_index_cache_guard_rejects_foreign_frames(spark, emb):
+    """ADVICE r7: a filtered/derived/foreign frame must raise, not
+    poison the fingerprint-keyed cache for later callers."""
+    from liq_stream_spark.plans import index_cache as IC
+
+    with pytest.raises(ValueError, match="BARE scan"):
+        IC.cached_centroids(
+            spark, emb.filter(F.col("vec_id") < 100), SF, n_cells=8
+        )
+    with pytest.raises(ValueError, match="BARE scan"):
+        IC.cached_centroids(spark, emb.select("vec_id", "embedding"), SF, 8)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with pytest.raises(ValueError, match="embeddings table"):
+        IC.cached_codebooks(spark, docs, SF, m=8)
+
+
+def test_index_cache_serves_from_disk_without_rebuild(
+    spark, emb, tmp_path, monkeypatch
+):
+    """Cross-process persistence: after one build, a fresh process (here:
+    a cleared in-process memo) must serve the index from parquet without
+    ever calling the trainer again — and the served rows are identical."""
+    from liq_stream_spark.plans import index_cache as IC
+
+    monkeypatch.setenv("LIQ_ANN_STORE", str(tmp_path / "store"))
+    IC._rows.clear()
+    built = IC.cached_centroids(spark, emb, SF, n_cells=8).collect()
+    IC._rows.clear()
+
+    def boom(*a, **k):
+        raise AssertionError("trainer must not run on a disk hit")
+
+    monkeypatch.setattr(S, "kmeans_centroids", boom)
+    served = IC.cached_centroids(spark, emb, SF, n_cells=8).collect()
+    assert sorted(map(tuple, served)) == sorted(map(tuple, built))
+
+
+def test_index_cache_fingerprint_tracks_fixture_versions(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r7's second hazard: a corpus REWRITTEN on disk must get a
+    fresh index, not the previous version's. The fingerprint folds every
+    file's size+mtime into the key, so touching the fixture changes the
+    key and forces a rebuild."""
+    from liq_stream_spark.plans import index_cache as IC
+
+    corpus_dir = tmp_path / "corpus"
+    corpus_dir.mkdir()
+    src = f"{SF}/embeddings.parquet"
+    dst = str(corpus_dir / "embeddings.parquet")
+    (shutil.copytree if os.path.isdir(src) else shutil.copyfile)(src, dst)
+
+    monkeypatch.setenv("LIQ_ANN_STORE", str(tmp_path / "store"))
+    calls = []
+    real = S.kmeans_centroids
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(S, "kmeans_centroids", counting)
+    emb2 = spark.read.parquet(dst)
+    IC.cached_centroids(spark, emb2, str(corpus_dir), n_cells=8)
+    assert len(calls) == 1
+    # same version -> no rebuild (memo or disk)
+    IC.cached_centroids(spark, emb2, str(corpus_dir), n_cells=8)
+    assert len(calls) == 1
+    # bump mtime = new corpus version -> rebuild
+    probe = dst
+    if os.path.isdir(dst):
+        probe = os.path.join(
+            dst, next(f for f in os.listdir(dst) if f.endswith(".parquet"))
+        )
+    st = os.stat(probe)
+    os.utime(probe, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    IC.cached_centroids(spark, emb2, str(corpus_dir), n_cells=8)
+    assert len(calls) == 2
+
+
+def test_ensure_ann_index_builds_once_per_version(
+    spark, emb, tmp_path, monkeypatch
+):
+    """ensure_ann_index must write the full layout (centroids, inverted,
+    codebooks, codes) exactly once per (fingerprint, params), and the
+    published dir must be complete (atomic rename — no torn reads)."""
+    from liq_stream_spark.plans import index_cache as IC
+
+    monkeypatch.setenv("LIQ_ANN_STORE", str(tmp_path / "store"))
+    IC._rows.clear()
+    path = IC.ensure_ann_index(spark, emb, SF, n_cells=8, m=8)
+    for part in ("centroids", "inverted", "codebooks", "codes"):
+        assert os.path.isdir(os.path.join(path, part)), part
+    mtime = os.stat(path).st_mtime_ns
+    assert IC.ensure_ann_index(spark, emb, SF, n_cells=8, m=8) == path
+    assert os.stat(path).st_mtime_ns == mtime  # untouched on reuse

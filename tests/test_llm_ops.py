@@ -207,14 +207,15 @@ def test_index_cache_rows_match_direct_build(spark):
 
     sf = "/root/testdata/sf0.001"
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-    IC._rows.pop(("ivf", sf, 16, 2), None)
+    key = ("ivf", IC._fingerprint(sf), 16, 2)
+    IC._rows.pop(key, None)
     cached = IC.cached_centroids(spark, emb, sf, n_cells=16).collect()
     direct = S.kmeans_centroids(emb, n_cells=16, iters=2).collect()
     assert sorted(map(tuple, cached)) == sorted(map(tuple, direct))
     # second call: memo hit — the stored list is reused, not rebuilt
-    stored = IC._rows[("ivf", sf, 16, 2)]
+    stored = IC._rows[key]
     IC.cached_centroids(spark, emb, sf, n_cells=16)
-    assert IC._rows[("ivf", sf, 16, 2)] is stored
+    assert IC._rows[key] is stored
 
 
 def test_lsh_exact_when_zero_planes(spark):
