@@ -234,8 +234,10 @@ def plans_md(sf_dir: str = "/root/testdata/sf0.01") -> str:
         "entries still > 1 after the audit are all DISTINCT passes, "
         "not duplicates: different UDFs (m01's four pipeline stages) "
         "or the same UDF over different input frames (d10 signs the "
-        "new batch AND the stored corpus; s06/s08/s09 run cosine over "
-        "corpus-x-centroid, query-x-centroid, and query-x-corpus).",
+        "new batch AND the stored corpus; s06/s09 run cosine over "
+        "query-x-centroid and query-x-candidates — the corpus-x-"
+        "centroid assignment pass left these plans in r8, paid once at "
+        "index-write time in the persistent store).",
         "",
         "| query | shuffles | BHJ | SMJ | BNLJ | cartesian | codegen | "
         "pyeval | pushed filters |",
