@@ -368,6 +368,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     inverted: DataFrame | None = None,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their nearest-centroid
     cell (the inverted file); each query probes its ``nprobe`` nearest
@@ -386,14 +387,23 @@ def ivf_topk(
     across query batches — the offline-build/online-probe split IVF is
     for — and/or a prebuilt ``inverted`` file ((neighbor_id, cell, vec),
     e.g. store.write_ivf_index's layout) so the probe pays NO assignment
-    pass at all; with both supplied ``corpus`` may be None."""
-    if centroids is None:
-        if corpus is None:
-            raise ValueError("corpus is required to build centroids")
-        centroids = kmeans_centroids(corpus, n_cells, iters, id_col, vec_col)
+    pass at all; with both supplied ``corpus`` may be None. A prebuilt
+    ``probes`` frame ((query_id, qv, cell), e.g. the store probes'
+    collected router output) additionally replaces the in-plan routing
+    — then neither ``queries`` nor ``centroids`` appears in the plan."""
+    if probes is None:
+        if centroids is None:
+            if corpus is None:
+                raise ValueError("corpus is required to build centroids")
+            centroids = kmeans_centroids(
+                corpus, n_cells, iters, id_col, vec_col
+            )
+        probes = _probe_cells(queries, centroids, nprobe, id_col, vec_col)
     if inverted is None:
         if corpus is None:
             raise ValueError("corpus is required to build the inverted file")
+        if centroids is None:
+            raise ValueError("centroids are required to build the inverted file")
         inverted = _assign_cells(corpus, centroids, id_col, vec_col).select(
             F.col("vid").alias("neighbor_id"), F.col("vec").alias("cv"), "cell"
         )
@@ -403,7 +413,6 @@ def ivf_topk(
             F.col("vec").alias("cv"),
             F.col("cell").cast("long").alias("cell"),
         )
-    probes = _probe_cells(queries, centroids, nprobe, id_col, vec_col)
     cand = (
         inverted.join(F.broadcast(probes), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -812,6 +821,7 @@ def ivfpq_topk(
     centroids: DataFrame | None = None,
     codebooks: DataFrame | None = None,
     codes: DataFrame | None = None,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the ivf_topk router composed with pq_topk's compression —
     the shape production ANN engines (FAISS IVFPQ) run at billions of
@@ -833,11 +843,17 @@ def ivfpq_topk(
     Pass prebuilt ``centroids``/``codebooks``/``codes`` ((neighbor_id,
     s, code, cell), e.g. store.write_pq_index's cell-carrying layout) to
     probe a stored index; with all three supplied ``corpus`` may be
-    None."""
-    if centroids is None:
-        if corpus is None:
-            raise ValueError("corpus is required to build centroids")
-        centroids = kmeans_centroids(corpus, n_cells, iters, id_col, vec_col)
+    None. A prebuilt ``probes`` frame ((query_id, cell)) replaces the
+    in-plan routing (the store probes collect the router output once)."""
+    if probes is None:
+        if centroids is None:
+            if corpus is None:
+                raise ValueError("corpus is required to build centroids")
+            centroids = kmeans_centroids(
+                corpus, n_cells, iters, id_col, vec_col
+            )
+        probes = _probe_cells(queries, centroids, nprobe, id_col, vec_col)
+    probes = probes.select("query_id", "cell")
     if codebooks is None:
         if corpus is None:
             raise ValueError("corpus is required to build codebooks")
@@ -847,6 +863,10 @@ def ivfpq_topk(
     if codes is None:
         if corpus is None:
             raise ValueError("corpus is required to encode PQ codes")
+        if centroids is None:
+            centroids = kmeans_centroids(
+                corpus, n_cells, iters, id_col, vec_col
+            )
         # offline: cell per vector (router) + PQ codes per (vector, subspace)
         cells = _assign_cells(corpus, centroids, id_col, vec_col).select(
             F.col("vid").alias("neighbor_id"), "cell"
@@ -867,10 +887,7 @@ def ivfpq_topk(
             F.col("cell").cast("long").alias("cell"),
         )
 
-    # online: probe cells, build the ADC table, score candidates
-    probes = _probe_cells(queries, centroids, nprobe, id_col, vec_col).select(
-        "query_id", "cell"
-    )
+    # online: the ADC table over the (already routed) probe cells
     qbase = queries.select(
         F.col(id_col).alias("__vid"), _unit(vec_col).alias("__u")
     )

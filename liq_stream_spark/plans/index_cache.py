@@ -47,12 +47,29 @@ from pyspark.sql import DataFrame, SparkSession
 _CENTROID_SCHEMA = "cell long, centroid array<double>"
 _CODEBOOK_SCHEMA = "s int, code long, centroid array<double>"
 
+# Builder-algorithm version, folded into every disk key (r8 review): the
+# store OUTLIVES the checkout, so an algorithm change (new seeding, new
+# argmax form — r7 rewrote one) with unchanged params+fingerprint would
+# otherwise serve rows built by the OLD code. BUMP THIS whenever
+# kmeans_centroids / pq_codebooks / _assign_cells / _pq_assign output
+# can change for the same inputs.
+_BUILDER_VERSION = "v1"
+
 _rows: dict[tuple, list] = {}
 _counts: dict[tuple, int] = {}
 
 
 def _store_root() -> str:
-    return os.environ.get("LIQ_ANN_STORE", "/tmp/liq_stream_ann_index")
+    """Default root lives under the repo's gitignored spark-warehouse —
+    per-checkout, owned by the checkout's user (a fixed world-shared
+    /tmp path invites cross-user EACCES collisions and, worse, lets any
+    local user pre-plant parquet under a predictable key — r8 review).
+    $LIQ_ANN_STORE overrides for deployments with a real shared lake."""
+    env = os.environ.get("LIQ_ANN_STORE")
+    if env:
+        return env
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    return os.path.join(repo, "spark-warehouse", "ann_index")
 
 
 def _fingerprint(sf_dir: str) -> str:
@@ -84,7 +101,9 @@ def _guard_corpus(corpus: DataFrame, sf_dir: str) -> None:
         os.path.realpath(f.removeprefix("file:"))
         for f in corpus.inputFiles()
     ]
-    if not files or not all(f.startswith(expect) for f in files):
+    # separator-bounded prefix: embeddings.parquet.bak must NOT pass
+    ok = lambda f: f == expect or f.startswith(expect + os.sep)  # noqa: E731
+    if not files or not all(ok(f) for f in files):
         raise ValueError(
             f"index cache requires the embeddings table of {sf_dir}; "
             f"got a frame scanning {files[:3] or 'no files'}"
@@ -104,8 +123,9 @@ def _guard_corpus(corpus: DataFrame, sf_dir: str) -> None:
 
 
 def _disk_path(key: tuple) -> str:
+    key = (_BUILDER_VERSION, *key)
     digest = hashlib.sha1(repr(key).encode()).hexdigest()[:16]
-    return os.path.join(_store_root(), f"{key[0]}-{digest}")
+    return os.path.join(_store_root(), f"{key[1]}-{_BUILDER_VERSION}-{digest}")
 
 
 def _publish(tmp: str, dst: str) -> None:

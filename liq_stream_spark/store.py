@@ -319,14 +319,18 @@ def write_pq_index(
     vec_col: str = "embedding",
     codebooks: DataFrame | None = None,
     centroids: DataFrame | None = None,
+    cells: DataFrame | None = None,
 ) -> None:
     """Build and persist the PQ half: per-subspace codebooks + the
     corpus encoded as (neighbor_id, s, code) rows — m codes per vector,
-    the 64x-smaller representation that is PQ's reason to exist. When
-    ``centroids`` are given (or already stored at ``path`` by
-    write_ivf_index) each code row also carries its IVF ``cell`` and the
-    code table is partitioned by it — that is the IVF-PQ layout
-    ivfpq_topk_from_store probes. Pass prebuilt ``codebooks`` to skip
+    the 64x-smaller representation that is PQ's reason to exist. When a
+    cell source is available each code row also carries its IVF ``cell``
+    and the code table is partitioned by it — that is the IVF-PQ layout
+    ivfpq_topk_from_store probes. Cell sources, cheapest first: a
+    ``cells`` frame ((neighbor_id, cell) — e.g. the just-written
+    inverted file, so the assignment pass is not re-run), an inverted
+    file already stored at ``path``, or ``centroids`` (runs the
+    corpus-x-centroids assignment). Pass prebuilt ``codebooks`` to skip
     retraining."""
     from liq_stream_spark.operators.similarity import (
         _assign_cells,
@@ -347,17 +351,22 @@ def write_pq_index(
     codes = _pq_assign(_subspaces(cbase, "vid", m, d_sub), codebooks).select(
         F.col("vid").alias("neighbor_id"), "s", "code"
     )
-    if centroids is None:
+    if cells is None:
         import os
 
-        if os.path.isdir(f"{path}/centroids"):
-            centroids = spark.read.parquet(f"{path}/centroids")
-    if centroids is not None:
-        cells = _assign_cells(corpus, centroids, id_col, vec_col).select(
-            F.col("vid").alias("neighbor_id"), "cell"
-        )
+        if os.path.isdir(f"{path}/inverted"):
+            # reuse the assignment already persisted by write_ivf_index
+            # instead of re-running the corpus-x-centroids pass
+            cells = spark.read.parquet(f"{path}/inverted").select(
+                "neighbor_id", F.col("cell").cast("long").alias("cell")
+            )
+        elif centroids is not None:
+            cells = _assign_cells(corpus, centroids, id_col, vec_col).select(
+                F.col("vid").alias("neighbor_id"), "cell"
+            )
+    if cells is not None:
         (
-            codes.join(cells, "neighbor_id")
+            codes.join(cells.select("neighbor_id", "cell"), "neighbor_id")
             .write.mode("overwrite")
             .partitionBy("cell")
             .parquet(f"{path}/codes")
@@ -366,26 +375,32 @@ def write_pq_index(
         codes.write.mode("overwrite").parquet(f"{path}/codes")
 
 
-def _probed_cell_list(
+def _collect_probes(
     queries: DataFrame,
     centroids: DataFrame,
     nprobe: int,
     id_col: str,
     vec_col: str,
-) -> list[int]:
-    """The online router's first step: collect the distinct cells the
-    query batch probes. Index-metadata-sized by construction (<=
-    n_queries x nprobe, <= n_cells) — the same class of driver-side
-    frame as the collected centroid/codebook tables, NOT a data-path
-    collect. Feeding it back as a literal IN-filter turns the probe scan
-    into a statically partition-pruned read of only the probed cell
-    directories (exactly FAISS reading nprobe posting lists)."""
+) -> tuple[DataFrame, list[int]]:
+    """The online router, run ONCE: compute each query's nprobe nearest
+    cells and collect the result to the driver — (n_queries x nprobe)
+    rows carrying (query_id, qv, cell), the same driver-side size class
+    as the collected centroid/codebook tables, NOT a data-path collect
+    (a million-query OFFLINE batch should call ivf_topk/ivfpq_topk with
+    the stored frames directly instead — no collect there). The
+    re-created local frame feeds the probe plan, so routing never
+    re-executes inside it, and its distinct cells become the literal
+    IN-filter that statically partition-prunes the index scan to the
+    probed cell directories (exactly FAISS reading nprobe posting
+    lists)."""
     from liq_stream_spark.operators.similarity import _probe_cells
 
-    probes = _probe_cells(queries, centroids, nprobe, id_col, vec_col)
-    return sorted(
-        r["cell"] for r in probes.select("cell").distinct().collect()
+    spark = queries.sparkSession
+    rows = _probe_cells(queries, centroids, nprobe, id_col, vec_col).collect()
+    frame = spark.createDataFrame(
+        rows, "query_id long, qv array<double>, cell long"
     )
+    return frame, sorted({r["cell"] for r in rows})
 
 
 def ivf_topk_from_store(
@@ -407,7 +422,7 @@ def ivf_topk_from_store(
     from liq_stream_spark.operators import similarity as S
 
     centroids = spark.read.parquet(f"{path}/centroids")
-    cells = _probed_cell_list(queries, centroids, nprobe, id_col, vec_col)
+    probes, cells = _collect_probes(queries, centroids, nprobe, id_col, vec_col)
     inverted = (
         spark.read.parquet(f"{path}/inverted")
         .filter(F.col("cell").isin(cells))
@@ -420,8 +435,8 @@ def ivf_topk_from_store(
         nprobe=nprobe,
         id_col=id_col,
         vec_col=vec_col,
-        centroids=centroids,
         inverted=inverted,
+        probes=probes,
     )
 
 
@@ -475,10 +490,15 @@ def ivfpq_topk_from_store(
     centroids = spark.read.parquet(f"{path}/centroids")
     codebooks = spark.read.parquet(f"{path}/codebooks")
     m = codebooks.agg(F.max("s")).first()[0] + 1
-    cells = _probed_cell_list(queries, centroids, nprobe, id_col, vec_col)
-    codes = spark.read.parquet(f"{path}/codes").filter(
-        F.col("cell").isin(cells)
-    )
+    codes = spark.read.parquet(f"{path}/codes")
+    if "cell" not in codes.columns:
+        raise ValueError(
+            "the stored code table carries no cell column — write the IVF "
+            "half first (write_ivf_index) or pass centroids to "
+            "write_pq_index so codes are written cell-partitioned"
+        )
+    probes, cells = _collect_probes(queries, centroids, nprobe, id_col, vec_col)
+    codes = codes.filter(F.col("cell").isin(cells))
     return S.ivfpq_topk(
         queries,
         corpus=None,
@@ -487,7 +507,7 @@ def ivfpq_topk_from_store(
         m=m,
         id_col=id_col,
         vec_col=vec_col,
-        centroids=centroids,
         codebooks=codebooks,
         codes=codes,
+        probes=probes,
     )

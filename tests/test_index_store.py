@@ -80,15 +80,11 @@ def test_store_probe_never_rebuilds_and_partition_prunes(
     reads ~nprobe/n_cells of the index (the FAISS posting-list read)."""
     df = store.ivf_topk_from_store(spark, queries, index_path, k=5, nprobe=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # the probe subtree (queries x broadcast centroids) appears once in
-    # the main tree; Spark's dynamic-partition-pruning SUBQUERY on the
-    # inverted scan repeats its text, but SubqueryAdaptiveBroadcast
-    # REUSES the probe broadcast at runtime — it is not a second
-    # execution, so <= 1 scan outside that case is the real invariant
-    n_emb = plan.count("embeddings.parquet")
-    assert n_emb == 1 or (
-        n_emb == 2 and "SubqueryAdaptiveBroadcast" in plan
-    ), plan[:800]
+    # the router ran ONCE at probe-collect time (r8 review: it used to
+    # re-execute inside the plan); the plan's query side is the
+    # collected local probe frame, so the embeddings table appears
+    # NOWHERE — the corpus enters exclusively through the stored index
+    assert plan.count("embeddings.parquet") == 0, plan[:800]
     # identify the inverted-file scan by its columns (the Location string
     # is truncated under long tmp paths)
     inv_scan = [
@@ -121,6 +117,23 @@ def test_index_cache_guard_rejects_foreign_frames(spark, emb):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     with pytest.raises(ValueError, match="embeddings table"):
         IC.cached_codebooks(spark, docs, SF, m=8)
+
+
+def test_index_cache_guard_rejects_sibling_paths(spark, tmp_path):
+    """r8 review: a sibling sharing the path PREFIX
+    (embeddings.parquet.bak) must not pass the separator-bounded check —
+    its rows would be cached under the real corpus's fingerprint."""
+    from liq_stream_spark.plans import index_cache as IC
+
+    corpus_dir = tmp_path / "corpus"
+    corpus_dir.mkdir()
+    src = f"{SF}/embeddings.parquet"
+    for name in ("embeddings.parquet", "embeddings.parquet.bak"):
+        dst = str(corpus_dir / name)
+        (shutil.copytree if os.path.isdir(src) else shutil.copyfile)(src, dst)
+    bak = spark.read.parquet(str(corpus_dir / "embeddings.parquet.bak"))
+    with pytest.raises(ValueError, match="embeddings table"):
+        IC.cached_centroids(spark, bak, str(corpus_dir), n_cells=8)
 
 
 def test_index_cache_serves_from_disk_without_rebuild(

@@ -199,12 +199,16 @@ def test_assign_cells_zero_norm_and_tiebreak(spark):
     assert got == {(10, 1), (11, 1), (12, 3)}
 
 
-def test_index_cache_rows_match_direct_build(spark):
+def test_index_cache_rows_match_direct_build(spark, tmp_path, monkeypatch):
     """plans/index_cache's memoized ANN index must be BIT-identical to a
     direct operator build (the deterministic-build premise the memo's
-    correctness rests on), and a second call must serve from the memo."""
+    correctness rests on), and a second call must serve from the memo.
+    The store root is isolated (r8 review): popping the memo key now
+    falls through to DISK, so the default shared store would make this
+    order/state-dependent and leave persistent state behind."""
     from liq_stream_spark.plans import index_cache as IC
 
+    monkeypatch.setenv("LIQ_ANN_STORE", str(tmp_path / "store"))
     sf = "/root/testdata/sf0.001"
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     key = ("ivf", IC._fingerprint(sf), 16, 2)
