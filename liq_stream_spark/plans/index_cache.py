@@ -13,9 +13,12 @@ a production serving path would.
 Three layers, all correctness-neutral:
 
 - disk: parquet under ``$LIQ_ANN_STORE`` (default
-  /tmp/liq_stream_ann_index), keyed by build params + a CORPUS
-  FINGERPRINT (size+mtime of every file under the embeddings table —
-  ADVICE r7: a regenerated fixture must never serve a stale index).
+  ``<repo>/spark-warehouse/ann_index`` — per-checkout, never a
+  world-shared /tmp path), keyed by a BUILDER VERSION + build params +
+  a CORPUS FINGERPRINT (size+mtime of every file under the embeddings
+  table — ADVICE r7: a regenerated fixture must never serve a stale
+  index; the version salt protects the store, which outlives the
+  checkout, from silently serving rows built by an older algorithm).
   Writes build into a tmp dir and atomically rename, so readers only
   ever see complete indexes.
 - process: collected rows of the tiny centroid/codebook frames
