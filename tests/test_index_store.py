@@ -70,6 +70,49 @@ def test_ivfpq_from_store_matches_direct(spark, emb, queries, index_path):
     assert got == want and got
 
 
+def test_write_pq_index_reuses_stored_inverted_cells(spark, emb, tmp_path):
+    """r8 review: with an inverted file already at ``path``, the PQ half
+    must attach cells from it instead of re-running the
+    corpus-x-centroids assignment (the dominant offline cost, paid once
+    at write_ivf_index time) — and the reused cells must agree with the
+    inverted file row-for-row."""
+    from unittest import mock
+
+    path = str(tmp_path / "ann")
+    store.write_ivf_index(emb, path, n_cells=8, iters=2)
+    with mock.patch.object(
+        S,
+        "_assign_cells",
+        side_effect=AssertionError("re-ran the assignment pass"),
+    ):
+        store.write_pq_index(emb, path, m=8, n_codes=16, iters=2)
+    codes = spark.read.parquet(f"{path}/codes")
+    inv = spark.read.parquet(f"{path}/inverted")
+    got = {
+        (r["neighbor_id"], r["cell"])
+        for r in codes.select("neighbor_id", "cell").distinct().collect()
+    }
+    want = {
+        (r["neighbor_id"], r["cell"])
+        for r in inv.select("neighbor_id", "cell").collect()
+    }
+    assert got == want and got
+
+
+def test_ivfpq_from_store_rejects_cell_less_codes(
+    spark, emb, queries, tmp_path
+):
+    """r8 review: a code table written standalone (no IVF half, so no
+    cell column) must fail the IVF-PQ probe with a clear error at read
+    time, not an opaque unresolved-column crash mid-plan."""
+    path = str(tmp_path / "ann")
+    store.write_pq_index(emb, path, m=8, n_codes=16, iters=2)  # cell-less
+    store.write_ivf_index(emb, path, n_cells=8, iters=2)  # adds centroids
+    assert "cell" not in spark.read.parquet(f"{path}/codes").columns
+    with pytest.raises(ValueError, match="no cell column"):
+        store.ivfpq_topk_from_store(spark, queries, path, k=5, nprobe=3)
+
+
 def test_store_probe_never_rebuilds_and_partition_prunes(
     spark, queries, index_path
 ):
