@@ -99,6 +99,23 @@ def test_write_pq_index_reuses_stored_inverted_cells(spark, emb, tmp_path):
     assert got == want and got
 
 
+def test_publish_discards_loser_on_rename_race(tmp_path):
+    """Concurrent builders: the loser of the atomic-rename race discards
+    its copy and the winner's published dir is untouched (no Spark
+    needed — pure filesystem contract)."""
+    from liq_stream_spark.plans.index_cache import _publish
+
+    dst = tmp_path / "key"
+    dst.mkdir()
+    (dst / "winner").write_text("w")
+    tmp = tmp_path / "key.tmp.123"
+    tmp.mkdir()
+    (tmp / "loser").write_text("l")
+    _publish(str(tmp), str(dst))
+    assert (dst / "winner").read_text() == "w"
+    assert not (dst / "loser").exists() and not tmp.exists()
+
+
 def test_ivfpq_from_store_rejects_cell_less_codes(
     spark, emb, queries, tmp_path
 ):
