@@ -60,6 +60,20 @@ CHANGED_SINCE_GREEN: list[str] = [
     "s08_ivfpq_topk",
     "s09_ivf_topk_pruned",
     "d11_semantic_dedup",
+    # r8: skew.spread_for_compute (embedded in simhash_table and the
+    # t12/t13/t14 scoring inputs) memoizes its plan-to-RDD partition
+    # probe per semanticHash and accepts splits= (ADVICE r7 item 4).
+    # Result-neutral by construction (same spread decision, cached) and
+    # plan-neutral, but the builders' code changed after their r7
+    # greens, so they re-queue. (The same commit's LSH chunk-validation
+    # reorder in dedup.py touches only the invalid-argument error path —
+    # registered queries pass valid args, so d03/d12/d14 are NOT
+    # re-queued for it.)
+    "t04_simhash",
+    "d05_simhash_near_pairs",
+    "t12_winnowing_fingerprints",
+    "t13_lm_perplexity",
+    "t14_quality_classifier",
 ]
 
 
