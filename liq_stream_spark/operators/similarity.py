@@ -864,8 +864,12 @@ def ivfpq_topk(
         if corpus is None:
             raise ValueError("corpus is required to encode PQ codes")
         if centroids is None:
-            centroids = kmeans_centroids(
-                corpus, n_cells, iters, id_col, vec_col
+            # only reachable with caller-supplied probes: retraining
+            # here could assign cell ids that disagree with the routing
+            # the probes were built from — garbage matches, no error
+            raise ValueError(
+                "centroids are required to encode PQ codes — pass the "
+                "same centroids the probes were routed with"
             )
         # offline: cell per vector (router) + PQ codes per (vector, subspace)
         cells = _assign_cells(corpus, centroids, id_col, vec_col).select(

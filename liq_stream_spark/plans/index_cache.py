@@ -46,6 +46,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _CENTROID_SCHEMA = "cell long, centroid array<double>"
 _CODEBOOK_SCHEMA = "s int, code long, centroid array<double>"
@@ -67,12 +68,20 @@ def _store_root() -> str:
     per-checkout, owned by the checkout's user (a fixed world-shared
     /tmp path invites cross-user EACCES collisions and, worse, lets any
     local user pre-plant parquet under a predictable key — r8 review).
+    When the package is INSTALLED (no .git beside it — ``__file__``
+    would point into site-packages, which is shared and often
+    read-only), fall back to the per-user cache dir instead.
     $LIQ_ANN_STORE overrides for deployments with a real shared lake."""
     env = os.environ.get("LIQ_ANN_STORE")
     if env:
         return env
     repo = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
-    return os.path.join(repo, "spark-warehouse", "ann_index")
+    if os.path.isdir(os.path.join(repo, ".git")):
+        return os.path.join(repo, "spark-warehouse", "ann_index")
+    cache = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    return os.path.join(cache, "liq_stream_spark", "ann_index")
 
 
 def _fingerprint(sf_dir: str) -> str:
@@ -251,6 +260,10 @@ def ensure_ann_index(
             corpus, tmp, n_cells=n_cells, iters=iters, centroids=centroids
         )
         if m is not None:
+            # cells come from the inverted file JUST written above —
+            # explicitly, because an explicit centroids argument now
+            # outranks disk reuse in write_pq_index and would re-run
+            # the corpus-x-centroids assignment pass
             store.write_pq_index(
                 corpus,
                 tmp,
@@ -260,7 +273,9 @@ def ensure_ann_index(
                 codebooks=cached_codebooks(
                     spark, corpus, sf_dir, m, n_codes, iters
                 ),
-                centroids=centroids,
+                cells=spark.read.parquet(f"{tmp}/inverted").select(
+                    "neighbor_id", F.col("cell").cast("long").alias("cell")
+                ),
             )
         _publish(tmp, disk)
     return disk

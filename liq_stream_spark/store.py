@@ -326,12 +326,18 @@ def write_pq_index(
     the 64x-smaller representation that is PQ's reason to exist. When a
     cell source is available each code row also carries its IVF ``cell``
     and the code table is partitioned by it — that is the IVF-PQ layout
-    ivfpq_topk_from_store probes. Cell sources, cheapest first: a
+    ivfpq_topk_from_store probes. Cell sources, in precedence order: a
     ``cells`` frame ((neighbor_id, cell) — e.g. the just-written
-    inverted file, so the assignment pass is not re-run), an inverted
-    file already stored at ``path``, or ``centroids`` (runs the
-    corpus-x-centroids assignment). Pass prebuilt ``codebooks`` to skip
-    retraining."""
+    inverted file, so the assignment pass is not re-run), ``centroids``
+    (runs the corpus-x-centroids assignment), then an inverted file
+    already stored at ``path``. EXPLICIT arguments always win over disk
+    state: a caller refreshing the PQ half with fresh centroids must
+    never be silently routed through a stale inverted file. When cells
+    come from the caller or from disk, coverage is VERIFIED (one narrow
+    anti-join at offline write time) — a cell source that misses corpus
+    vectors would otherwise silently drop them from the code table (the
+    join is inner so the partitionBy column is never NULL). Pass
+    prebuilt ``codebooks`` to skip retraining."""
     from liq_stream_spark.operators.similarity import (
         _assign_cells,
         _pq_assign,
@@ -351,18 +357,37 @@ def write_pq_index(
     codes = _pq_assign(_subspaces(cbase, "vid", m, d_sub), codebooks).select(
         F.col("vid").alias("neighbor_id"), "s", "code"
     )
+    assigned_here = False
     if cells is None:
-        import os
-
-        if os.path.isdir(f"{path}/inverted"):
-            # reuse the assignment already persisted by write_ivf_index
-            # instead of re-running the corpus-x-centroids pass
-            cells = spark.read.parquet(f"{path}/inverted").select(
-                "neighbor_id", F.col("cell").cast("long").alias("cell")
-            )
-        elif centroids is not None:
+        if centroids is not None:
             cells = _assign_cells(corpus, centroids, id_col, vec_col).select(
                 F.col("vid").alias("neighbor_id"), "cell"
+            )
+            assigned_here = True
+        else:
+            import os
+
+            if os.path.isdir(f"{path}/inverted"):
+                # reuse the assignment already persisted by
+                # write_ivf_index instead of re-running the
+                # corpus-x-centroids pass
+                cells = spark.read.parquet(f"{path}/inverted").select(
+                    "neighbor_id", F.col("cell").cast("long").alias("cell")
+                )
+    if cells is not None and not assigned_here:
+        # a caller-supplied or disk-read cell source can be stale
+        # relative to the corpus being encoded; the inner join below
+        # would silently drop uncovered vectors from the code table
+        uncovered = (
+            corpus.select(F.col(id_col).alias("neighbor_id"))
+            .join(cells.select("neighbor_id"), "neighbor_id", "left_anti")
+            .count()
+        )
+        if uncovered:
+            raise ValueError(
+                f"cell source does not cover the corpus ({uncovered} "
+                f"vectors unassigned) — stale inverted file at {path}? "
+                "re-run write_ivf_index on this corpus, or pass centroids"
             )
     if cells is not None:
         (
@@ -381,6 +406,7 @@ def _collect_probes(
     nprobe: int,
     id_col: str,
     vec_col: str,
+    with_qv: bool = True,
 ) -> tuple[DataFrame, list[int]]:
     """The online router, run ONCE: compute each query's nprobe nearest
     cells and collect the result to the driver — (n_queries x nprobe)
@@ -392,14 +418,25 @@ def _collect_probes(
     re-executes inside it, and its distinct cells become the literal
     IN-filter that statically partition-prunes the index scan to the
     probed cell directories (exactly FAISS reading nprobe posting
-    lists)."""
+    lists). ``with_qv=False`` drops the query vectors before the collect
+    for consumers that only route on (query_id, cell) — the IVF-PQ path
+    builds its ADC table from the queries frame itself, so shipping each
+    vector nprobe times driver-side would be pure waste. The probe id
+    keeps the QUERIES frame's own id dtype (string ids work)."""
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructType
+
     from liq_stream_spark.operators.similarity import _probe_cells
 
     spark = queries.sparkSession
-    rows = _probe_cells(queries, centroids, nprobe, id_col, vec_col).collect()
-    frame = spark.createDataFrame(
-        rows, "query_id long, qv array<double>, cell long"
-    )
+    probes = _probe_cells(queries, centroids, nprobe, id_col, vec_col)
+    if not with_qv:
+        probes = probes.select("query_id", "cell")
+    rows = probes.collect()
+    schema = StructType().add("query_id", queries.schema[id_col].dataType)
+    if with_qv:
+        schema = schema.add("qv", ArrayType(DoubleType()))
+    schema = schema.add("cell", LongType())
+    frame = spark.createDataFrame(rows, schema)
     return frame, sorted({r["cell"] for r in rows})
 
 
@@ -497,7 +534,9 @@ def ivfpq_topk_from_store(
             "half first (write_ivf_index) or pass centroids to "
             "write_pq_index so codes are written cell-partitioned"
         )
-    probes, cells = _collect_probes(queries, centroids, nprobe, id_col, vec_col)
+    probes, cells = _collect_probes(
+        queries, centroids, nprobe, id_col, vec_col, with_qv=False
+    )
     codes = codes.filter(F.col("cell").isin(cells))
     return S.ivfpq_topk(
         queries,

@@ -99,6 +99,73 @@ def test_write_pq_index_reuses_stored_inverted_cells(spark, emb, tmp_path):
     assert got == want and got
 
 
+def test_write_pq_index_explicit_centroids_beat_stale_inverted(
+    spark, emb, tmp_path
+):
+    """r8 review: explicit arguments outrank disk state — a caller
+    refreshing the PQ half with fresh centroids must get a fresh
+    assignment of the ACTUAL corpus, never the stale inverted file's."""
+    path = str(tmp_path / "ann")
+    old = emb.filter(F.col("vec_id") < 10)  # stale, partial corpus
+    store.write_ivf_index(old, path, n_cells=4, iters=2)
+    cents = spark.read.parquet(f"{path}/centroids")
+    store.write_pq_index(emb, path, m=8, n_codes=16, iters=2, centroids=cents)
+    codes = spark.read.parquet(f"{path}/codes")
+    # every corpus vector is encoded — nothing dropped through the
+    # stale inverted file's 10-vector assignment
+    assert codes.select("neighbor_id").distinct().count() == emb.count()
+
+
+def test_write_pq_index_rejects_uncovering_cell_source(spark, emb, tmp_path):
+    """r8 review: a disk-read cell source that misses corpus vectors
+    must raise at write time instead of silently dropping them from the
+    code table (the cell join is inner)."""
+    path = str(tmp_path / "ann")
+    store.write_ivf_index(
+        emb.filter(F.col("vec_id") < 10), path, n_cells=4, iters=2
+    )
+    with pytest.raises(ValueError, match="does not cover"):
+        store.write_pq_index(emb, path, m=8, n_codes=16, iters=2)
+
+
+def test_ivfpq_topk_rejects_probes_without_centroids(spark, emb, queries):
+    """r8 review: building codes under caller-supplied probes with no
+    centroids must raise — a silent retrain could route probes against
+    disagreeing cell ids."""
+    probes = spark.createDataFrame(
+        [(0, 0), (1, 1)], "query_id long, cell long"
+    )
+    with pytest.raises(ValueError, match="routed with"):
+        S.ivfpq_topk(queries, emb, k=5, probes=probes)
+
+
+def test_from_store_supports_string_ids(spark, tmp_path):
+    """r8 review: the collected probe frame keeps the queries frame's id
+    dtype — string-keyed corpora probe the store end-to-end."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (f"doc-{i:03d}", [rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(40)
+    ]
+    corpus = spark.createDataFrame(rows, "name string, emb array<double>")
+    path = str(tmp_path / "ann")
+    store.write_ivf_index(
+        corpus, path, n_cells=4, iters=2, id_col="name", vec_col="emb"
+    )
+    store.write_pq_index(
+        corpus, path, m=4, n_codes=8, iters=2, id_col="name", vec_col="emb"
+    )
+    qs = corpus.limit(5)
+    for fn in (store.ivf_topk_from_store, store.ivfpq_topk_from_store):
+        got = fn(spark, qs, path, k=3, nprobe=2, id_col="name", vec_col="emb")
+        assert got.count() > 0
+        assert {r["query_id"] for r in got.select("query_id").collect()} <= {
+            r["name"] for r in qs.collect()
+        }
+
+
 def test_publish_discards_loser_on_rename_race(tmp_path):
     """Concurrent builders: the loser of the atomic-rename race discards
     its copy and the winner's published dir is untouched (no Spark
