@@ -37,44 +37,13 @@ from __future__ import annotations
 # driver-green row. POLICY (VERDICT r5 items 1/4): an entry is added in
 # the SAME COMMIT as the code change it describes — never pre-declared
 # for planned work — so this list and `git log` always agree. Reset to
-# the new round's committed changes at round open (CORRECTNESS_r07
-# greened the full 50-slot sample — every r7 entry led and
-# hash-matched — so the r8 baseline is empty); entries below accumulate
-# as r8 commits land. Tier convention: cheap JVM-only entries lead
-# (cold-session Arrow/daemon spin-up must not land on a pandas-UDF
-# query).
-CHANGED_SINCE_GREEN: list[str] = [
-    # r8: the ANN index is PERSISTED to the parquet store (VERDICT r7
-    # item 1): index_cache is now a shim over store.write_ivf_index/
-    # write_pq_index (fingerprint-keyed, atomic-publish, corpus-guarded)
-    # and s06/s07/s08/s09 probe the STORED index via the
-    # *_topk_from_store readers — training/assignment/encoding happen
-    # once per corpus version at write time, the probe plans carry only
-    # index scans (partition-pruned to the probed cells) + the query
-    # batch. Results row-identical (deterministic builds, exact parquet
-    # double round-trip — equality pinned in tests/test_index_store.py);
-    # oracles unchanged and all five re-driven green locally at sf0.01.
-    # d11 rides the same store-backed cached_centroids path.
-    "s06_ivf_topk",
-    "s07_pq_topk",
-    "s08_ivfpq_topk",
-    "s09_ivf_topk_pruned",
-    "d11_semantic_dedup",
-    # r8: skew.spread_for_compute (embedded in simhash_table and the
-    # t12/t13/t14 scoring inputs) memoizes its plan-to-RDD partition
-    # probe per semanticHash and accepts splits= (ADVICE r7 item 4).
-    # Result-neutral by construction (same spread decision, cached) and
-    # plan-neutral, but the builders' code changed after their r7
-    # greens, so they re-queue. (The same commit's LSH chunk-validation
-    # reorder in dedup.py touches only the invalid-argument error path —
-    # registered queries pass valid args, so d03/d12/d14 are NOT
-    # re-queued for it.)
-    "t04_simhash",
-    "d05_simhash_near_pairs",
-    "t12_winnowing_fingerprints",
-    "t13_lm_perplexity",
-    "t14_quality_classifier",
-]
+# the new round's committed changes at round open (CORRECTNESS_r08
+# greened the full 50-slot sample — every r8 entry led and
+# hash-matched, q30 rows-only clean by design — so the r9 baseline is
+# empty); entries below accumulate as r9 commits land. Tier convention:
+# cheap JVM-only entries lead (cold-session Arrow/daemon spin-up must
+# not land on a pandas-UDF query).
+CHANGED_SINCE_GREEN: list[str] = []
 
 
 def verification_order() -> list[str]:
