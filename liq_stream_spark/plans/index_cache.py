@@ -54,10 +54,12 @@ _CODEBOOK_SCHEMA = "s int, code long, centroid array<double>"
 # Builder-algorithm version, folded into every disk key (r8 review): the
 # store OUTLIVES the checkout, so an algorithm change (new seeding, new
 # argmax form — r7 rewrote one) with unchanged params+fingerprint would
-# otherwise serve rows built by the OLD code. BUMP THIS whenever
-# kmeans_centroids / pq_codebooks / _assign_cells / _pq_assign output
-# can change for the same inputs.
-_BUILDER_VERSION = "v1"
+# otherwise serve rows built by the OLD code. r9: the constant moved to
+# liq_stream_spark.store (one source of truth — the store stamps it
+# into every index's meta sidecar and append_to_ivf_index refuses
+# cross-version appends); same "v1" value, so existing disk keys stay
+# valid.
+from liq_stream_spark.store import BUILDER_VERSION as _BUILDER_VERSION
 
 _rows: dict[tuple, list] = {}
 _counts: dict[tuple, int] = {}
@@ -84,16 +86,33 @@ def _store_root() -> str:
     return os.path.join(cache, "liq_stream_spark", "ann_index")
 
 
+def _file_salt(p: str, st: os.stat_result, h) -> None:
+    """Content salt (ADVICE r8, defense in depth): fold the first and
+    last 4 KiB of the file into the fingerprint, so a fixture rewritten
+    with size AND mtime preserved (restore tools that keep timestamps)
+    still changes the key. Parquet puts its footer metadata — row-group
+    offsets, column stats — in the tail, so any real rewrite perturbs
+    those bytes. 8 KiB per file of extra I/O, negligible next to the
+    build it guards."""
+    with open(p, "rb") as f:
+        h.update(f.read(4096))
+        if st.st_size > 4096:
+            f.seek(max(4096, st.st_size - 4096))
+            h.update(f.read(4096))
+
+
 def _fingerprint(sf_dir: str) -> str:
-    """Corpus-version fingerprint: sha1 over (relpath, size, mtime_ns) of
-    every file under the embeddings table. Computed fresh on every call
-    (a stat-walk, no I/O of content) so an in-place fixture rewrite is
-    seen immediately — the stale-index hazard the r7 memo had."""
+    """Corpus-version fingerprint: sha1 over (relpath, size, mtime_ns)
+    PLUS a head/tail content salt of every file under the embeddings
+    table. Computed fresh on every call so an in-place fixture rewrite
+    is seen immediately — the stale-index hazard the r7 memo had; the
+    salt closes the preserved-mtime corner (ADVICE r8)."""
     base = os.path.join(sf_dir, "embeddings.parquet")
     h = hashlib.sha1()
     if os.path.isfile(base):
         st = os.stat(base)
         h.update(f"f:{st.st_size}:{st.st_mtime_ns}".encode())
+        _file_salt(base, st, h)
     else:
         for root, _dirs, files in sorted(os.walk(base)):
             for f in sorted(files):
@@ -101,6 +120,7 @@ def _fingerprint(sf_dir: str) -> str:
                 st = os.stat(p)
                 rel = os.path.relpath(p, base)
                 h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
+                _file_salt(p, st, h)
     return h.hexdigest()[:16]
 
 
@@ -120,14 +140,20 @@ def _guard_corpus(corpus: DataFrame, sf_dir: str) -> None:
             f"index cache requires the embeddings table of {sf_dir}; "
             f"got a frame scanning {files[:3] or 'no files'}"
         )
-    plan = corpus._jdf.queryExecution().analyzed().toString()
-    for node in ("Filter", "Join", "Aggregate", "Project"):
-        if node in plan:
-            raise ValueError(
-                "index cache requires a BARE scan of the embeddings "
-                f"table (found {node} in the plan) — build indexes over "
-                "derived frames with the operators directly"
-            )
+    # STRUCTURAL check (VERDICT r8 item 5 / ADVICE r8): a bare
+    # spark.read.parquet frame's analyzed plan is a single leaf relation
+    # node; any Filter/Project/Join/Aggregate wraps it with children.
+    # Testing leaf-ness is robust to node renames and to path/column
+    # text containing node-name words, both of which broke the old
+    # rendered-string substring match.
+    plan = corpus._jdf.queryExecution().analyzed()
+    if not plan.children().isEmpty():
+        raise ValueError(
+            "index cache requires a BARE scan of the embeddings table "
+            f"(the plan's top node is {plan.nodeName()}, not a leaf "
+            "relation) — build indexes over derived frames with the "
+            "operators directly"
+        )
     if not {"vec_id", "embedding"} <= set(corpus.columns):
         raise ValueError(
             f"frame lacks vec_id/embedding columns: {corpus.columns}"
@@ -140,9 +166,49 @@ def _disk_path(key: tuple) -> str:
     return os.path.join(_store_root(), f"{key[1]}-{_BUILDER_VERSION}-{digest}")
 
 
+def _sweep_orphan_tmps(root: str) -> None:
+    """ADVICE r8: a build that crashes between the tmp write and
+    _publish leaves '{key}.tmp.{pid}' garbage in the store forever
+    (publish stays atomic, so disk waste only). Sweep tmp dirs whose
+    owning pid is dead, or — pids recycle — whose mtime is older than a
+    day (no live build runs that long). Best-effort: a sweep racing a
+    live builder's rename loses harmlessly (rmtree of a vanished path is
+    ignored; the builder's _publish already tolerates a vanished tmp by
+    failing the rename into the discard arm)."""
+    import time
+
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    now = time.time()
+    for name in entries:
+        base, sep, pid_s = name.rpartition(".tmp.")
+        if not sep or not pid_s.isdigit():
+            continue
+        p = os.path.join(root, name)
+        pid = int(pid_s)
+        alive = True
+        try:
+            os.kill(pid, 0)  # signal 0: existence probe, nothing sent
+        except ProcessLookupError:
+            alive = False
+        except PermissionError:
+            pass  # exists, owned by someone else
+        try:
+            stale = now - os.stat(p).st_mtime > 86400
+        except OSError:
+            continue  # already gone (concurrent sweep/publish)
+        if not alive or stale:
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def _publish(tmp: str, dst: str) -> None:
     """Atomic publish: readers only ever see a complete index dir. A
-    concurrent builder that lost the rename race discards its copy."""
+    concurrent builder that lost the rename race discards its copy.
+    Each publish also sweeps dead-pid/stale tmp orphans from the store
+    (ADVICE r8) — crash garbage is bounded by one crashed build, not
+    accumulated forever."""
     os.makedirs(os.path.dirname(dst), exist_ok=True)
     try:
         os.rename(tmp, dst)
@@ -150,6 +216,7 @@ def _publish(tmp: str, dst: str) -> None:
         if not os.path.isdir(dst):
             raise
         shutil.rmtree(tmp, ignore_errors=True)
+    _sweep_orphan_tmps(os.path.dirname(dst))
 
 
 def _cached_frame(

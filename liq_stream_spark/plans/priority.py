@@ -43,7 +43,23 @@ from __future__ import annotations
 # empty); entries below accumulate as r9 commits land. Tier convention:
 # cheap JVM-only entries lead (cold-session Arrow/daemon spin-up must
 # not land on a pandas-UDF query).
-CHANGED_SINCE_GREEN: list[str] = []
+CHANGED_SINCE_GREEN: list[str] = [
+    # r9: the ANN store gained the incremental-ingest path
+    # (store.append_to_ivf_index) and an index meta sidecar written by
+    # write_ivf_index/write_pq_index; write_pq_index now derives m from
+    # supplied codebooks (ADVICE r8); index_cache's corpus guard is
+    # structural (plan leaf-ness, not substring matching), its
+    # fingerprint folds a head/tail content salt (so every cache KEY
+    # changes and the store rebuilds once), and publish sweeps orphan
+    # tmp dirs. s06–s09/d11 ride ensure_ann_index + the store probes,
+    # so they re-queue; results are build-deterministic and unchanged
+    # (pinned row-identical in tests/test_index_store.py).
+    "s06_ivf_topk",
+    "s07_pq_topk",
+    "s08_ivfpq_topk",
+    "s09_ivf_topk_pruned",
+    "d11_semantic_dedup",
+]
 
 
 def verification_order() -> list[str]:

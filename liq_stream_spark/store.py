@@ -276,6 +276,46 @@ def write_bucketed_table(
 # vectors) exactly so their lists are one-file-sized; a deployment with
 # a small-files concern composes this with the date-partition scheme of
 # compact_store (cell dirs inside corpus-version dirs).
+#
+# Every index root carries a {path}/_liq_index_meta.json sidecar
+# (underscore prefix: Spark's parquet reader ignores it) recording the
+# builder version + build params + corpus dim, written by the write_*
+# functions and REQUIRED by append_to_ivf_index — an append against an
+# index built by a different algorithm version would silently mix
+# assignment rules inside one inverted file.
+
+# Builder-algorithm version, folded into the index_cache disk keys AND
+# stamped into every index's meta sidecar. BUMP whenever
+# kmeans_centroids / pq_codebooks / _assign_cells / _pq_assign output
+# can change for the same inputs — the stored index outlives the
+# checkout, and append_to_ivf_index refuses cross-version appends.
+BUILDER_VERSION = "v1"
+
+_INDEX_META = "_liq_index_meta.json"
+
+
+def _write_index_meta(path: str, **fields) -> None:
+    """Merge ``fields`` into the index meta sidecar (the IVF and PQ
+    halves are written by separate calls against one root)."""
+    import json
+    import os
+
+    meta = _read_index_meta(path) or {}
+    meta.update(fields, builder_version=BUILDER_VERSION)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _INDEX_META), "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+
+
+def _read_index_meta(path: str) -> dict | None:
+    import json
+    import os
+
+    p = os.path.join(path, _INDEX_META)
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
 
 
 def write_ivf_index(
@@ -307,6 +347,12 @@ def write_ivf_index(
         .partitionBy("cell")
         .parquet(f"{path}/inverted")
     )
+    _write_index_meta(
+        path,
+        dim=len(centroids.select("centroid").first()["centroid"]),
+        n_cells=n_cells,
+        iters=iters,
+    )
 
 
 def write_pq_index(
@@ -337,7 +383,11 @@ def write_pq_index(
     anti-join at offline write time) — a cell source that misses corpus
     vectors would otherwise silently drop them from the code table (the
     join is inner so the partitionBy column is never NULL). Pass
-    prebuilt ``codebooks`` to skip retraining."""
+    prebuilt ``codebooks`` to skip retraining — then ``m`` is DERIVED
+    from them (max subspace id + 1, exactly how the *_from_store
+    readers recover it) and cross-checked against the corpus dim, so a
+    codebook/argument mismatch raises instead of encoding a truncated
+    subspace set (ADVICE r8)."""
     from liq_stream_spark.operators.similarity import (
         _assign_cells,
         _pq_assign,
@@ -346,11 +396,31 @@ def write_pq_index(
         pq_codebooks,
     )
 
+    from liq_stream_spark.operators.similarity import _corpus_dim
+
     spark = corpus.sparkSession
     if codebooks is None:
         codebooks = pq_codebooks(corpus, m, n_codes, iters, id_col, vec_col)
+        d_sub = len(codebooks.select("centroid").first()["centroid"])
+    else:
+        # ADVICE r8: m is a property OF the codebooks — derive it like
+        # the *_from_store readers do (max subspace id + 1) instead of
+        # trusting the default-valued argument; codebooks trained with
+        # m=16 under a left-at-default m=8 would otherwise encode only
+        # the first 8 subspaces (F.slice past the end yields empty
+        # arrays) and persist a silently corrupt code table. The dim
+        # cross-check catches codebooks trained on a different-width
+        # corpus before anything is written.
+        m = codebooks.agg(F.max("s")).first()[0] + 1
+        d_sub = len(codebooks.select("centroid").first()["centroid"])
+        dim = _corpus_dim(corpus, vec_col)
+        if m * d_sub != dim:
+            raise ValueError(
+                f"supplied codebooks cover m*d_sub = {m}*{d_sub} = "
+                f"{m * d_sub} dims but the corpus vectors have {dim} — "
+                "codebooks from a different corpus or build?"
+            )
     codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
-    d_sub = len(codebooks.select("centroid").first()["centroid"])
     cbase = corpus.select(
         F.col(id_col).alias("__vid"), _unit(vec_col).alias("__u")
     )
@@ -398,6 +468,148 @@ def write_pq_index(
         )
     else:
         codes.write.mode("overwrite").parquet(f"{path}/codes")
+    _write_index_meta(
+        path,
+        m=m,
+        n_codes=n_codes,
+        pq_iters=iters,
+        codes_cell_partitioned=cells is not None,
+    )
+
+
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    check_ids: bool = True,
+) -> None:
+    """Incremental ingest into an existing index: assign the NEW batch to
+    the STORED centroids, append its rows to their cell partitions, and —
+    when the store holds a PQ half — encode the batch against the STORED
+    codebooks and append the codes. Never retrains, never re-reads or
+    rewrites existing cells: the only index inputs the job touches are
+    the tiny training frames (centroids/codebooks), so ingest cost is
+    O(batch), not O(corpus) — the vector-side analogue of
+    dedup_incremental's never-reshuffle-corpus contract
+    (operators/dedup.py, d10) and of the reference's row-at-a-time
+    INSERT against pre-built indexes (writer_pg.py:59-62,38-57). A
+    daily-crawl deployment builds once, then appends each drop.
+
+    Probe results after an append are row-identical to a from-scratch
+    write of the combined corpus AGAINST THE SAME centroids/codebooks
+    (assignment and encoding are deterministic per row — pinned in
+    tests/test_index_store.py); recall drifts only as far as the frozen
+    centroids drift from the true distribution, the standard IVF
+    tradeoff FAISS documents for add-after-train, cured by a periodic
+    full rebuild.
+
+    Guards: refuses a store with no meta sidecar or a different
+    ``builder_version`` (mixed assignment rules inside one inverted file
+    corrupt silently), refuses a batch whose vector width differs from
+    the stored ``dim``, and — by default — refuses ids already present
+    in the index (``check_ids=True`` reads ONE column of the inverted
+    file and broadcast-anti-joins the batch against it: column-pruned
+    I/O, no shuffle of the old corpus; an ingest pipeline that
+    guarantees fresh ids upstream passes ``check_ids=False`` to skip
+    even that read). The parquet append is files-only (no old file is
+    touched) but not transactional — a crash mid-append can leave a
+    partial batch visible; a production lake wraps this in a table
+    format's atomic commit (Delta/Iceberg, jars not in this container)
+    or re-runs the append idempotently after an id sweep."""
+    import os
+
+    from liq_stream_spark.operators.similarity import (
+        _assign_cells,
+        _corpus_dim,
+        _pq_assign,
+        _subspaces,
+        _unit,
+    )
+
+    spark = new_vectors.sparkSession
+    meta = _read_index_meta(path)
+    if meta is None:
+        raise ValueError(
+            f"no index meta sidecar at {path} — the store predates the "
+            "append path (or is not an index root); re-run "
+            "write_ivf_index to rebuild with meta before appending"
+        )
+    if meta.get("builder_version") != BUILDER_VERSION:
+        raise ValueError(
+            f"stored index was built by builder "
+            f"{meta.get('builder_version')!r}, this code is "
+            f"{BUILDER_VERSION!r} — appending would mix assignment rules "
+            "inside one inverted file; rebuild the index"
+        )
+    if not os.path.isdir(f"{path}/centroids"):
+        raise ValueError(
+            f"no centroids at {path} — append requires the IVF half "
+            "(write_ivf_index first)"
+        )
+    dim = _corpus_dim(new_vectors, vec_col)
+    if dim != meta.get("dim"):
+        raise ValueError(
+            f"batch vectors have {dim} dims, the stored index was built "
+            f"on {meta.get('dim')} — wrong corpus for this index"
+        )
+    centroids = spark.read.parquet(f"{path}/centroids")
+    if check_ids:
+        existing = spark.read.parquet(f"{path}/inverted").select(
+            "neighbor_id"
+        )
+        dup = (
+            existing.join(
+                F.broadcast(
+                    new_vectors.select(F.col(id_col).alias("neighbor_id"))
+                ),
+                "neighbor_id",
+                "left_semi",
+            )
+            .limit(5)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"batch ids already present in the index (e.g. "
+                f"{[r['neighbor_id'] for r in dup]}) — an append would "
+                "duplicate their posting-list rows; dedup the batch "
+                "first, or pass check_ids=False only when ids are "
+                "guaranteed fresh upstream"
+            )
+    # one assignment pass, reused by both appends (inverted + codes)
+    assigned = (
+        _assign_cells(new_vectors, centroids, id_col, vec_col)
+        .select(F.col("vid").alias("neighbor_id"), "vec", "cell")
+        .localCheckpoint(eager=False)
+    )
+    (
+        assigned.write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/inverted")
+    )
+    if "m" not in meta:
+        return  # IVF-only store
+    codebooks = spark.read.parquet(f"{path}/codebooks")
+    m = codebooks.agg(F.max("s")).first()[0] + 1
+    d_sub = len(codebooks.select("centroid").first()["centroid"])
+    base = new_vectors.select(
+        F.col(id_col).alias("__vid"), _unit(vec_col).alias("__u")
+    )
+    codes = _pq_assign(_subspaces(base, "vid", m, d_sub), codebooks).select(
+        F.col("vid").alias("neighbor_id"), "s", "code"
+    )
+    if meta.get("codes_cell_partitioned"):
+        (
+            codes.join(
+                assigned.select("neighbor_id", "cell"), "neighbor_id"
+            )
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(f"{path}/codes")
+        )
+    else:
+        codes.write.mode("append").parquet(f"{path}/codes")
 
 
 def _collect_probes(
@@ -413,7 +625,9 @@ def _collect_probes(
     rows carrying (query_id, qv, cell), the same driver-side size class
     as the collected centroid/codebook tables, NOT a data-path collect
     (a million-query OFFLINE batch should call ivf_topk/ivfpq_topk with
-    the stored frames directly instead — no collect there). The
+    the stored frames directly instead — no collect there; that arm is
+    executable and pinned LocalTableScan-free in
+    tests/test_index_store.py::test_offline_probe_arm_runs_without_collect). The
     re-created local frame feeds the probe plan, so routing never
     re-executes inside it, and its distinct cells become the literal
     IN-filter that statically partition-prunes the index scan to the

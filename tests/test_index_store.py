@@ -166,6 +166,166 @@ def test_from_store_supports_string_ids(spark, tmp_path):
         }
 
 
+def _build_half(emb, path):
+    """IVF+PQ store over the first half of the fixture (the 'yesterday'
+    corpus an incremental deployment built once)."""
+    half = emb.filter(F.col("vec_id") < 250)
+    store.write_ivf_index(half, path, n_cells=8, iters=2)
+    store.write_pq_index(half, path, m=8, n_codes=16, iters=2)
+    return half
+
+
+def test_append_matches_from_scratch_build(spark, emb, queries, tmp_path):
+    """VERDICT r8 item 1's done-gate: build on half the fixture, append
+    the other half, and every store probe (s06/s08 shape) is
+    row-identical to a from-scratch write of the FULL corpus against the
+    SAME frozen centroids/codebooks — assignment and encoding are
+    deterministic per row, so the exact-equality check is meaningful,
+    not flaky."""
+    inc = str(tmp_path / "inc")
+    _build_half(emb, inc)
+    store.append_to_ivf_index(emb.filter(F.col("vec_id") >= 250), inc)
+
+    scratch = str(tmp_path / "scratch")
+    cents = spark.read.parquet(f"{inc}/centroids")
+    books = spark.read.parquet(f"{inc}/codebooks")
+    store.write_ivf_index(emb, scratch, centroids=cents)
+    store.write_pq_index(
+        emb,
+        scratch,
+        codebooks=books,
+        cells=spark.read.parquet(f"{scratch}/inverted").select(
+            "neighbor_id", F.col("cell").cast("long").alias("cell")
+        ),
+    )
+    for probe in (
+        lambda p: store.ivf_topk_from_store(spark, queries, p, k=5, nprobe=3),
+        lambda p: store.ivfpq_topk_from_store(
+            spark, queries, p, k=5, nprobe=3
+        ),
+        lambda p: store.pq_topk_from_store(spark, queries, p, k=5),
+    ):
+        got, want = _rows(probe(inc)), _rows(probe(scratch))
+        assert got == want and got
+    # and the appended rows actually landed in cell partitions alongside
+    # the original build's (one inverted file, both eras)
+    inv = spark.read.parquet(f"{inc}/inverted")
+    assert inv.count() == emb.count()
+
+
+def test_append_touches_only_batch_and_training_frames(
+    spark, emb, tmp_path, monkeypatch
+):
+    """The O(batch) pin: with check_ids=False the append job reads ONLY
+    the tiny training frames (centroids/codebooks) — never the inverted
+    file or code table — and never calls a trainer. That is the
+    never-rescan-old-cells contract that makes ingest cost independent
+    of corpus size."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    path = str(tmp_path / "ann")
+    _build_half(emb, path)
+
+    read_paths = []
+    real = DataFrameReader.parquet
+
+    def recording(self, *paths):
+        read_paths.extend(paths)
+        return real(self, *paths)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", recording)
+    for trainer in ("kmeans_centroids", "pq_codebooks"):
+        monkeypatch.setattr(
+            S,
+            trainer,
+            lambda *a, **k: (_ for _ in ()).throw(
+                AssertionError("trainer ran during append")
+            ),
+        )
+    store.append_to_ivf_index(
+        emb.filter(F.col("vec_id") >= 250), path, check_ids=False
+    )
+    assert read_paths, "expected the training-frame reads"
+    for p in read_paths:
+        assert p.endswith("/centroids") or p.endswith("/codebooks"), (
+            f"append read {p} — old index data must never be rescanned"
+        )
+
+
+def test_append_refuses_duplicate_ids(spark, emb, tmp_path):
+    """Default-on id guard: re-appending rows already in the index would
+    duplicate posting-list rows; the check broadcast-anti-joins the
+    batch against ONE column of the inverted file and raises."""
+    path = str(tmp_path / "ann")
+    _build_half(emb, path)
+    with pytest.raises(ValueError, match="already present"):
+        store.append_to_ivf_index(emb.filter(F.col("vec_id") < 10), path)
+
+
+def test_append_refuses_version_and_shape_mismatch(spark, emb, tmp_path):
+    """Cross-version and wrong-corpus appends fail loudly BEFORE any
+    write: mixed assignment rules or mixed dims inside one inverted file
+    would corrupt silently."""
+    import json
+    import os
+
+    batch = emb.filter(F.col("vec_id") >= 250)
+    # no meta sidecar (a pre-r9 store): refuse with the rebuild hint
+    bare = str(tmp_path / "bare")
+    store.write_ivf_index(emb.filter(F.col("vec_id") < 250), bare)
+    os.remove(os.path.join(bare, "_liq_index_meta.json"))
+    with pytest.raises(ValueError, match="meta sidecar"):
+        store.append_to_ivf_index(batch, bare)
+    # builder-version mismatch
+    vpath = str(tmp_path / "vers")
+    store.write_ivf_index(emb.filter(F.col("vec_id") < 250), vpath)
+    meta_file = os.path.join(vpath, "_liq_index_meta.json")
+    meta = json.load(open(meta_file))
+    meta["builder_version"] = "v0"
+    json.dump(meta, open(meta_file, "w"))
+    with pytest.raises(ValueError, match="builder"):
+        store.append_to_ivf_index(batch, vpath)
+    # dim mismatch (a 32-dim batch against the 64-dim index)
+    dpath = str(tmp_path / "dim")
+    store.write_ivf_index(emb.filter(F.col("vec_id") < 250), dpath)
+    narrow = batch.withColumn("embedding", F.slice("embedding", 1, 32))
+    with pytest.raises(ValueError, match="dims"):
+        store.append_to_ivf_index(narrow, dpath)
+
+
+def test_append_ivf_only_store_skips_pq(spark, emb, tmp_path):
+    """An IVF-only store (no PQ half) appends the inverted file and
+    stops — no codebooks read, no codes dir created."""
+    import os
+
+    path = str(tmp_path / "ivfonly")
+    store.write_ivf_index(emb.filter(F.col("vec_id") < 250), path)
+    store.append_to_ivf_index(emb.filter(F.col("vec_id") >= 250), path)
+    assert not os.path.isdir(f"{path}/codes")
+    assert spark.read.parquet(f"{path}/inverted").count() == emb.count()
+
+
+def test_write_pq_index_derives_m_from_supplied_codebooks(
+    spark, emb, tmp_path
+):
+    """ADVICE r8: codebooks trained with m=16 under a left-at-default
+    m=8 must encode ALL 16 subspaces (m is a property of the codebooks),
+    and codebooks from a different-width corpus must raise before
+    anything is written."""
+    books16 = S.pq_codebooks(emb, m=16, n_codes=8, iters=1)
+    path = str(tmp_path / "pq")
+    store.write_pq_index(emb, path, codebooks=books16)  # m left at 8
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.agg(F.max("s")).first()[0] == 15
+    assert codes.count() == emb.count() * 16
+    # wrong-width codebooks: 64-dim books against a 32-dim corpus
+    narrow = emb.select(
+        "vec_id", F.slice("embedding", 1, 32).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="dims"):
+        store.write_pq_index(narrow, str(tmp_path / "bad"), codebooks=books16)
+
+
 def test_publish_discards_loser_on_rename_race(tmp_path):
     """Concurrent builders: the loser of the atomic-rename race discards
     its copy and the winner's published dir is untouched (no Spark
@@ -261,6 +421,124 @@ def test_index_cache_guard_rejects_sibling_paths(spark, tmp_path):
     bak = spark.read.parquet(str(corpus_dir / "embeddings.parquet.bak"))
     with pytest.raises(ValueError, match="embeddings table"):
         IC.cached_centroids(spark, bak, str(corpus_dir), n_cells=8)
+
+
+def test_offline_probe_arm_runs_without_collect(
+    spark, emb, queries, index_path
+):
+    """VERDICT r8 item 4: the escape hatch _collect_probes' docstring
+    routes million-query OFFLINE batches to — ivf_topk/ivfpq_topk fed
+    the STORED frames directly, router in-plan, zero driver collects —
+    is executable and row-identical, not prose. The executed plan must
+    contain no LocalTableScan (the signature of a collected-and-
+    recreated local frame): every input is a file scan, so the arm
+    scales to query batches that could never sit on the driver."""
+    from liq_stream_spark.operators.similarity import _probe_cells
+
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    inverted = spark.read.parquet(f"{index_path}/inverted")
+    out = S.ivf_topk(
+        queries,
+        corpus=None,
+        k=5,
+        nprobe=3,
+        inverted=inverted,
+        probes=_probe_cells(queries, centroids, 3, "vec_id", "embedding"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan, plan[:800]
+    got = _rows(out)
+    want = _rows(
+        store.ivf_topk_from_store(spark, queries, index_path, k=5, nprobe=3)
+    )
+    assert got == want and got
+
+    codebooks = spark.read.parquet(f"{index_path}/codebooks")
+    m = codebooks.agg(F.max("s")).first()[0] + 1
+    out2 = S.ivfpq_topk(
+        queries,
+        corpus=None,
+        k=5,
+        nprobe=3,
+        m=m,
+        codebooks=codebooks,
+        codes=spark.read.parquet(f"{index_path}/codes"),
+        probes=_probe_cells(
+            queries, centroids, 3, "vec_id", "embedding"
+        ).select("query_id", "cell"),
+    )
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan2, plan2[:800]
+    got2 = _rows(out2)
+    want2 = _rows(
+        store.ivfpq_topk_from_store(spark, queries, index_path, k=5, nprobe=3)
+    )
+    assert got2 == want2 and got2
+
+
+def test_guard_passes_bare_scan_under_nodeword_path(spark, tmp_path):
+    """VERDICT r8 item 5: the guard is structural (leaf-ness of the
+    analyzed plan), so a fixture path containing a node-name word —
+    which the old rendered-string substring match would false-reject —
+    passes a legitimate bare scan."""
+    from liq_stream_spark.plans import index_cache as IC
+
+    corpus_dir = tmp_path / "Filter-Join-corpus"  # node words in the path
+    corpus_dir.mkdir()
+    src = f"{SF}/embeddings.parquet"
+    dst = str(corpus_dir / "embeddings.parquet")
+    (shutil.copytree if os.path.isdir(src) else shutil.copyfile)(src, dst)
+    bare = spark.read.parquet(dst)
+    IC._guard_corpus(bare, str(corpus_dir))  # must not raise
+    with pytest.raises(ValueError, match="BARE scan"):
+        IC._guard_corpus(bare.filter(F.col("vec_id") < 9), str(corpus_dir))
+
+
+def test_fingerprint_salts_file_content(tmp_path):
+    """ADVICE r8: a fixture rewritten with size AND mtime preserved
+    (restore tools keep timestamps) must still change the fingerprint —
+    the head/tail content salt catches what the stat-walk alone
+    cannot."""
+    from liq_stream_spark.plans.index_cache import _fingerprint
+
+    corpus_dir = tmp_path / "corpus"
+    corpus_dir.mkdir()
+    f = corpus_dir / "embeddings.parquet"
+    f.write_bytes(b"A" * 10000)
+    st = os.stat(f)
+    before = _fingerprint(str(tmp_path / "corpus"))
+    data = bytearray(b"A" * 10000)
+    data[-10] = ord("B")  # same size, tail byte flipped
+    f.write_bytes(bytes(data))
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns))  # restore mtime
+    assert _fingerprint(str(tmp_path / "corpus")) != before
+
+
+def test_sweep_orphan_tmps(tmp_path):
+    """ADVICE r8: dead-pid and day-old tmp dirs are swept on publish;
+    a live builder's fresh tmp is left alone."""
+    import time
+
+    from liq_stream_spark.plans.index_cache import _publish
+
+    root = tmp_path / "store"
+    root.mkdir()
+    dead = root / "k1.tmp.999999999"  # pid far beyond pid_max: dead
+    dead.mkdir()
+    stale = root / f"k2.tmp.{os.getpid()}x"  # non-numeric suffix: skipped
+    stale.mkdir()
+    old = root / "k3.tmp.1"  # pid 1 exists but dir is a day old
+    old.mkdir()
+    day_ago = time.time() - 90000
+    os.utime(old, (day_ago, day_ago))
+    live = root / f"k4.tmp.{os.getpid()}"  # this very process: kept
+    live.mkdir()
+    src = root / "key.tmp.555"
+    src.mkdir()
+    _publish(str(src), str(root / "key"))
+    assert not dead.exists() and not old.exists()
+    assert live.exists() and stale.exists()
+    assert (root / "key").exists()
 
 
 def test_index_cache_serves_from_disk_without_rebuild(
