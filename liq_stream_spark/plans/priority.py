@@ -59,6 +59,23 @@ CHANGED_SINCE_GREEN: list[str] = [
     "s08_ivfpq_topk",
     "s09_ivf_topk_pruned",
     "d11_semantic_dedup",
+    # r9: the dedup family's localCheckpoint pins route through the new
+    # _pin switch (reliable_checkpoint=..., VERDICT r8 item 6) in
+    # ngram_jaccard_pairs / _prefix / ngram_containment_pairs /
+    # simhash_near_pairs / connected_components / dedup_clusters /
+    # dedup_survivors. Default path is byte-identical localCheckpoint
+    # behavior, but the builders' operators changed after their greens,
+    # so every registered consumer re-queues.
+    "d04_ngram_jaccard_pairs",
+    "d05_simhash_near_pairs",
+    "d06_dedup_clusters",
+    "d07_dedup_survivors",
+    "d08_ngram_jaccard_capped",
+    "d14_verified_dedup_clusters",
+    "d16_jaccard_prefix_filter",
+    "d19_containment_pairs",
+    "p13_leakage_free_split",
+    "p14_quality_survivors",
 ]
 
 
