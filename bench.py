@@ -66,9 +66,57 @@ HEADLINE = [
 ]
 
 
+def _host_conditions() -> dict:
+    """Stamp the machine epoch into the artifact (VERDICT r8 item 5):
+    BENCH_NOISE.md measured that host-epoch drift (load, thermal/clock
+    state) moves whole totals 35-60% on identical code, so a bench JSON
+    without its capture conditions cannot be read across rounds without
+    verify-notes archaeology. Captured BEFORE the Spark session starts
+    (the bench itself loads all cores). ``calib_spin_ms`` is a fixed
+    single-thread integer loop (min-of-3) — a Spark-independent probe
+    of effective CPU speed comparable across artifacts on the same
+    host; ``epoch_check`` applies the BENCH_NOISE quiet-machine rule
+    directly so the verdict rides with the number it qualifies."""
+    from datetime import datetime, timezone
+
+    def spin() -> float:
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(2_000_000):
+            x += i * i
+        return time.perf_counter() - t0
+
+    load1, load5, load15 = os.getloadavg()
+    try:
+        with open("/proc/uptime") as f:
+            uptime = float(f.read().split()[0])
+    except OSError:  # non-Linux
+        uptime = None
+    quiet = load1 < 0.5
+    return {
+        "ts_utc": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+        "load1": round(load1, 2),
+        "load5": round(load5, 2),
+        "load15": round(load15, 2),
+        "uptime_sec": None if uptime is None else round(uptime),
+        "cpus": os.cpu_count(),
+        "calib_spin_ms": round(min(spin() for _ in range(3)) * 1000, 1),
+        "epoch_check": (
+            "quiet (load1 < 0.5; BENCH_NOISE.md band applies)"
+            if quiet
+            else (
+                f"LOADED (load1 = {load1:.2f} >= 0.5) — numbers "
+                "unreliable per BENCH_NOISE.md; re-run on a quiet "
+                "machine before recording regressions"
+            )
+        ),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    host = _host_conditions()
     spark = get_spark(
         app_name="liq_stream_spark_bench",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
@@ -149,6 +197,7 @@ def main() -> None:
                     "metric": "noise_band_samples",
                     "runs": noise,
                     "sf": sf,
+                    "host": host,
                     "samples": samples,
                 }
             )
@@ -204,6 +253,10 @@ def main() -> None:
                 # doc); single-run figures below carry no precision claim
                 "extra_queries_min": extra_min,
                 "extra_queries_single_run": extra,
+                # capture conditions (VERDICT r8 item 5): the epoch this
+                # artifact was measured in, so cross-round reads don't
+                # need out-of-band archaeology
+                "host": host,
             }
         )
     )
