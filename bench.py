@@ -86,24 +86,30 @@ def _host_conditions() -> dict:
             x += i * i
         return time.perf_counter() - t0
 
-    load1, load5, load15 = os.getloadavg()
+    try:
+        load1, load5, load15 = os.getloadavg()
+    except (AttributeError, OSError):  # platform without load averages
+        load1 = load5 = load15 = None
     try:
         with open("/proc/uptime") as f:
             uptime = float(f.read().split()[0])
     except OSError:  # non-Linux
         uptime = None
-    quiet = load1 < 0.5
+    quiet = load1 is not None and load1 < 0.5
     return {
         "ts_utc": datetime.now(timezone.utc).isoformat(timespec="seconds"),
-        "load1": round(load1, 2),
-        "load5": round(load5, 2),
-        "load15": round(load15, 2),
+        "load1": None if load1 is None else round(load1, 2),
+        "load5": None if load5 is None else round(load5, 2),
+        "load15": None if load15 is None else round(load15, 2),
         "uptime_sec": None if uptime is None else round(uptime),
         "cpus": os.cpu_count(),
         "calib_spin_ms": round(min(spin() for _ in range(3)) * 1000, 1),
         "epoch_check": (
             "quiet (load1 < 0.5; BENCH_NOISE.md band applies)"
             if quiet
+            else "load averages unavailable on this platform — judge "
+            "the epoch by the calib_spin_ms probe"
+            if load1 is None
             else (
                 f"LOADED (load1 = {load1:.2f} >= 0.5) — numbers "
                 "unreliable per BENCH_NOISE.md; re-run on a quiet "

@@ -166,15 +166,25 @@ def _disk_path(key: tuple) -> str:
     return os.path.join(_store_root(), f"{key[1]}-{_BUILDER_VERSION}-{digest}")
 
 
+# a dead-pid tmp must ALSO be this old before the sweep takes it: the
+# pid test runs in the SWEEPER'S pid namespace, so a live builder in
+# another container/host sharing $LIQ_ANN_STORE can look dead here
+# (r9 review). No index build runs an hour; a cross-namespace builder's
+# tmp younger than this always survives.
+_SWEEP_GRACE_SEC = 3600
+
+
 def _sweep_orphan_tmps(root: str) -> None:
     """ADVICE r8: a build that crashes between the tmp write and
     _publish leaves '{key}.tmp.{pid}' garbage in the store forever
     (publish stays atomic, so disk waste only). Sweep tmp dirs whose
-    owning pid is dead, or — pids recycle — whose mtime is older than a
-    day (no live build runs that long). Best-effort: a sweep racing a
-    live builder's rename loses harmlessly (rmtree of a vanished path is
-    ignored; the builder's _publish already tolerates a vanished tmp by
-    failing the rename into the discard arm)."""
+    owning pid is dead AND that are older than the grace hour (the pid
+    probe is namespace-local — see _SWEEP_GRACE_SEC), or — pids
+    recycle — whose mtime is older than a day regardless. Best-effort:
+    a sweep racing a same-key builder's rename loses harmlessly (rmtree
+    of a vanished path is ignored; the builder's _publish already
+    tolerates a vanished tmp by failing the rename into the discard
+    arm)."""
     import time
 
     try:
@@ -195,11 +205,13 @@ def _sweep_orphan_tmps(root: str) -> None:
             alive = False
         except PermissionError:
             pass  # exists, owned by someone else
+        except OverflowError:
+            pass  # pid beyond this platform's range: can't probe, age-gate
         try:
-            stale = now - os.stat(p).st_mtime > 86400
+            age = now - os.stat(p).st_mtime
         except OSError:
             continue  # already gone (concurrent sweep/publish)
-        if not alive or stale:
+        if (not alive and age > _SWEEP_GRACE_SEC) or age > 86400:
             shutil.rmtree(p, ignore_errors=True)
 
 
@@ -251,9 +263,16 @@ def cached_centroids(
     sf_dir: str,
     n_cells: int,
     iters: int = 2,
+    _fp: str | None = None,
 ) -> DataFrame:
+    """``_fp``: a fingerprint the CALLER just computed for this sf_dir
+    (ensure_ann_index passes it to its two training-half calls) — the
+    salt made _fingerprint a real I/O walk, so one entry call should
+    pay it once, not three times (r9 review). Per-entry-call freshness
+    is preserved: every external entry point still stats the fixture
+    itself."""
     _guard_corpus(corpus, sf_dir)
-    key = ("ivf", _fingerprint(sf_dir), n_cells, iters)
+    key = ("ivf", _fp or _fingerprint(sf_dir), n_cells, iters)
     from liq_stream_spark.operators import similarity as S
 
     return _cached_frame(
@@ -272,9 +291,10 @@ def cached_codebooks(
     m: int,
     n_codes: int = 16,
     iters: int = 2,
+    _fp: str | None = None,
 ) -> DataFrame:
     _guard_corpus(corpus, sf_dir)
-    key = ("pq", _fingerprint(sf_dir), m, n_codes, iters)
+    key = ("pq", _fp or _fingerprint(sf_dir), m, n_codes, iters)
     from liq_stream_spark.operators import similarity as S
 
     return _cached_frame(
@@ -315,14 +335,17 @@ def ensure_ann_index(
     training halves reuse cached_centroids/cached_codebooks so nothing
     trains twice."""
     _guard_corpus(corpus, sf_dir)
-    key = ("annidx", _fingerprint(sf_dir), n_cells, iters, m, n_codes)
+    fp = _fingerprint(sf_dir)  # computed once, shared with the halves
+    key = ("annidx", fp, n_cells, iters, m, n_codes)
     disk = _disk_path(key)
     if not os.path.isdir(disk):
         from liq_stream_spark import store
 
         tmp = f"{disk}.tmp.{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
-        centroids = cached_centroids(spark, corpus, sf_dir, n_cells, iters)
+        centroids = cached_centroids(
+            spark, corpus, sf_dir, n_cells, iters, _fp=fp
+        )
         store.write_ivf_index(
             corpus, tmp, n_cells=n_cells, iters=iters, centroids=centroids
         )
@@ -338,7 +361,7 @@ def ensure_ann_index(
                 n_codes=n_codes,
                 iters=iters,
                 codebooks=cached_codebooks(
-                    spark, corpus, sf_dir, m, n_codes, iters
+                    spark, corpus, sf_dir, m, n_codes, iters, _fp=fp
                 ),
                 cells=spark.read.parquet(f"{tmp}/inverted").select(
                     "neighbor_id", F.col("cell").cast("long").alias("cell")

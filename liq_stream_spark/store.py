@@ -296,15 +296,44 @@ _INDEX_META = "_liq_index_meta.json"
 
 def _write_index_meta(path: str, **fields) -> None:
     """Merge ``fields`` into the index meta sidecar (the IVF and PQ
-    halves are written by separate calls against one root)."""
+    halves are written by separate calls against one root). REFUSES to
+    merge into a sidecar stamped by a different builder version (r9
+    review): silently re-stamping would let a one-half refresh upgrade
+    the whole sidecar while the other half's rows remain old-version —
+    defeating exactly the cross-version guard append_to_ivf_index
+    relies on. Rebuild the root (or delete the sidecar with the stale
+    half) to change versions."""
     import json
     import os
 
     meta = _read_index_meta(path) or {}
+    prev = meta.get("builder_version")
+    if prev is not None and prev != BUILDER_VERSION:
+        raise ValueError(
+            f"index at {path} carries builder_version {prev!r}; this "
+            f"code is {BUILDER_VERSION!r} — refusing to refresh one "
+            "half of a cross-version index (the other half's rows stay "
+            f"{prev!r}-built); rebuild the whole index root"
+        )
     meta.update(fields, builder_version=BUILDER_VERSION)
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, _INDEX_META), "w") as f:
         json.dump(meta, f, indent=1, sort_keys=True)
+
+
+def _check_index_version(path: str) -> None:
+    """Early arm of the cross-version write guard: called BEFORE any
+    parquet is overwritten, so a refused refresh leaves the old index
+    intact rather than half-rewritten (the _write_index_meta backstop
+    alone would fire after the heavy writes)."""
+    meta = _read_index_meta(path)
+    if meta is not None and meta.get("builder_version") != BUILDER_VERSION:
+        raise ValueError(
+            f"index at {path} carries builder_version "
+            f"{meta.get('builder_version')!r}; this code is "
+            f"{BUILDER_VERSION!r} — refusing to refresh one half of a "
+            "cross-version index; rebuild the whole index root"
+        )
 
 
 def _read_index_meta(path: str) -> dict | None:
@@ -336,7 +365,9 @@ def write_ivf_index(
         kmeans_centroids,
     )
 
-    if centroids is None:
+    _check_index_version(path)
+    trained_here = centroids is None
+    if trained_here:
         centroids = kmeans_centroids(corpus, n_cells, iters, id_col, vec_col)
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
     inverted = _assign_cells(corpus, centroids, id_col, vec_col).select(
@@ -347,11 +378,15 @@ def write_ivf_index(
         .partitionBy("cell")
         .parquet(f"{path}/inverted")
     )
+    # the sidecar records ARTIFACT properties, not argument values (r9
+    # review — the ADVICE r8 m-derivation rule applied consistently):
+    # prebuilt centroids make the n_cells/iters arguments meaningless,
+    # and Lloyd rounds can drop an emptied cell below n_cells anyway
     _write_index_meta(
         path,
         dim=len(centroids.select("centroid").first()["centroid"]),
-        n_cells=n_cells,
-        iters=iters,
+        n_cells=centroids.count(),
+        iters=iters if trained_here else None,
     )
 
 
@@ -399,7 +434,9 @@ def write_pq_index(
     from liq_stream_spark.operators.similarity import _corpus_dim
 
     spark = corpus.sparkSession
-    if codebooks is None:
+    _check_index_version(path)
+    trained_here = codebooks is None
+    if trained_here:
         codebooks = pq_codebooks(corpus, m, n_codes, iters, id_col, vec_col)
         d_sub = len(codebooks.select("centroid").first()["centroid"])
     else:
@@ -468,11 +505,14 @@ def write_pq_index(
         )
     else:
         codes.write.mode("overwrite").parquet(f"{path}/codes")
+    # m is always the artifact-derived value by this point; the
+    # training params are stamped only when training happened here
+    # (prebuilt codebooks make the arguments meaningless — r9 review)
     _write_index_meta(
         path,
         m=m,
-        n_codes=n_codes,
-        pq_iters=iters,
+        n_codes=n_codes if trained_here else None,
+        pq_iters=iters if trained_here else None,
         codes_cell_partitioned=cells is not None,
     )
 
@@ -555,6 +595,24 @@ def append_to_ivf_index(
         )
     centroids = spark.read.parquet(f"{path}/centroids")
     if check_ids:
+        # intra-batch duplicates first (r9 review): _assign_cells'
+        # groupBy(vid) argmax would silently COLLAPSE them — one
+        # vector dropped, no error — and the index-side anti-join
+        # below cannot see them. One agg over the (small) batch.
+        intra = (
+            new_vectors.groupBy(F.col(id_col))
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(5)
+            .collect()
+        )
+        if intra:
+            raise ValueError(
+                f"batch contains duplicate {id_col} values (e.g. "
+                f"{[r[id_col] for r in intra]}) — the assignment "
+                "argmax would silently keep one vector per id; dedup "
+                "the batch first"
+            )
         existing = spark.read.parquet(f"{path}/inverted").select(
             "neighbor_id"
         )

@@ -515,29 +515,35 @@ def test_fingerprint_salts_file_content(tmp_path):
 
 
 def test_sweep_orphan_tmps(tmp_path):
-    """ADVICE r8: dead-pid and day-old tmp dirs are swept on publish;
-    a live builder's fresh tmp is left alone."""
+    """ADVICE r8 + r9 review: dead-pid tmp dirs are swept only past the
+    grace hour (the pid probe is namespace-local — a builder in another
+    container can look dead), day-old dirs are swept regardless, and a
+    live builder's fresh tmp is left alone."""
     import time
 
     from liq_stream_spark.plans.index_cache import _publish
 
     root = tmp_path / "store"
     root.mkdir()
-    dead = root / "k1.tmp.999999999"  # pid far beyond pid_max: dead
-    dead.mkdir()
+    two_h = time.time() - 7200
+    day_ago = time.time() - 90000
+    dead_old = root / "k1.tmp.999999999"  # dead pid, past grace: swept
+    dead_old.mkdir()
+    os.utime(dead_old, (two_h, two_h))
+    dead_fresh = root / "k5.tmp.999999998"  # dead pid but FRESH: kept
+    dead_fresh.mkdir()  # (could be a live cross-namespace builder)
     stale = root / f"k2.tmp.{os.getpid()}x"  # non-numeric suffix: skipped
     stale.mkdir()
-    old = root / "k3.tmp.1"  # pid 1 exists but dir is a day old
+    old = root / "k3.tmp.1"  # pid 1 exists but dir is a day old: swept
     old.mkdir()
-    day_ago = time.time() - 90000
     os.utime(old, (day_ago, day_ago))
     live = root / f"k4.tmp.{os.getpid()}"  # this very process: kept
     live.mkdir()
     src = root / "key.tmp.555"
     src.mkdir()
     _publish(str(src), str(root / "key"))
-    assert not dead.exists() and not old.exists()
-    assert live.exists() and stale.exists()
+    assert not dead_old.exists() and not old.exists()
+    assert live.exists() and stale.exists() and dead_fresh.exists()
     assert (root / "key").exists()
 
 
