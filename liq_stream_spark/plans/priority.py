@@ -76,6 +76,12 @@ CHANGED_SINCE_GREEN: list[str] = [
     "d19_containment_pairs",
     "p13_leakage_free_split",
     "p14_quality_survivors",
+    # r9: write_band_index writes the meta sidecar the new
+    # append_to_band_index derives its banding from (and gained the
+    # early cross-version check); d15 rebuilds its table through it
+    # every call. Result-neutral (keys unchanged), re-driven green at
+    # sf0.01.
+    "d15_band_index_pairs",
 ]
 
 

@@ -186,6 +186,7 @@ def write_band_index(
         minhash_sig_arrays,
     )
 
+    _check_index_version(path)
     keys = _banded_keys(
         minhash_sig_arrays(docs, id_col=id_col, text_col=text_col),
         id_col,
@@ -196,6 +197,111 @@ def write_band_index(
         keys.write.mode("overwrite")
         .option("path", path)
         .bucketBy(n_buckets, "band", "band_key")
+        .sortBy("band", "band_key")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    # meta sidecar (r9, same contract as the ANN index): the append
+    # path derives EVERY signature parameter from here — a caller
+    # passing different bands/rows_per_band to an append would emit
+    # keys from a different hash family that silently never collide
+    # with the stored ones
+    _write_index_meta(
+        path,
+        n_buckets=n_buckets,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        id_col=id_col,
+    )
+
+
+def append_to_band_index(
+    new_docs: DataFrame,
+    table: str,
+    path: str,
+    text_col: str = "text",
+    check_ids: bool = True,
+) -> None:
+    """Incremental ingest into a write_band_index table: MinHash the NEW
+    batch only and append its band keys into the bucketed layout — the
+    text-side twin of :func:`append_to_ivf_index` and the amortization
+    write_band_index's docstring promises ("a pipeline that dedups
+    every crawl drop"): ingest cost is O(batch), the stored corpus is
+    never re-hashed or re-shuffled, and every later probe join
+    (band_collision_pairs_from_index, or new-batch-vs-index semi-joins)
+    still reads co-located buckets with zero Exchange — Spark appends
+    bucketed FILES per bucket, it never rewrites old ones. Mirrors the
+    reference's per-row INSERT against its pre-built indexes
+    (writer_pg.py:59-62,38-57).
+
+    All signature parameters (bands, rows_per_band, n_buckets) come
+    from the table's meta sidecar, never from arguments — an append
+    with a different banding would emit keys from a different hash
+    family that silently never collide with the stored corpus's.
+    Refuses stores with no sidecar or a different builder version, and
+    (default) ids already indexed or duplicated within the batch.
+    Repeated small appends add one file per bucket each; fold them back
+    periodically with a write_band_index rebuild (the band-index
+    compaction, same story as compact_store)."""
+    spark = new_docs.sparkSession
+    meta = _read_index_meta(path)
+    if meta is None:
+        raise ValueError(
+            f"no index meta sidecar at {path} — the band index predates "
+            "the append path; re-run write_band_index to rebuild with "
+            "meta before appending"
+        )
+    if meta.get("builder_version") != BUILDER_VERSION:
+        raise ValueError(
+            f"stored band index was built by builder "
+            f"{meta.get('builder_version')!r}, this code is "
+            f"{BUILDER_VERSION!r} — appended keys would come from a "
+            "different hash family; rebuild the index"
+        )
+    id_col = meta["id_col"]
+    if check_ids:
+        intra = (
+            new_docs.groupBy(F.col(id_col))
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(5)
+            .collect()
+        )
+        if intra:
+            raise ValueError(
+                f"batch contains duplicate {id_col} values (e.g. "
+                f"{[r[id_col] for r in intra]}) — dedup the batch first"
+            )
+        dup = (
+            spark.table(table)
+            .select(id_col)
+            .join(
+                F.broadcast(new_docs.select(id_col)), id_col, "left_semi"
+            )
+            .limit(5)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"batch ids already present in the band index (e.g. "
+                f"{[r[id_col] for r in dup]}) — an append would "
+                "duplicate their band keys; pass check_ids=False only "
+                "when ids are guaranteed fresh upstream"
+            )
+    from liq_stream_spark.operators.dedup import (
+        _banded_keys,
+        minhash_sig_arrays,
+    )
+
+    keys = _banded_keys(
+        minhash_sig_arrays(new_docs, id_col=id_col, text_col=text_col),
+        id_col,
+        meta["bands"],
+        meta["rows_per_band"],
+    )
+    (
+        keys.write.mode("append")
+        .bucketBy(meta["n_buckets"], "band", "band_key")
         .sortBy("band", "band_key")
         .format("parquet")
         .saveAsTable(table)

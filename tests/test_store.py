@@ -149,3 +149,67 @@ def test_bucketed_fact_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {li_t}")
         spark.sql(f"DROP TABLE IF EXISTS {o_t}")
+
+
+def test_band_index_append_matches_full_build(spark, tmp_path):
+    """r9 incremental ingest, text side: build the band index on half
+    the corpus, append the other half — candidate pairs are identical
+    to a full-corpus build (the MinHash family and banding come from
+    the stored meta, so appended keys collide correctly with stored
+    ones), and the self-join STILL plans with zero Exchange beneath it
+    (bucketed appends add files per bucket, never break the layout)."""
+    import pytest
+
+    from liq_stream_spark import store
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    half_a = docs.filter(F.col("doc_id") < 250)
+    half_b = docs.filter(F.col("doc_id") >= 250)
+    inc_t, full_t = "band_append_inc", "band_append_full"
+    try:
+        store.write_band_index(half_a, inc_t, str(tmp_path / "inc"))
+        store.append_to_band_index(half_b, inc_t, str(tmp_path / "inc"))
+        store.write_band_index(docs, full_t, str(tmp_path / "full"))
+        got = {
+            tuple(r)
+            for r in store.band_collision_pairs_from_index(
+                spark, inc_t
+            ).collect()
+        }
+        want = {
+            tuple(r)
+            for r in store.band_collision_pairs_from_index(
+                spark, full_t
+            ).collect()
+        }
+        assert got == want and got
+        # the appended table still joins without re-shuffling the corpus
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = (
+                store.band_collision_pairs_from_index(spark, inc_t)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        join_part = plan.split("SortMergeJoin", 1)[1]
+        assert "Exchange" not in join_part, join_part[:400]
+        # guards: re-appending indexed ids refuses; so does a
+        # meta-less (pre-r9) table
+        with pytest.raises(ValueError, match="already present"):
+            store.append_to_band_index(
+                half_b.limit(5), inc_t, str(tmp_path / "inc")
+            )
+        import os
+
+        os.remove(str(tmp_path / "inc" / "_liq_index_meta.json"))
+        with pytest.raises(ValueError, match="meta sidecar"):
+            store.append_to_band_index(
+                half_b, inc_t, str(tmp_path / "inc")
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {inc_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {full_t}")
