@@ -776,6 +776,53 @@ def append_to_ivf_index(
         codes.write.mode("append").parquet(f"{path}/codes")
 
 
+def compact_index_partitions(
+    spark: SparkSession,
+    path: str,
+    sub: str = "inverted",
+    files_per_cell: int = 1,
+) -> None:
+    """Fold an appended index's per-batch small files back into
+    ``files_per_cell`` files per cell — the index-side twin of
+    :func:`compact_store` and the maintenance job
+    append_to_ivf_index's docstring points at. Each append adds one
+    file per touched cell; a daily-drop deployment accumulates
+    hundreds, and posting-list reads degrade to open-per-file. This
+    rewrites ROWS UNCHANGED (no retraining, no reassignment — probe
+    results are identical before and after, pinned) with one shuffle
+    keyed on the partition column, parallel across cells exactly like
+    compact_store across days.
+
+    ``sub`` is the cell-partitioned layer to compact ("inverted" or
+    "codes"). The swap is rename-based (tmp -> live via a .old hop),
+    not atomic: run it in the same maintenance window as the appends
+    it cleans up, or on a lake, under a table format's commit."""
+    import os
+    import shutil
+
+    src_dir = f"{path}/{sub}"
+    df = spark.read.parquet(src_dir)
+    n = max(1, int(files_per_cell))
+    tmp = f"{src_dir}.compact.tmp.{os.getpid()}"
+    (
+        df.repartition(
+            F.col("cell"), F.pmod(F.xxhash64(df.columns[0]), F.lit(n))
+        )
+        .sortWithinPartitions("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp)
+    )
+    old = f"{src_dir}.old.{os.getpid()}"
+    os.rename(src_dir, old)
+    try:
+        os.rename(tmp, src_dir)
+    except OSError:
+        os.rename(old, src_dir)  # restore the live layer, then fail
+        raise
+    shutil.rmtree(old)
+
+
 def _collect_probes(
     queries: DataFrame,
     centroids: DataFrame,

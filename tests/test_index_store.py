@@ -305,6 +305,46 @@ def test_append_ivf_only_store_skips_pq(spark, emb, tmp_path):
     assert spark.read.parquet(f"{path}/inverted").count() == emb.count()
 
 
+def test_compact_index_partitions_preserves_results(spark, emb, tmp_path):
+    """r9: the append→compact lifecycle. Three appends leave multiple
+    files per touched cell; compaction folds each cell back to ONE file
+    with rows unchanged — probe results identical, no retraining (the
+    trainers are poisoned), and the only thing read is the layer being
+    compacted."""
+    import glob
+
+    from unittest import mock
+
+    path = str(tmp_path / "ann")
+    store.write_ivf_index(emb.filter(F.col("vec_id") < 200), path)
+    for lo, hi in ((200, 300), (300, 400), (400, 500)):
+        store.append_to_ivf_index(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            path,
+            check_ids=False,
+        )
+    queries = emb.filter(F.col("vec_id") < 20)
+    before = _rows(
+        store.ivf_topk_from_store(spark, queries, path, k=5, nprobe=3)
+    )
+    cell_dirs = glob.glob(f"{path}/inverted/cell=*")
+    assert max(
+        len(glob.glob(f"{d}/*.parquet")) for d in cell_dirs
+    ) > 1, "appends should have left multi-file cells"
+    with mock.patch.object(
+        S,
+        "kmeans_centroids",
+        side_effect=AssertionError("compaction must not retrain"),
+    ):
+        store.compact_index_partitions(spark, path, "inverted")
+    for d in glob.glob(f"{path}/inverted/cell=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) == 1, d
+    after = _rows(
+        store.ivf_topk_from_store(spark, queries, path, k=5, nprobe=3)
+    )
+    assert after == before and after
+
+
 def test_write_pq_index_derives_m_from_supplied_codebooks(
     spark, emb, tmp_path
 ):
