@@ -44,44 +44,12 @@ from __future__ import annotations
 # cheap JVM-only entries lead (cold-session Arrow/daemon spin-up must
 # not land on a pandas-UDF query).
 CHANGED_SINCE_GREEN: list[str] = [
-    # r9: the ANN store gained the incremental-ingest path
-    # (store.append_to_ivf_index) and an index meta sidecar written by
-    # write_ivf_index/write_pq_index; write_pq_index now derives m from
-    # supplied codebooks (ADVICE r8); index_cache's corpus guard is
-    # structural (plan leaf-ness, not substring matching), its
-    # fingerprint folds a head/tail content salt (so every cache KEY
-    # changes and the store rebuilds once), and publish sweeps orphan
-    # tmp dirs. s06–s09/d11 ride ensure_ann_index + the store probes,
-    # so they re-queue; results are build-deterministic and unchanged
-    # (pinned row-identical in tests/test_index_store.py).
-    "s06_ivf_topk",
-    "s07_pq_topk",
-    "s08_ivfpq_topk",
-    "s09_ivf_topk_pruned",
-    "d11_semantic_dedup",
-    # r9: the dedup family's localCheckpoint pins route through the new
-    # _pin switch (reliable_checkpoint=..., VERDICT r8 item 6) in
-    # ngram_jaccard_pairs / _prefix / ngram_containment_pairs /
-    # simhash_near_pairs / connected_components / dedup_clusters /
-    # dedup_survivors. Default path is byte-identical localCheckpoint
-    # behavior, but the builders' operators changed after their greens,
-    # so every registered consumer re-queues.
-    "d04_ngram_jaccard_pairs",
-    "d05_simhash_near_pairs",
-    "d06_dedup_clusters",
-    "d07_dedup_survivors",
-    "d08_ngram_jaccard_capped",
-    "d14_verified_dedup_clusters",
-    "d16_jaccard_prefix_filter",
-    "d19_containment_pairs",
-    "p13_leakage_free_split",
-    "p14_quality_survivors",
-    # r9: write_band_index writes the meta sidecar the new
-    # append_to_band_index derives its banding from (and gained the
-    # early cross-version check); d15 rebuilds its table through it
-    # every call. Result-neutral (keys unchanged), re-driven green at
-    # sf0.01.
-    "d15_band_index_pairs",
+    # (r10 baseline: empty. CORRECTNESS_r09 greened the full 50-slot
+    # sample — all 16 r9 changed-tier entries led and hash-matched —
+    # so nothing carries over. VERDICT r9 item 1: keep this tier LEAN
+    # this round so the two r6-stale rest-tier leaders
+    # (d13_dup_span_removal, liq_normalize_unified) fit inside the
+    # ~50-slot budget. Entries accumulate below as r10 commits land.)
 ]
 
 
