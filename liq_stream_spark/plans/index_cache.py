@@ -166,26 +166,32 @@ def _disk_path(key: tuple) -> str:
     return os.path.join(_store_root(), f"{key[1]}-{_BUILDER_VERSION}-{digest}")
 
 
-# a dead-pid tmp must ALSO be this old before the sweep takes it: the
-# pid test runs in the SWEEPER'S pid namespace, so a live builder in
-# another container/host sharing $LIQ_ANN_STORE can look dead here
-# (r9 review). No index build runs an hour; a cross-namespace builder's
-# tmp younger than this always survives.
+# a dead-pid tmp must ALSO be this old before the sweep takes it: for
+# legacy bare-pid tmp names the pid test runs in the SWEEPER'S pid
+# namespace, so a live builder in another container/host sharing
+# $LIQ_ANN_STORE can look dead here (r9 review). r10 tmp names carry a
+# hostname+uuid token (store._swap_token), making same-host probes
+# definitive; the grace costs nothing (no index build runs an hour).
 _SWEEP_GRACE_SEC = 3600
 
 
 def _sweep_orphan_tmps(root: str) -> None:
     """ADVICE r8: a build that crashes between the tmp write and
-    _publish leaves '{key}.tmp.{pid}' garbage in the store forever
-    (publish stays atomic, so disk waste only). Sweep tmp dirs whose
-    owning pid is dead AND that are older than the grace hour (the pid
-    probe is namespace-local — see _SWEEP_GRACE_SEC), or — pids
-    recycle — whose mtime is older than a day regardless. Best-effort:
-    a sweep racing a same-key builder's rename loses harmlessly (rmtree
-    of a vanished path is ignored; the builder's _publish already
-    tolerates a vanished tmp by failing the rename into the discard
-    arm)."""
+    _publish leaves '{key}.tmp.{token}' garbage in the store forever
+    (publish stays atomic, so disk waste only). Deletion policy per
+    store._token_probe (ADVICE r9 — the 24h arm no longer overrides a
+    DEFINITIVE liveness answer): provably-dead creators after the grace
+    hour, unprobeable ones (other host, legacy bare-pid beyond range)
+    after a day, provably-alive ones NEVER — a same-host builder
+    genuinely running long keeps its tmp; the uuid in r10 tokens means
+    a recycled pid can at worst delay one orphan's sweep, never collide
+    with a live build's name. Best-effort: a sweep racing a same-key
+    builder's rename loses harmlessly (rmtree of a vanished path is
+    ignored; the builder's _publish already tolerates a vanished tmp by
+    failing the rename into the discard arm)."""
     import time
+
+    from liq_stream_spark.store import _token_probe
 
     try:
         entries = os.listdir(root)
@@ -193,25 +199,18 @@ def _sweep_orphan_tmps(root: str) -> None:
         return
     now = time.time()
     for name in entries:
-        base, sep, pid_s = name.rpartition(".tmp.")
-        if not sep or not pid_s.isdigit():
+        base, sep, token = name.rpartition(".tmp.")
+        if not sep or not token:
             continue
         p = os.path.join(root, name)
-        pid = int(pid_s)
-        alive = True
-        try:
-            os.kill(pid, 0)  # signal 0: existence probe, nothing sent
-        except ProcessLookupError:
-            alive = False
-        except PermissionError:
-            pass  # exists, owned by someone else
-        except OverflowError:
-            pass  # pid beyond this platform's range: can't probe, age-gate
         try:
             age = now - os.stat(p).st_mtime
         except OSError:
             continue  # already gone (concurrent sweep/publish)
-        if (not alive and age > _SWEEP_GRACE_SEC) or age > 86400:
+        probe = _token_probe(token)
+        if (probe == "dead" and age > _SWEEP_GRACE_SEC) or (
+            probe == "unknown" and age > 86400
+        ):
             shutil.rmtree(p, ignore_errors=True)
 
 
@@ -246,7 +245,9 @@ def _cached_frame(
             rows = spark.read.parquet(disk).collect()
         else:
             rows = build().collect()
-            tmp = f"{disk}.tmp.{os.getpid()}"
+            from liq_stream_spark.store import _swap_token
+
+            tmp = f"{disk}.tmp.{_swap_token()}"
             spark.createDataFrame(rows, schema).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(tmp)
@@ -341,7 +342,7 @@ def ensure_ann_index(
     if not os.path.isdir(disk):
         from liq_stream_spark import store
 
-        tmp = f"{disk}.tmp.{os.getpid()}"
+        tmp = f"{disk}.tmp.{store._swap_token()}"
         shutil.rmtree(tmp, ignore_errors=True)
         centroids = cached_centroids(
             spark, corpus, sf_dir, n_cells, iters, _fp=fp

@@ -44,12 +44,26 @@ from __future__ import annotations
 # cheap JVM-only entries lead (cold-session Arrow/daemon spin-up must
 # not land on a pandas-UDF query).
 CHANGED_SINCE_GREEN: list[str] = [
-    # (r10 baseline: empty. CORRECTNESS_r09 greened the full 50-slot
-    # sample — all 16 r9 changed-tier entries led and hash-matched —
-    # so nothing carries over. VERDICT r9 item 1: keep this tier LEAN
-    # this round so the two r6-stale rest-tier leaders
-    # (d13_dup_span_removal, liq_normalize_unified) fit inside the
-    # ~50-slot budget. Entries accumulate below as r10 commits land.)
+    # (r10 baseline was empty: CORRECTNESS_r09 greened the full 50-slot
+    # sample. VERDICT r9 item 1: tier stays LEAN this round so the two
+    # r6-stale rest-tier leaders — d13_dup_span_removal,
+    # liq_normalize_unified — fit inside the ~50-slot budget.)
+    #
+    # r10: the index store gained the _ids membership sidecar (the
+    # duplicate-id guard now reads it instead of the posting lists),
+    # write_ivf_index gained the prebuilt-centroid width guard +
+    # corpus-derived dim/split_col meta, write_band_index writes the
+    # sidecar, and the compaction swap hardened (recovery + sweeps).
+    # Results are build-deterministic and unchanged (pinned
+    # row-identical in tests/test_index_store.py / test_store.py), but
+    # the builders' operators changed after their greens, so every
+    # registered consumer re-queues.
+    "s06_ivf_topk",
+    "s07_pq_topk",
+    "s08_ivfpq_topk",
+    "s09_ivf_topk_pruned",
+    "d11_semantic_dedup",
+    "d15_band_index_pairs",
 ]
 
 

@@ -243,13 +243,31 @@ def test_append_touches_only_batch_and_training_frames(
             ),
         )
     store.append_to_ivf_index(
-        emb.filter(F.col("vec_id") >= 250), path, check_ids=False
+        emb.filter((F.col("vec_id") >= 250) & (F.col("vec_id") < 400)),
+        path,
+        check_ids=False,
     )
     assert read_paths, "expected the training-frame reads"
     for p in read_paths:
         assert p.endswith("/centroids") or p.endswith("/codebooks"), (
             f"append read {p} — old index data must never be rescanned"
         )
+    # VERDICT r9 item 2's done-gate: the GUARDED append reads only the
+    # training frames + the ids membership sidecar — never the posting
+    # lists (inverted/codes), so the duplicate-id check is no longer an
+    # O(corpus) scan of per-append small files
+    read_paths.clear()
+    store.append_to_ivf_index(
+        emb.filter(F.col("vec_id") >= 400), path, check_ids=True
+    )
+    assert read_paths
+    for p in read_paths:
+        assert (
+            p.endswith("/centroids")
+            or p.endswith("/codebooks")
+            or p.endswith("/_ids")
+        ), f"guarded append read {p} — posting lists must not be scanned"
+    assert any(p.endswith("/_ids") for p in read_paths)
 
 
 def test_append_refuses_duplicate_ids(spark, emb, tmp_path):
@@ -343,6 +361,150 @@ def test_compact_index_partitions_preserves_results(spark, emb, tmp_path):
         store.ivf_topk_from_store(spark, queries, path, k=5, nprobe=3)
     )
     assert after == before and after
+
+
+def test_append_guard_backfills_legacy_sidecar(spark, emb, tmp_path):
+    """A pre-r10 store has no _ids sidecar: the first guarded append
+    backfills it ONCE from the inverted file's id column, then the
+    guard works purely off the sidecar — dup ids still refuse, fresh
+    ids still land."""
+    path = str(tmp_path / "legacy")
+    _build_half(emb, path)
+    shutil.rmtree(f"{path}/_ids")
+    with pytest.raises(ValueError, match="already present"):
+        store.append_to_ivf_index(emb.filter(F.col("vec_id") < 10), path)
+    assert os.path.isdir(f"{path}/_ids"), "guard should have backfilled"
+    store.append_to_ivf_index(emb.filter(F.col("vec_id") >= 250), path)
+    assert spark.read.parquet(f"{path}/inverted").count() == emb.count()
+
+
+def test_unguarded_append_still_maintains_sidecar(spark, emb, tmp_path):
+    """check_ids=False skips the READ, not the WRITE: the batch's ids
+    are appended to the sidecar either way, so a later guarded append
+    of the same ids refuses — an unguarded fast-path ingest never
+    blinds future guards."""
+    path = str(tmp_path / "ann")
+    _build_half(emb, path)
+    batch = emb.filter((F.col("vec_id") >= 250) & (F.col("vec_id") < 300))
+    store.append_to_ivf_index(batch, path, check_ids=False)
+    with pytest.raises(ValueError, match="already present"):
+        store.append_to_ivf_index(batch, path, check_ids=True)
+
+
+def test_write_ivf_index_rejects_wrong_width_centroids(spark, emb, tmp_path):
+    """ADVICE r9 (store.py:475): prebuilt centroids from a different-
+    width corpus must raise BEFORE anything is written, mirroring the
+    PQ half's codebook guard — not surface as a numpy broadcast error
+    mid-job."""
+    narrow = emb.select(
+        "vec_id", F.slice("embedding", 1, 32).alias("embedding")
+    )
+    cents32 = S.kmeans_centroids(narrow, 4, 1)
+    path = str(tmp_path / "w")
+    with pytest.raises(ValueError, match="dims"):
+        store.write_ivf_index(emb, path, centroids=cents32)
+    assert not os.path.isdir(f"{path}/centroids"), "must refuse pre-write"
+
+
+def test_index_root_must_be_local(spark, emb, tmp_path):
+    """ADVICE r9 (store.py:425): the sidecar/meta/swap I/O is local-FS
+    only — a URI-schemed root (s3a://, hdfs://) refuses up front
+    instead of silently writing the sidecar to a bogus local dir;
+    file: roots are normalized and fully supported."""
+    with pytest.raises(ValueError, match="local"):
+        store.write_ivf_index(emb, "s3a://bucket/ann")
+    with pytest.raises(ValueError, match="local"):
+        store.append_to_ivf_index(emb, "hdfs://nn/ann")
+    with pytest.raises(ValueError, match="local"):
+        store.compact_index_partitions(spark, "s3a://bucket/ann")
+    # file: URI end-to-end: build, guarded append, probe
+    furi = f"file://{tmp_path}/furi"
+    store.write_ivf_index(emb.filter(F.col("vec_id") < 250), furi, n_cells=8)
+    assert os.path.isfile(f"{tmp_path}/furi/_liq_index_meta.json")
+    store.append_to_ivf_index(emb.filter(F.col("vec_id") >= 250), furi)
+    got = store.ivf_topk_from_store(
+        spark, emb.filter(F.col("vec_id") < 5), furi, k=3, nprobe=2
+    )
+    assert got.count() == 15
+
+
+def test_compact_swap_crash_recovery(spark, emb, tmp_path):
+    """ADVICE r9 (medium, store.py:817): a crash between compaction's
+    two renames leaves no live layer — only the .old copy. The next
+    compaction run detects that and RESTORES the layer before working;
+    probe results equal the pre-crash state."""
+    path = str(tmp_path / "ann")
+    _build_half(emb, path)
+    store.append_to_ivf_index(
+        emb.filter(F.col("vec_id") >= 250), path, check_ids=False
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    before = _rows(
+        store.ivf_topk_from_store(spark, queries, path, k=5, nprobe=3)
+    )
+    # simulate the crash window: live layer renamed away, process died
+    os.rename(f"{path}/inverted", f"{path}/inverted.old.otherhost-1-ab12cd34")
+    store.compact_index_partitions(spark, path, "inverted")
+    after = _rows(
+        store.ivf_topk_from_store(spark, queries, path, k=5, nprobe=3)
+    )
+    assert after == before and after
+    assert not os.path.exists(f"{path}/inverted.old.otherhost-1-ab12cd34")
+
+
+def test_compact_failure_arm_restores_live_and_cleans_tmp(
+    spark, emb, tmp_path, monkeypatch
+):
+    """ADVICE r9: when the tmp->live rename fails, the old layer is
+    restored AND the compacted tmp dir is removed — no leak, no dead
+    store."""
+    import glob
+
+    path = str(tmp_path / "ann")
+    _build_half(emb, path)
+    queries = emb.filter(F.col("vec_id") < 10)
+    before = _rows(
+        store.ivf_topk_from_store(spark, queries, path, k=5, nprobe=3)
+    )
+    real_rename = os.rename
+
+    def failing(src, dst, *a, **k):
+        if ".compact.tmp." in str(src):
+            raise OSError("injected rename failure")
+        return real_rename(src, dst, *a, **k)
+
+    monkeypatch.setattr(os, "rename", failing)
+    with pytest.raises(OSError, match="injected"):
+        store.compact_index_partitions(spark, path, "inverted")
+    monkeypatch.undo()
+    assert os.path.isdir(f"{path}/inverted"), "live layer must be restored"
+    assert not glob.glob(f"{path}/inverted.compact.tmp.*"), "tmp leaked"
+    assert not glob.glob(f"{path}/inverted.old.*"), "old hop leaked"
+    after = _rows(
+        store.ivf_topk_from_store(spark, queries, path, k=5, nprobe=3)
+    )
+    assert after == before
+
+
+def test_compact_sweeps_aged_swap_leftovers(spark, emb, tmp_path):
+    """Aged .old / .compact.tmp leftovers beside a LIVE layer (crash
+    after the swap completed) are swept on the next compaction entry;
+    fresh ones and live-creator ones survive."""
+    import time
+
+    path = str(tmp_path / "ann")
+    _build_half(emb, path)
+    day_ago = time.time() - 90000
+    aged_old = f"{path}/inverted.old.otherhost-7-11111111"
+    aged_tmp = f"{path}/inverted.compact.tmp.otherhost-7-22222222"
+    mine_fresh = f"{path}/inverted.compact.tmp.{store._swap_token()}"
+    for d in (aged_old, aged_tmp, mine_fresh):
+        os.makedirs(d)
+    for d in (aged_old, aged_tmp):
+        os.utime(d, (day_ago, day_ago))
+    store.compact_index_partitions(spark, path, "inverted")
+    assert not os.path.exists(aged_old) and not os.path.exists(aged_tmp)
+    assert os.path.exists(mine_fresh)  # this process is alive: kept
 
 
 def test_write_pq_index_derives_m_from_supplied_codebooks(
@@ -555,10 +717,14 @@ def test_fingerprint_salts_file_content(tmp_path):
 
 
 def test_sweep_orphan_tmps(tmp_path):
-    """ADVICE r8 + r9 review: dead-pid tmp dirs are swept only past the
-    grace hour (the pid probe is namespace-local — a builder in another
-    container can look dead), day-old dirs are swept regardless, and a
-    live builder's fresh tmp is left alone."""
+    """ADVICE r8 + r9: dead-creator tmp dirs are swept only past the
+    grace hour (a bare-pid probe is namespace-local — a builder in
+    another container can look dead), a DEFINITIVELY alive creator's
+    tmp is never swept no matter its age (ADVICE r9: a same-host
+    builder genuinely running >24h must not lose its publish), and
+    unprobeable tokens (other host, unparseable) go only by the
+    day-old rule."""
+    import socket
     import time
 
     from liq_stream_spark.plans.index_cache import _publish
@@ -567,23 +733,40 @@ def test_sweep_orphan_tmps(tmp_path):
     root.mkdir()
     two_h = time.time() - 7200
     day_ago = time.time() - 90000
+    host = socket.gethostname()
     dead_old = root / "k1.tmp.999999999"  # dead pid, past grace: swept
     dead_old.mkdir()
     os.utime(dead_old, (two_h, two_h))
     dead_fresh = root / "k5.tmp.999999998"  # dead pid but FRESH: kept
     dead_fresh.mkdir()  # (could be a live cross-namespace builder)
-    stale = root / f"k2.tmp.{os.getpid()}x"  # non-numeric suffix: skipped
+    stale = root / f"k2.tmp.{os.getpid()}x"  # unparseable + fresh: kept
     stale.mkdir()
-    old = root / "k3.tmp.1"  # pid 1 exists but dir is a day old: swept
-    old.mkdir()
-    os.utime(old, (day_ago, day_ago))
+    alive_old = root / "k3.tmp.1"  # pid 1 (init) ALIVE: kept even day-old
+    alive_old.mkdir()
+    os.utime(alive_old, (day_ago, day_ago))
     live = root / f"k4.tmp.{os.getpid()}"  # this very process: kept
     live.mkdir()
+    # r10 host-pid-uuid tokens: same-host probes are definitive
+    tok_dead = root / f"k6.tmp.{host}-999999999-deadbeef"
+    tok_dead.mkdir()  # dead on THIS host, past grace: swept
+    os.utime(tok_dead, (two_h, two_h))
+    tok_live = root / f"k7.tmp.{host}-{os.getpid()}-cafef00d"
+    tok_live.mkdir()  # alive on this host, day-old: kept (ADVICE r9)
+    os.utime(tok_live, (day_ago, day_ago))
+    tok_other = root / "k8.tmp.otherhost-1-12345678"
+    tok_other.mkdir()  # other host (unprobeable), day-old: swept
+    os.utime(tok_other, (day_ago, day_ago))
+    tok_other_fresh = root / "k9.tmp.otherhost-1-87654321"
+    tok_other_fresh.mkdir()  # other host, past grace only: kept
+    os.utime(tok_other_fresh, (two_h, two_h))
     src = root / "key.tmp.555"
     src.mkdir()
     _publish(str(src), str(root / "key"))
-    assert not dead_old.exists() and not old.exists()
+    assert not dead_old.exists() and not tok_dead.exists()
+    assert not tok_other.exists()
     assert live.exists() and stale.exists() and dead_fresh.exists()
+    assert alive_old.exists() and tok_live.exists()
+    assert tok_other_fresh.exists()
     assert (root / "key").exists()
 
 

