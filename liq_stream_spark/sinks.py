@@ -229,9 +229,11 @@ def write_jdbc_idempotent(
     epoch lands in ``{table}_stage_{epoch_id}`` via the ordinary JDBC
     writer (overwrite — a partial retry refills it), then one driver-side
     transaction claims the epoch in ``{table}_epochs`` and promotes the
-    staged rows iff the claim won. Unverifiable in this container (no
-    PG/JDBC driver); statement strings are unit-tested like the
-    bootstrap DDL."""
+    staged rows iff the claim won. The statement semantics (claim once,
+    replay promotes zero rows, new epochs append) are verified against a
+    REAL PostgreSQL 15 server in tests/test_pg_live.py; only this
+    function's Spark JDBC writer leg remains unexercised in-container
+    (no PostgreSQL JDBC driver jar)."""
     staging = f"{table}_stage_{int(epoch_id)}"
     (
         df.write.format("jdbc")
@@ -278,7 +280,10 @@ def _execute_statements(
 
 def ensure_table(url: str, table: str, properties: dict[str, str] | None = None):
     """One-shot DDL bootstrap (K5, writer_pg.py:23-57,124-136): table plus
-    the two reference indexes, all idempotent."""
+    the two reference indexes, all idempotent. The statements execute
+    green against a real PostgreSQL 15 server — table, both indexes,
+    schema-qualified names, re-run no-op (tests/test_pg_live.py); this
+    JDBC transport needs the driver jar the container lacks."""
     try:
         import py4j  # noqa: F401 — session JVM required
         from pyspark.sql import SparkSession

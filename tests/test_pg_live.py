@@ -1,0 +1,182 @@
+"""K4/K5 against a REAL PostgreSQL server (round 10).
+
+The container gained PostgreSQL 15 binaries (initdb/pg_ctl/psql), so the
+sink's statement sequences — previously verified only as strings — now
+execute against a live server: the DDL bootstrap (table + the two
+reference indexes, writer_pg.py:38-57), its idempotence, and the
+exactly-once epoch claim+promote (a replayed epoch promotes ZERO rows).
+
+Scope note: the Spark-side JDBC writer legs (``df.write.format("jdbc")``
+in sinks.write_jdbc / write_jdbc_idempotent) still cannot run — the
+container has no PostgreSQL JDBC driver jar — so this module verifies
+the SQL semantics those writers drive, via a throwaway cluster (unix
+socket, trust auth) and psql. The server must run as a non-root user;
+we re-use the image's ``postgres`` account for the daemon only (psql
+connects as root over the trusted socket).
+"""
+
+import os
+import shutil
+import subprocess
+import tempfile
+
+import pytest
+
+from liq_stream_spark.sinks import (
+    bootstrap_statements,
+    idempotent_statements,
+)
+
+COLUMNS = [
+    "exchange", "market", "symbol", "side", "qty", "price", "notional",
+    "ts_exch_ms", "ts_ingest_ms", "raw",
+]
+
+
+def _as_postgres(cmd: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        ["su", "postgres", "-s", "/bin/bash", "-c", cmd],
+        cwd="/tmp",
+        capture_output=True,
+        text=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def pg():
+    """Throwaway cluster: initdb + pg_ctl on a unix socket under a short
+    mkdtemp (socket paths cap at ~107 bytes — pytest tmp dirs can blow
+    it). Yields a run(sql) helper; always stops the daemon on teardown."""
+    for tool in ("initdb", "pg_ctl", "psql"):
+        if shutil.which(tool) is None:
+            pytest.skip(f"{tool} not in PATH — no PostgreSQL in container")
+    if _as_postgres("true").returncode != 0:
+        pytest.skip("cannot run the PG daemon as a non-root user")
+    root = tempfile.mkdtemp(prefix="liqpg_")
+    os.chmod(root, 0o777)
+    data = f"{root}/data"
+    started = False
+    try:
+        r = _as_postgres(f"initdb -D {data} -A trust -U postgres")
+        if r.returncode != 0:
+            pytest.skip(f"initdb failed: {r.stderr[-300:]}")
+        r = _as_postgres(
+            f"pg_ctl -D {data} -w -o \"-k {root} -c listen_addresses=''\" "
+            f"-l {root}/log start"
+        )
+        if r.returncode != 0:
+            pytest.skip(f"pg_ctl start failed: {r.stderr[-300:]}")
+        started = True
+
+        def run(sql: str) -> str:
+            p = subprocess.run(
+                [
+                    "psql", "-h", root, "-U", "postgres", "-d", "postgres",
+                    "-v", "ON_ERROR_STOP=1", "-X", "-A", "-t", "-c", sql,
+                ],
+                cwd="/tmp",
+                capture_output=True,
+                text=True,
+            )
+            assert p.returncode == 0, f"psql failed on {sql!r}: {p.stderr}"
+            return p.stdout.strip()
+
+        yield run
+    finally:
+        if started:
+            _as_postgres(f"pg_ctl -D {data} -m immediate stop")
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_bootstrap_ddl_executes_and_is_idempotent(pg):
+    """K5 (writer_pg.py:23-57,124-136): the bootstrap creates the table
+    and BOTH reference indexes on a real server, and a re-run is a
+    clean no-op (the reference guards the same way)."""
+    for _ in range(2):  # idempotence: second pass must not error
+        for sql in bootstrap_statements("liquidations"):
+            pg(sql)
+    assert pg(
+        "SELECT count(*) FROM pg_tables WHERE tablename = 'liquidations'"
+    ) == "1"
+    idx = pg(
+        "SELECT indexname FROM pg_indexes WHERE tablename = 'liquidations' "
+        "ORDER BY indexname"
+    ).splitlines()
+    assert idx == ["liquidations_sym_ts_idx", "liquidations_ts_idx"]
+    # the DDL's column types accept a real normalized row, values intact
+    pg(
+        "INSERT INTO liquidations VALUES ('binance', 'usdt', 'BTCUSDT', "
+        "'long', 0.014, 42000.5, 588.007, 1716000000123, 1716000000456, "
+        "'{\"o\":{\"s\":\"BTCUSDT\"}}')"
+    )
+    row = pg(
+        "SELECT exchange, qty, price, ts_exch_ms, raw FROM liquidations"
+    )
+    assert row == (
+        'binance|0.014|42000.5|1716000000123|{"o":{"s":"BTCUSDT"}}'
+    )
+
+
+def test_bootstrap_handles_schema_qualified_tables(pg):
+    """The index-existence probe splits schema-qualified names like the
+    reference (writer_pg.py:129-130) — indexes land in the right schema
+    and the re-run stays a no-op."""
+    pg("CREATE SCHEMA IF NOT EXISTS liq")
+    for _ in range(2):
+        for sql in bootstrap_statements("liq.liquidations"):
+            pg(sql)
+    got = pg(
+        "SELECT schemaname, indexname FROM pg_indexes "
+        "WHERE tablename = 'liquidations' AND schemaname = 'liq' "
+        "ORDER BY indexname"
+    ).splitlines()
+    assert got == ["liq|liquidations_sym_ts_idx", "liq|liquidations_ts_idx"]
+
+
+def test_epoch_promotion_is_exactly_once(pg):
+    """K4's exactly-once ledger on a real server: the claim+promote CTE
+    promotes an epoch's staged rows exactly once — a replay (staging
+    refilled, statements re-run) inserts ZERO rows; a new epoch appends."""
+    for sql in bootstrap_statements("liq_eo"):
+        pg(sql)
+    cols = ", ".join(COLUMNS)
+
+    def stage(epoch: int, n: int):
+        staging = f"liq_eo_stage_{epoch}"
+        pg(f"DROP TABLE IF EXISTS {staging}")
+        pg(f"CREATE TABLE {staging} (LIKE liq_eo)")
+        for i in range(n):
+            pg(
+                f"INSERT INTO {staging} VALUES ('okx', 'usdt', 'ETH-USDT', "
+                f"'short', 1.5, 3000.0, 4500.0, {1716000000000 + i}, "
+                f"{1716000001000 + i}, 'r{epoch}-{i}')"
+            )
+        return staging
+
+    staging = stage(7, 3)
+    stmts = idempotent_statements("liq_eo", staging, 7, COLUMNS)
+    for sql in stmts:
+        pg(sql)
+    assert pg("SELECT count(*) FROM liq_eo") == "3"
+    # replay: crash between promote and checkpoint commit re-runs the
+    # whole epoch — staging refilled, statements re-executed, 0 new rows
+    stage(7, 3)
+    for sql in idempotent_statements("liq_eo", staging, 7, COLUMNS):
+        pg(sql)
+    assert pg("SELECT count(*) FROM liq_eo") == "3"
+    # a NEW epoch promotes normally
+    staging8 = stage(8, 2)
+    for sql in idempotent_statements("liq_eo", staging8, 8, COLUMNS):
+        pg(sql)
+    assert pg("SELECT count(*) FROM liq_eo") == "5"
+    assert pg(
+        "SELECT epoch_id FROM liq_eo_epochs ORDER BY epoch_id"
+    ).splitlines() == ["7", "8"]
+    # the ledger records the claim even for an EMPTY epoch (zero staged
+    # rows): the claim CTE inserts regardless, so a later replay of the
+    # same empty epoch stays a no-op
+    staging9 = stage(9, 0)
+    for sql in idempotent_statements("liq_eo", staging9, 9, COLUMNS):
+        pg(sql)
+    assert pg("SELECT count(*) FROM liq_eo") == "5"
+    assert pg("SELECT count(*) FROM liq_eo_epochs") == "3"
