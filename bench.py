@@ -119,10 +119,34 @@ def _host_conditions() -> dict:
     }
 
 
+def _quiet_gated_host() -> tuple[dict, bool]:
+    """VERDICT r9 item 5: the artifact of record should not need judge
+    re-runs. When the first capture reads LOADED, wait briefly and
+    re-capture once (transient load — a finishing pytest, a cron tick —
+    passes); if the host is STILL loaded, proceed but return
+    unreliable=True so the JSON carries a machine-first top-level flag
+    instead of only a prose epoch_check verdict."""
+    host = _host_conditions()
+
+    def loaded(h: dict) -> bool:
+        return h.get("load1") is not None and h["load1"] >= 0.5
+
+    if loaded(host):
+        wait = int(os.environ.get("BENCH_QUIET_WAIT_SEC", "60"))
+        print(
+            f"bench: host loaded (load1={host['load1']}); waiting {wait}s "
+            "for a quiet epoch before measuring",
+            file=sys.stderr,
+        )
+        time.sleep(wait)
+        host = _host_conditions()
+    return host, loaded(host)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    host = _host_conditions()
+    host, unreliable = _quiet_gated_host()
     spark = get_spark(
         app_name="liq_stream_spark_bench",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
@@ -204,6 +228,7 @@ def main() -> None:
                     "runs": noise,
                     "sf": sf,
                     "host": host,
+                    "unreliable": unreliable,
                     "samples": samples,
                 }
             )
@@ -261,8 +286,12 @@ def main() -> None:
                 "extra_queries_single_run": extra,
                 # capture conditions (VERDICT r8 item 5): the epoch this
                 # artifact was measured in, so cross-round reads don't
-                # need out-of-band archaeology
+                # need out-of-band archaeology. "unreliable" (VERDICT r9
+                # item 5) is the machine-first verdict: True means the
+                # host was STILL loaded after the quiet-epoch retry and
+                # the numbers must not be compared across rounds.
                 "host": host,
+                "unreliable": unreliable,
             }
         )
     )
