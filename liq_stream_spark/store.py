@@ -639,8 +639,9 @@ def _write_ids_sidecar(
     row-group min/max stats support pruned point probes. A full-corpus
     build globally sorts (one extra narrow-column shuffle, negligible
     next to the index build it rides); a ``batch`` append stays one
-    sorted file — appends add one small file each, folded back by the
-    compaction functions' sidecar carry-over or an ids rebuild."""
+    sorted file — appends add one small file each, folded back in the
+    compaction maintenance window (compact_index_partitions' inverted
+    pass and compact_band_index both rewrite the sidecar sorted)."""
     ids = ids.toDF("id")
     if batch:
         out = ids.coalesce(1).sortWithinPartitions("id")
@@ -1093,6 +1094,46 @@ def compact_index_partitions(
         shutil.rmtree(ltmp, ignore_errors=True)  # don't leak the tmp
         raise
     shutil.rmtree(old)
+    if sub == "inverted":
+        # the ids sidecar accumulates one small file per append — fold
+        # it in the same maintenance window (keyed to the inverted pass
+        # so a two-layer inverted+codes compaction doesn't rewrite it
+        # twice). Same token-swap dance; rows unchanged.
+        _compact_ids_sidecar(spark, path, local, token)
+
+
+def _compact_ids_sidecar(
+    spark: SparkSession, path: str, local: str, token: str
+) -> None:
+    """Rewrite ``{path}/_ids`` as id-sorted consolidated files (the
+    batch=False layout of :func:`_write_ids_sidecar`) behind the same
+    rename swap the layer compactions use — restoring both the file
+    count and the row-group min/max pruning the per-append small files
+    erode."""
+    import shutil
+
+    lids = f"{local}/{_IDS_SUB}"
+    _recover_compact_swap(lids)  # a prior ids-swap crash restores here
+    _sweep_swap_leftovers(lids)
+    if not os.path.isdir(lids):
+        return
+    tmp = f"{path}/{_IDS_SUB}.compact.tmp.{token}"
+    ltmp = f"{lids}.compact.tmp.{token}"
+    (
+        spark.read.parquet(f"{path}/{_IDS_SUB}")
+        .sort("id")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    old = f"{lids}.old.{token}"
+    os.rename(lids, old)
+    try:
+        os.rename(ltmp, lids)
+    except OSError:
+        os.rename(old, lids)
+        shutil.rmtree(ltmp, ignore_errors=True)
+        raise
+    shutil.rmtree(old)
 
 
 def compact_band_index(spark: SparkSession, table: str, path: str) -> None:
@@ -1155,13 +1196,20 @@ def compact_band_index(spark: SparkSession, table: str, path: str) -> None:
             )
         finally:
             spark.conf.set(auto, prev)
-        # carry the sidecars: they live INSIDE the table dir being swapped
+        # carry the sidecars: they live INSIDE the table dir being
+        # swapped. The ids sidecar is REWRITTEN (sorted, folded) rather
+        # than file-copied — appends left one small file each, and this
+        # is the maintenance window that folds small files back
         shutil.copy2(
             os.path.join(local, _INDEX_META), os.path.join(ltmp, _INDEX_META)
         )
-        ids = os.path.join(local, _IDS_SUB)
-        if os.path.isdir(ids):
-            shutil.copytree(ids, os.path.join(ltmp, _IDS_SUB))
+        if os.path.isdir(os.path.join(local, _IDS_SUB)):
+            _write_ids_sidecar(
+                spark.read.parquet(f"{path}/{_IDS_SUB}"),
+                tmp,
+                "overwrite",
+                batch=False,
+            )
         old = f"{local}.old.{token}"
         os.rename(local, old)
         try:

@@ -472,6 +472,61 @@ def profile(
             )
 
 
+def parity(
+    names: list[str], sf_dir: str = "/root/testdata/sf0.1"
+) -> bool:
+    """Spark-vs-Spark run-twice determinism gate (VERDICT r9 item 6):
+    build and collect each query TWICE (two independent plan builds and
+    executions — partition-order- or tie-dependent nondeterminism at
+    scale shows up as a hash mismatch) and compare under the harness's
+    exact canonicalization. This is the sf0.1 round-close gate for the
+    recursive-CTE-heavy oracle family (d07/d18/d19/p13/p14 class) whose
+    DuckDB side costs ~1 hour at sf0.1: the VALUE gate for them runs at
+    sf0.01 (every round, `tools drive`), and this re-runs the Spark
+    side at sf0.1 in minutes. NOT a substitute for an oracle — it can
+    only catch nondeterminism, never a both-runs-wrong answer."""
+    import time
+
+    from liq_stream_spark.compare import frame_repr
+    from liq_stream_spark.plans import REGISTRY
+    from liq_stream_spark.session import get_spark
+
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        raise SystemExit(
+            f"unknown query name(s): {', '.join(unknown)} "
+            f"(see QUERIES.md for the registry)"
+        )
+    spark = get_spark(
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    ok = True
+    for name in names:
+        q = REGISTRY[name]
+        try:
+            t0 = time.perf_counter()
+            reprs = []
+            for _ in range(2):
+                sdf = q.build(spark, sf_dir)
+                reprs.append(
+                    frame_repr(sdf.columns, [tuple(r) for r in sdf.collect()])
+                )
+            (n1, b1), (n2, b2) = reprs
+            good = n1 == n2 and b1 == b2
+            ok = ok and good
+            print(
+                f"{name}: runs 2x{len(b1)} rows in "
+                f"{time.perf_counter() - t0:.1f}s -> "
+                f"{'PARITY OK' if good else 'PARITY FAIL'}"
+            )
+        except Exception as e:  # pragma: no cover - surfaced to the user
+            ok = False
+            print(f"{name}: ERROR {type(e).__name__}: {str(e)[:300]}")
+    return ok
+
+
 def main() -> None:
     import sys
     from pathlib import Path
@@ -495,6 +550,14 @@ def main() -> None:
         ap.add_argument("names", nargs="*")
         ns = ap.parse_args(sys.argv[2:])
         raise SystemExit(0 if drive(ns.names or None, ns.sf) else 1)
+    elif cmd == "parity":
+        import argparse
+
+        ap = argparse.ArgumentParser(prog="tools parity")
+        ap.add_argument("--sf", default="/root/testdata/sf0.1")
+        ap.add_argument("names", nargs="+")
+        ns = ap.parse_args(sys.argv[2:])
+        raise SystemExit(0 if parity(ns.names, ns.sf) else 1)
     elif cmd == "profile":
         import argparse
 
@@ -509,7 +572,7 @@ def main() -> None:
         # a typo must not silently regenerate the wrong artifact
         raise SystemExit(
             f"unknown subcommand {cmd!r}: expected plans | ledger | queries "
-            f"| drive | profile"
+            f"| drive | parity | profile"
         )
     print(f"wrote {out}")
 

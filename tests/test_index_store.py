@@ -349,6 +349,8 @@ def test_compact_index_partitions_preserves_results(spark, emb, tmp_path):
     assert max(
         len(glob.glob(f"{d}/*.parquet")) for d in cell_dirs
     ) > 1, "appends should have left multi-file cells"
+    ids_files_before = len(glob.glob(f"{path}/_ids/*.parquet"))
+    assert ids_files_before > 1, "appends should have left ids small files"
     with mock.patch.object(
         S,
         "kmeans_centroids",
@@ -361,6 +363,15 @@ def test_compact_index_partitions_preserves_results(spark, emb, tmp_path):
         store.ivf_topk_from_store(spark, queries, path, k=5, nprobe=3)
     )
     assert after == before and after
+    # the ids sidecar folded in the same window, content intact: the
+    # guard still refuses every already-indexed id
+    assert len(glob.glob(f"{path}/_ids/*.parquet")) < ids_files_before
+    assert (
+        spark.read.parquet(f"{path}/_ids").count()
+        == spark.read.parquet(f"{path}/inverted").count()
+    )
+    with pytest.raises(ValueError, match="already present"):
+        store.append_to_ivf_index(emb.limit(3), path)
 
 
 def test_append_guard_backfills_legacy_sidecar(spark, emb, tmp_path):

@@ -182,10 +182,14 @@ def test_compact_band_index_folds_files_and_keeps_layout(spark, tmp_path):
         assert len(glob.glob(f"{p}/part-*")) > n_buckets, (
             "appends should have left multiple files per bucket"
         )
+        ids_files_before = len(glob.glob(f"{p}/_ids/*.parquet"))
+        assert ids_files_before > 1
         store.compact_band_index(spark, t, p)
         assert len(glob.glob(f"{p}/part-*")) == n_buckets
-        # sidecars survived the swap
+        # sidecars survived the swap; the ids sidecar FOLDED (rewritten
+        # sorted, not file-copied), content intact
         assert os.path.isfile(f"{p}/_liq_index_meta.json")
+        assert len(glob.glob(f"{p}/_ids/*.parquet")) < ids_files_before
         assert spark.read.parquet(f"{p}/_ids").count() == docs.count()
         got = {
             tuple(r)
