@@ -374,6 +374,42 @@ def test_compact_index_partitions_preserves_results(spark, emb, tmp_path):
         store.append_to_ivf_index(emb.limit(3), path)
 
 
+def test_compact_codes_layer_preserves_probe_results(spark, emb, tmp_path):
+    """The PQ code lists compact through the same path as the inverted
+    file (split col from the meta sidecar — both layers carry
+    neighbor_id): files fold to one per cell, IVF-PQ probes identical,
+    and the ids sidecar is NOT rewritten by the codes pass (it folds
+    with the inverted pass only, so a two-layer maintenance run
+    rewrites it once)."""
+    import glob
+
+    path = str(tmp_path / "ann")
+    _build_half(emb, path)
+    for lo, hi in ((250, 350), (350, 500)):
+        store.append_to_ivf_index(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            path,
+            check_ids=False,
+        )
+    queries = emb.filter(F.col("vec_id") < 10)
+    before = _rows(
+        store.ivfpq_topk_from_store(spark, queries, path, k=5, nprobe=3)
+    )
+    assert max(
+        len(glob.glob(f"{d}/*.parquet"))
+        for d in glob.glob(f"{path}/codes/cell=*")
+    ) > 1
+    ids_files = set(glob.glob(f"{path}/_ids/*.parquet"))
+    store.compact_index_partitions(spark, path, "codes")
+    assert set(glob.glob(f"{path}/_ids/*.parquet")) == ids_files
+    for d in glob.glob(f"{path}/codes/cell=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) == 1, d
+    after = _rows(
+        store.ivfpq_topk_from_store(spark, queries, path, k=5, nprobe=3)
+    )
+    assert after == before and after
+
+
 def test_append_guard_backfills_legacy_sidecar(spark, emb, tmp_path):
     """A pre-r10 store has no _ids sidecar: the first guarded append
     backfills it ONCE from the inverted file's id column, then the
