@@ -57,6 +57,13 @@ def parse_args(argv=None):
     p.add_argument("--pg-exactly-once", action="store_true",
                    help="per-epoch staging + ledger-claimed promotion: a "
                    "replayed micro-batch promotes zero rows")
+    p.add_argument("--pg-transport", choices=["jdbc", "copy"],
+                   default=os.environ.get("PG_TRANSPORT", "jdbc"),
+                   help="jdbc: JVM JDBC writer (--pg-dsn is a jdbc: URL; "
+                   "needs a PostgreSQL driver jar). copy: per-partition "
+                   "COPY via psql (--pg-dsn is a libpq conninfo, e.g. "
+                   "'host=/run/postgresql user=postgres dbname=liq'); "
+                   "always exactly-once, bootstraps the table at startup")
     # bybit (S3/S4) — live websocket mode only
     p.add_argument("--subscribe-chunk", type=int, default=100)
     p.add_argument("--bybit-legacy", action="store_true",
@@ -124,6 +131,11 @@ def main(argv=None) -> None:
             sink.jdbc_table = args.pg_table
             sink.jdbc_batch_size = args.pg_batch
             sink.jdbc_exactly_once = args.pg_exactly_once
+            sink.pg_transport = args.pg_transport
+            if args.pg_transport == "copy":
+                from liq_stream_spark.sinks import ensure_table_psql
+
+                ensure_table_psql(args.pg_dsn, args.pg_table)
 
     normalizer_kwargs: dict[str, dict] = {
         "hyperliquid": {"min_abs_sz": args.hl_min_sz},

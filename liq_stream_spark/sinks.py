@@ -12,9 +12,11 @@ Spark mapping:
 - CSV daily files (K3)-> partitionBy(exchange, market, date) — a date
                          partition dir IS the daily file, and it gives
                          partition pruning on read
-- Postgres (K4/K5)    -> JDBC append with batchsize; DDL bootstrap is a
-                         one-shot driver-side statement. exactly-once-ish:
-                         checkpointed offsets + idempotent re-run per epoch
+- Postgres (K4/K5)    -> two transports: JDBC append with batchsize (needs
+                         a driver jar), or per-partition COPY via psql
+                         (write_pg_copy — the bulk fast path, exactly-once
+                         through the epoch ledger); DDL bootstrap is a
+                         one-shot driver-side statement either way
 - parquet             -> the canonical analytic store (not in the
                          reference; replaces its PG table as the query
                          target), partitioned the same way
@@ -304,6 +306,191 @@ def ensure_table(url: str, table: str, properties: dict[str, str] | None = None)
         raise RuntimeError(f"DDL bootstrap failed for {url}: {e}") from e
 
 
+# --- PostgreSQL COPY transport (K4's driverless data path) ----------------
+#
+# The JDBC writer above needs a PostgreSQL JDBC jar on the classpath; this
+# transport needs only the `psql` client binary on driver + executors
+# (standard in production images, and what the container actually ships).
+# It is ALSO the faster bulk path at scale: each executor partition streams
+# its rows as one server-side COPY (PostgreSQL's bulk-ingest fast path,
+# ~5-10x JDBC executeBatch), so ingest parallelism is Spark's partition
+# count and the only driver-side SQL is the set-based claim+promote.
+
+_PG_TYPES = {
+    "string": "TEXT",
+    "double": "DOUBLE PRECISION",
+    "float": "REAL",
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "smallint": "SMALLINT",
+    "tinyint": "SMALLINT",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMPTZ",
+    "timestamp_ntz": "TIMESTAMP",
+}
+
+
+def _pg_column_ddl(df: DataFrame) -> str:
+    """PostgreSQL column DDL for ``df``'s schema (flat types only — the
+    sink schema is flat by construction; nested/array/binary raise)."""
+    cols = []
+    for f in df.schema.fields:
+        s = f.dataType.simpleString()
+        if s.startswith("decimal"):
+            pg = s.upper().replace("DECIMAL", "NUMERIC")
+        else:
+            pg = _PG_TYPES.get(s)
+        if pg is None:
+            raise ValueError(
+                f"column {f.name!r}: Spark type {s!r} has no COPY-transport "
+                "PostgreSQL mapping (flat scalar columns only)"
+            )
+        cols.append(f"{f.name} {pg}")
+    return ", ".join(cols)
+
+
+def _psql_script(
+    conninfo: str, script: str, single_txn: bool = False
+) -> str:
+    """Run a SQL script through ``psql -f -`` (ON_ERROR_STOP; optionally
+    one transaction). ``conninfo`` is a libpq conninfo string, e.g.
+    ``host=/run/postgresql user=postgres dbname=liq``."""
+    import subprocess
+
+    cmd = ["psql", conninfo, "-X", "-q", "-v", "ON_ERROR_STOP=1"]
+    if single_txn:
+        cmd.append("-1")
+    cmd += ["-f", "-"]
+    p = subprocess.run(
+        cmd, input=script, text=True, capture_output=True, cwd="/tmp"
+    )
+    if p.returncode != 0:
+        raise RuntimeError(
+            f"psql script failed (rc={p.returncode}): {p.stderr[-800:]}"
+        )
+    return p.stdout
+
+
+def ensure_table_psql(conninfo: str, table: str) -> None:
+    """:func:`ensure_table` over the COPY transport: the same bootstrap
+    statements (table + both reference indexes, writer_pg.py:23-57),
+    executed through psql instead of a JDBC connection."""
+    _psql_script(conninfo, ";\n".join(bootstrap_statements(table)))
+
+
+def write_pg_copy(
+    df: DataFrame, epoch_id: int, conninfo: str, table: str
+) -> int:
+    """Exactly-once PostgreSQL sink over ``COPY FROM STDIN`` — the
+    in-container REAL data path for K4 (writer_pg.py:59-88's insert loop,
+    upgraded from the reference's at-most-once to exactly-once).
+
+    Shape: the driver (re)creates an UNLOGGED per-epoch staging table
+    typed from ``df``'s schema; each partition streams its rows into it
+    as one COPY inside a transaction that first takes an EXCLUSIVE lock
+    and deletes that partition's prior rows — so a retried or speculative
+    task attempt replaces rather than duplicates its partition; then one
+    driver-side transaction claims ``epoch_id`` in the ``{table}_epochs``
+    ledger and promotes the staged rows iff the claim won (identical
+    statements to :func:`write_jdbc_idempotent` — a replayed epoch
+    promotes zero rows). NULL fidelity is exact: pyarrow CSV with
+    ``all_valid`` quoting leaves only NULLs unquoted-empty, so empty
+    strings, ``NaN`` doubles and NULLs all round-trip distinctly.
+
+    Scale: per-partition COPY is PostgreSQL's bulk fast path and
+    parallelizes with the partition count; executors need only the psql
+    binary. Returns the number of rows staged (== promoted on a first
+    run, staged-but-skipped on a replay).
+    """
+    data_cols = list(df.columns)
+    staging = f"{table}_stage_{int(epoch_id)}"
+    _psql_script(
+        conninfo,
+        f"DROP TABLE IF EXISTS {staging};\n"
+        f"CREATE UNLOGGED TABLE {staging} "
+        f"({_pg_column_ddl(df)}, _liq_part INTEGER);",
+        single_txn=True,
+    )
+    copy_cols = ", ".join(data_cols + ["_liq_part"])
+    tagged = df.withColumn("_liq_part", F.spark_partition_id())
+
+    def _copy_partition(batches):
+        import io
+        import subprocess
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.csv as pacsv
+
+        n = 0
+        proc = None
+        errf = None
+        for batch in batches:
+            if proc is None:
+                part = batch.column("_liq_part")[0].as_py()
+                # stderr to a file, not a pipe: a pipe can fill and
+                # deadlock the stdin stream on a chatty failure
+                errf = tempfile.TemporaryFile()
+                proc = subprocess.Popen(
+                    ["psql", conninfo, "-X", "-q", "-v", "ON_ERROR_STOP=1",
+                     "-f", "-"],
+                    stdin=subprocess.PIPE,
+                    stdout=subprocess.DEVNULL,
+                    stderr=errf,
+                    cwd="/tmp",
+                )
+                proc.stdin.write(
+                    (
+                        "BEGIN;\n"
+                        f"LOCK TABLE {staging} IN EXCLUSIVE MODE;\n"
+                        f"DELETE FROM {staging} WHERE _liq_part = {part};\n"
+                        f"COPY {staging} ({copy_cols}) FROM stdin "
+                        "(FORMAT csv, NULL '');\n"
+                    ).encode()
+                )
+            buf = io.BytesIO()
+            pacsv.write_csv(
+                pa.Table.from_batches([batch]),
+                buf,
+                pacsv.WriteOptions(
+                    include_header=False, quoting_style="all_valid"
+                ),
+            )
+            proc.stdin.write(buf.getvalue())
+            n += batch.num_rows
+        if proc is not None:
+            proc.stdin.write(b"\\.\nCOMMIT;\n")
+            proc.stdin.close()
+            rc = proc.wait()
+            errf.seek(0)
+            err = errf.read().decode(errors="replace")
+            errf.close()
+            if rc != 0:
+                raise RuntimeError(
+                    f"psql COPY into {staging} failed (rc={rc}): "
+                    f"{err[-800:]}"
+                )
+        yield pa.RecordBatch.from_pydict(
+            {"copied": pa.array([n], pa.int64())}
+        )
+
+    staged = (
+        tagged.mapInArrow(_copy_partition, "copied long")
+        .agg(F.sum("copied").alias("n"))
+        .collect()[0]["n"]
+    ) or 0
+    _psql_script(
+        conninfo,
+        ";\n".join(
+            idempotent_statements(table, staging, epoch_id, data_cols)
+            + [f"DROP TABLE IF EXISTS {staging}"]
+        ),
+        single_txn=True,
+    )
+    return int(staged)
+
+
 def print_console(df: DataFrame, limit: int = 20, color: bool = True) -> None:
     """K2: colored console rendering — long liquidations red, short green,
     notional dimmed (stream.py:58-78). Driver-side take(); dev sink only."""
@@ -340,6 +527,10 @@ class FanOutConfig:
     jdbc_properties: dict[str, str] = field(default_factory=dict)
     # exactly-once JDBC: per-epoch staging + ledger-claimed promotion
     jdbc_exactly_once: bool = False
+    # "jdbc" drives the JVM JDBC writer (needs a PostgreSQL driver jar;
+    # jdbc_url is a jdbc: URL); "copy" streams per-partition COPY through
+    # psql (jdbc_url is a libpq conninfo string) — always exactly-once
+    pg_transport: str = "jdbc"
     console: bool = False
     console_color: bool = True
 
@@ -368,7 +559,11 @@ def fan_out(config: FanOutConfig):
             if config.csv_path:
                 write_csv(batch_df, config.csv_path)
             if config.jdbc_url:
-                if config.jdbc_exactly_once:
+                if config.pg_transport == "copy":
+                    write_pg_copy(
+                        batch_df, epoch_id, config.jdbc_url, config.jdbc_table
+                    )
+                elif config.jdbc_exactly_once:
                     write_jdbc_idempotent(
                         batch_df,
                         epoch_id,

@@ -6,13 +6,16 @@ execute against a live server: the DDL bootstrap (table + the two
 reference indexes, writer_pg.py:38-57), its idempotence, and the
 exactly-once epoch claim+promote (a replayed epoch promotes ZERO rows).
 
-Scope note: the Spark-side JDBC writer legs (``df.write.format("jdbc")``
-in sinks.write_jdbc / write_jdbc_idempotent) still cannot run — the
-container has no PostgreSQL JDBC driver jar — so this module verifies
-the SQL semantics those writers drive, via a throwaway cluster (unix
-socket, trust auth) and psql. The server must run as a non-root user;
-we re-use the image's ``postgres`` account for the daemon only (psql
-connects as root over the trusted socket).
+Scope note: the JDBC transport (``df.write.format("jdbc")`` in
+sinks.write_jdbc / write_jdbc_idempotent) still cannot run — the
+container has no PostgreSQL JDBC driver jar — so its SQL semantics are
+verified statement-level here. The COPY transport
+(sinks.write_pg_copy) needs no JDBC jar and IS exercised end to end
+below: real Spark DataFrames and a real foreachBatch stream land rows
+in the live server through per-partition ``COPY FROM STDIN``. The
+server must run as a non-root user; we re-use the image's ``postgres``
+account for the daemon only (psql connects as root over the trusted
+socket).
 """
 
 import os
@@ -81,6 +84,8 @@ def pg():
             assert p.returncode == 0, f"psql failed on {sql!r}: {p.stderr}"
             return p.stdout.strip()
 
+        # libpq conninfo for the COPY-transport tests (socket dir as host)
+        run.conninfo = f"host={root} user=postgres dbname=postgres"
         yield run
     finally:
         if started:
@@ -180,3 +185,122 @@ def test_epoch_promotion_is_exactly_once(pg):
         pg(sql)
     assert pg("SELECT count(*) FROM liq_eo") == "5"
     assert pg("SELECT count(*) FROM liq_eo_epochs") == "3"
+
+
+# --- the Spark-side COPY transport: a REAL Spark -> PostgreSQL data path ---
+
+ROW_SCHEMA = (
+    "exchange string, market string, symbol string, side string, "
+    "qty double, price double, notional double, ts_exch_ms long, "
+    "ts_ingest_ms long, raw string"
+)
+
+
+def _mk_rows(epoch: int, n: int):
+    return [
+        (
+            "binance", "usdt", f"SYM{i}USDT", "long" if i % 2 else "short",
+            float(i) + 0.25, 100.0 + i, (float(i) + 0.25) * (100.0 + i),
+            1716000000000 + epoch * 1000 + i, 1716000001000 + i,
+            f"r{epoch}-{i}",
+        )
+        for i in range(n)
+    ]
+
+
+def test_write_pg_copy_is_exactly_once_end_to_end(pg, spark):
+    """K4 over the COPY transport, end to end from a Spark DataFrame: a
+    4-partition parallel COPY lands every row; a replayed epoch promotes
+    ZERO new rows; a new epoch appends; the per-epoch staging table is
+    dropped after promotion."""
+    from liq_stream_spark.sinks import ensure_table_psql, write_pg_copy
+
+    ensure_table_psql(pg.conninfo, "liq_copy")
+    df = spark.createDataFrame(_mk_rows(1, 37), ROW_SCHEMA).repartition(4)
+
+    staged = write_pg_copy(df, 1, pg.conninfo, "liq_copy")
+    assert staged == 37
+    assert pg("SELECT count(*) FROM liq_copy") == "37"
+    # replay (crash between promote and checkpoint commit): same epoch,
+    # staging refilled, zero rows promoted
+    assert write_pg_copy(df, 1, pg.conninfo, "liq_copy") == 37
+    assert pg("SELECT count(*) FROM liq_copy") == "37"
+    # a new epoch appends
+    df2 = spark.createDataFrame(_mk_rows(2, 5), ROW_SCHEMA)
+    write_pg_copy(df2, 2, pg.conninfo, "liq_copy")
+    assert pg("SELECT count(*) FROM liq_copy") == "42"
+    assert pg(
+        "SELECT epoch_id FROM liq_copy_epochs ORDER BY epoch_id"
+    ).splitlines() == ["1", "2"]
+    assert pg(
+        "SELECT count(*) FROM pg_tables WHERE tablename LIKE 'liq_copy_stage%'"
+    ) == "0"
+    # values round-trip: pick one row and compare every column
+    got = pg(
+        "SELECT exchange, market, symbol, side, qty, price, notional, "
+        "ts_exch_ms, ts_ingest_ms, raw FROM liq_copy WHERE raw = 'r1-3'"
+    )
+    assert got == (
+        "binance|usdt|SYM3USDT|long|3.25|103|334.75|1716000001003|"
+        "1716000001003|r1-3"
+    )
+
+
+def test_write_pg_copy_null_and_quoting_fidelity(pg, spark):
+    """The CSV framing preserves the hard cases distinctly: NULL vs empty
+    string vs whitespace, NaN doubles, and delimiter/quote/newline bytes
+    inside text values (the raw column carries arbitrary exchange JSON)."""
+    from liq_stream_spark.sinks import ensure_table_psql, write_pg_copy
+
+    ensure_table_psql(pg.conninfo, "liq_tricky")
+    rows = [
+        ("okx", "usdt", "A", None, None, 1.0, None, 1, 1, None),
+        ("okx", "usdt", "B", "", float("nan"), 2.0, 0.0, 2, 2, ""),
+        ("okx", "usdt", "C", "long", 3.0, 3.0, 9.0, 3, 3,
+         '{"a":"x,y","b":"q\\"uote","c":"line\nbreak"}'),
+        ("okx", "usdt", "D", "short", 4.0, 4.0, 16.0, 4, 4, "\\."),
+    ]
+    df = spark.createDataFrame(rows, ROW_SCHEMA)
+    assert write_pg_copy(df, 9, pg.conninfo, "liq_tricky") == 4
+    assert pg("SELECT count(*) FROM liq_tricky") == "4"
+    assert pg("SELECT side IS NULL, raw IS NULL FROM liq_tricky "
+              "WHERE symbol = 'A'") == "t|t"
+    assert pg("SELECT side = '', raw = '', qty = 'NaN'::float8 "
+              "FROM liq_tricky WHERE symbol = 'B'") == "t|t|t"
+    assert pg("SELECT raw FROM liq_tricky WHERE symbol = 'C'") == rows[2][9]
+    assert pg("SELECT raw FROM liq_tricky WHERE symbol = 'D'") == "\\."
+
+
+def test_pg_copy_sink_under_real_streaming(pg, spark, tmp_path):
+    """The fan-out sink drives the COPY transport from a genuine
+    Structured Streaming foreachBatch (file source, availableNow): every
+    source row lands in PostgreSQL exactly once and the epoch ledger
+    records the stream's real epoch ids."""
+    import json
+
+    from liq_stream_spark.sinks import (
+        FanOutConfig, ensure_table_psql, fan_out,
+    )
+
+    ensure_table_psql(pg.conninfo, "liq_streamed")
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "batch.jsonl", "w") as f:
+        for r in _mk_rows(0, 11):
+            cols = ("exchange market symbol side qty price notional "
+                    "ts_exch_ms ts_ingest_ms raw").split()
+            f.write(json.dumps(dict(zip(cols, r))) + "\n")
+
+    sink = FanOutConfig(
+        jdbc_url=pg.conninfo, jdbc_table="liq_streamed", pg_transport="copy"
+    )
+    stream = (
+        spark.readStream.schema(ROW_SCHEMA).json(str(src))
+        .writeStream.foreachBatch(fan_out(sink))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination(120)
+    assert pg("SELECT count(*) FROM liq_streamed") == "11"
+    assert int(pg("SELECT count(*) FROM liq_streamed_epochs")) >= 1
