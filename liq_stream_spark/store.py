@@ -182,7 +182,8 @@ def write_band_index(
 
     Uses `saveAsTable` because bucket metadata lives in the catalog;
     `path` makes it an external table so the files survive catalog
-    resets."""
+    resets — a new session re-attaches them with
+    :func:`register_band_index` (metadata-only, no re-hash)."""
     from liq_stream_spark.operators.dedup import (
         _banded_keys,
         minhash_sig_arrays,
@@ -337,6 +338,69 @@ def band_collision_pairs_from_index(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def register_band_index(
+    spark: SparkSession, table: str, path: str
+) -> None:
+    """Re-attach an existing :func:`write_band_index` root to THIS
+    session's catalog — without re-hashing, re-shuffling, or even
+    scanning the stored corpus.
+
+    The bucketed table's zero-Exchange join property lives in two
+    places: the files (bucket ids are baked into the file names) and
+    the catalog's bucket spec. The files survive a session restart; the
+    in-memory catalog entry does not (this container runs without a
+    Hive metastore, and a production metastore can still be rebuilt or
+    migrated). Without this function every new process would pay the
+    full write_band_index rebuild to get the catalog entry back —
+    exactly the per-run O(corpus) cost the index exists to amortize.
+    This recreates the external-table entry from the meta sidecar's
+    bucket count and the parquet footers' schema: a metadata-only
+    statement, after which appends, probes and compaction work
+    unchanged and the self-join still plans with zero Exchange beneath
+    it (pinned).
+
+    Idempotent: if ``table`` already exists it is cross-checked against
+    ``path`` (a name collision with a DIFFERENT root raises, the same
+    guard as the append path). Refuses meta-less roots, non-band roots,
+    and cross-version stores — the catalog entry must describe exactly
+    what the files contain.
+    """
+    local = _local_index_root(path)
+    meta = _read_index_meta(local)
+    if meta is None:
+        raise ValueError(
+            f"no index meta sidecar at {path} — the root predates the "
+            "sidecar (or is not an index root); re-run write_band_index "
+            "to rebuild it with meta"
+        )
+    if "n_buckets" not in meta or "id_col" not in meta:
+        raise ValueError(
+            f"index root {path} carries no banding params — this is "
+            "not a write_band_index root (an ANN root registers "
+            "nothing: its probes read paths, not catalog tables)"
+        )
+    if meta.get("builder_version") != BUILDER_VERSION:
+        raise ValueError(
+            f"stored band index was built by builder "
+            f"{meta.get('builder_version')!r}, this code is "
+            f"{BUILDER_VERSION!r} — probes would mix hash families; "
+            "rebuild the index"
+        )
+    if spark.catalog.tableExists(table):
+        _check_table_location(spark, table, local)
+        return  # already attached to this exact root
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in spark.read.parquet(path).schema.fields
+    )
+    spark.sql(
+        f"CREATE TABLE {table} ({cols}) USING parquet "
+        f"CLUSTERED BY (band, band_key) SORTED BY (band, band_key) "
+        f"INTO {int(meta['n_buckets'])} BUCKETS "
+        f"LOCATION '{path}'"
     )
 
 

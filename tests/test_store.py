@@ -333,3 +333,97 @@ def test_band_index_append_matches_full_build(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {inc_t}")
         spark.sql(f"DROP TABLE IF EXISTS {full_t}")
+
+
+def test_register_band_index_reattaches_without_rebuild(spark, tmp_path):
+    """A session restart loses the in-memory catalog entry but not the
+    bucketed files: register_band_index recreates the external-table
+    entry from the meta sidecar alone — identical candidate pairs, the
+    zero-Exchange self-join pin intact, and the append path still works
+    against the re-attached table. Guards: a name collision with a
+    DIFFERENT root refuses; a meta-less root refuses; an ANN (non-band)
+    root refuses."""
+    import os
+
+    import pytest
+
+    from liq_stream_spark import store
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    half_a = docs.filter(F.col("doc_id") < 250)
+    half_b = docs.filter(F.col("doc_id") >= 250)
+    table = "band_reattach"
+    path = str(tmp_path / "band")
+    try:
+        store.write_band_index(half_a, table, path)
+        want = {
+            tuple(r)
+            for r in store.band_collision_pairs_from_index(
+                spark, table
+            ).collect()
+        }
+        # simulate the fresh session: catalog entry gone, files survive
+        spark.sql(f"DROP TABLE {table}")
+        assert os.path.isdir(path)
+        store.register_band_index(spark, table, path)
+        got = {
+            tuple(r)
+            for r in store.band_collision_pairs_from_index(
+                spark, table
+            ).collect()
+        }
+        assert got == want and got
+        # re-registering is an idempotent no-op
+        store.register_band_index(spark, table, path)
+        # the zero-Exchange self-join survives re-attachment
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = (
+                store.band_collision_pairs_from_index(spark, table)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        join_part = plan.split("SortMergeJoin", 1)[1]
+        assert "Exchange" not in join_part, join_part[:400]
+        # incremental ingest works against the re-attached entry and
+        # matches a from-scratch full build
+        store.append_to_band_index(half_b, table, path)
+        got2 = {
+            tuple(r)
+            for r in store.band_collision_pairs_from_index(
+                spark, table
+            ).collect()
+        }
+        store.write_band_index(docs, "band_reattach_full", str(tmp_path / "f"))
+        full = {
+            tuple(r)
+            for r in store.band_collision_pairs_from_index(
+                spark, "band_reattach_full"
+            ).collect()
+        }
+        assert got2 == full
+        # name collision with a DIFFERENT root: refused, entry untouched
+        with pytest.raises(ValueError, match="DIFFERENT"):
+            store.register_band_index(spark, table, str(tmp_path / "f"))
+        # meta-less root: refused
+        bare = tmp_path / "bare"
+        bare.mkdir()
+        with pytest.raises(ValueError, match="meta sidecar"):
+            store.register_band_index(spark, "band_bare", str(bare))
+        # an ANN root (meta without banding params): refused
+        vecs = spark.createDataFrame(
+            [(i, [float(i), float(i + 1)]) for i in range(32)],
+            "id long, vec array<double>",
+        )
+        ann = str(tmp_path / "ann")
+        store.write_ivf_index(vecs, ann, n_cells=2, iters=2,
+                              id_col="id", vec_col="vec")
+        with pytest.raises(ValueError, match="not a write_band_index"):
+            store.register_band_index(spark, "band_ann", ann)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql("DROP TABLE IF EXISTS band_reattach_full")
