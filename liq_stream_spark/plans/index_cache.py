@@ -101,13 +101,13 @@ def _file_salt(p: str, st: os.stat_result, h) -> None:
             h.update(f.read(4096))
 
 
-def _fingerprint(sf_dir: str) -> str:
+def _fingerprint(sf_dir: str, table_file: str = "embeddings.parquet") -> str:
     """Corpus-version fingerprint: sha1 over (relpath, size, mtime_ns)
-    PLUS a head/tail content salt of every file under the embeddings
+    PLUS a head/tail content salt of every file under the source
     table. Computed fresh on every call so an in-place fixture rewrite
     is seen immediately — the stale-index hazard the r7 memo had; the
     salt closes the preserved-mtime corner (ADVICE r8)."""
-    base = os.path.join(sf_dir, "embeddings.parquet")
+    base = os.path.join(sf_dir, table_file)
     h = hashlib.sha1()
     if os.path.isfile(base):
         st = os.stat(base)
@@ -124,20 +124,23 @@ def _fingerprint(sf_dir: str) -> str:
     return h.hexdigest()[:16]
 
 
-def _guard_corpus(corpus: DataFrame, sf_dir: str) -> None:
-    """Refuse any frame that is not the bare embeddings scan of sf_dir:
-    the cache key is (sf_dir fingerprint, params), so a filtered or
-    foreign frame through here would poison every later caller."""
-    expect = os.path.realpath(os.path.join(sf_dir, "embeddings.parquet"))
+def _guard_bare_scan(
+    frame: DataFrame, sf_dir: str, table_file: str, cols: tuple[str, ...]
+) -> None:
+    """Refuse any frame that is not the bare ``{sf_dir}/{table_file}``
+    scan: the cache key is (sf_dir fingerprint, params), so a filtered
+    or foreign frame through here would poison every later caller."""
+    word = table_file.split(".")[0]
+    expect = os.path.realpath(os.path.join(sf_dir, table_file))
     files = [
         os.path.realpath(f.removeprefix("file:"))
-        for f in corpus.inputFiles()
+        for f in frame.inputFiles()
     ]
     # separator-bounded prefix: embeddings.parquet.bak must NOT pass
     ok = lambda f: f == expect or f.startswith(expect + os.sep)  # noqa: E731
     if not files or not all(ok(f) for f in files):
         raise ValueError(
-            f"index cache requires the embeddings table of {sf_dir}; "
+            f"index cache requires the {word} table of {sf_dir}; "
             f"got a frame scanning {files[:3] or 'no files'}"
         )
     # STRUCTURAL check (VERDICT r8 item 5 / ADVICE r8): a bare
@@ -146,18 +149,24 @@ def _guard_corpus(corpus: DataFrame, sf_dir: str) -> None:
     # Testing leaf-ness is robust to node renames and to path/column
     # text containing node-name words, both of which broke the old
     # rendered-string substring match.
-    plan = corpus._jdf.queryExecution().analyzed()
+    plan = frame._jdf.queryExecution().analyzed()
     if not plan.children().isEmpty():
         raise ValueError(
-            "index cache requires a BARE scan of the embeddings table "
+            f"index cache requires a BARE scan of the {word} table "
             f"(the plan's top node is {plan.nodeName()}, not a leaf "
             "relation) — build indexes over derived frames with the "
             "operators directly"
         )
-    if not {"vec_id", "embedding"} <= set(corpus.columns):
+    if not set(cols) <= set(frame.columns):
         raise ValueError(
-            f"frame lacks vec_id/embedding columns: {corpus.columns}"
+            f"frame lacks {'/'.join(cols)} columns: {frame.columns}"
         )
+
+
+def _guard_corpus(corpus: DataFrame, sf_dir: str) -> None:
+    _guard_bare_scan(
+        corpus, sf_dir, "embeddings.parquet", ("vec_id", "embedding")
+    )
 
 
 def _disk_path(key: tuple) -> str:
@@ -370,3 +379,59 @@ def ensure_ann_index(
             )
         _publish(tmp, disk)
     return disk
+
+
+def ensure_band_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    sf_dir: str,
+    n_buckets: int = 64,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> str:
+    """The dedup-side twin of :func:`ensure_ann_index`: ensure the
+    bucketed MinHash band index (store.write_band_index) exists for
+    this corpus version and is attached to THIS session's catalog;
+    return the TABLE name for band_collision_pairs_from_index /
+    append_to_band_index.
+
+    The full corpus hash+shuffle is paid once per (documents
+    fingerprint, banding params) ACROSS processes: a later session
+    finds the published root on disk and re-attaches it with
+    store.register_band_index — a metadata-only statement, after which
+    the self-join still plans with zero Exchange beneath it. The table
+    name carries the disk key's digest, so a fixture rewrite yields a
+    fresh build under a fresh name and can never serve stale pairs
+    (same staleness contract as the ANN store). Builds publish by
+    atomic rename; a concurrent builder that loses the race discards
+    its copy and re-attaches the winner's."""
+    _guard_bare_scan(docs, sf_dir, "documents.parquet", ("doc_id", "text"))
+    fp = _fingerprint(sf_dir, "documents.parquet")
+    key = ("bandidx", fp, n_buckets, bands, rows_per_band)
+    disk = _disk_path(key)
+    table = f"band_index_{os.path.basename(disk).rsplit('-', 1)[-1]}"
+    from liq_stream_spark import store
+
+    if not os.path.isdir(disk):
+        import uuid
+
+        tmp = f"{disk}.tmp.{store._swap_token()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        # saveAsTable needs a catalog name even for the build; tie the
+        # throwaway entry to the tmp path and drop it after publish —
+        # the durable entry is re-created against the FINAL path below
+        tmp_table = f"{table}_build_{uuid.uuid4().hex[:8]}"
+        try:
+            store.write_band_index(
+                docs,
+                tmp_table,
+                tmp,
+                n_buckets=n_buckets,
+                bands=bands,
+                rows_per_band=rows_per_band,
+            )
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+        _publish(tmp, disk)
+    store.register_band_index(spark, table, disk)
+    return table

@@ -57,7 +57,11 @@ CHANGED_SINCE_GREEN: list[str] = [
     # Results are build-deterministic and unchanged (pinned
     # row-identical in tests/test_index_store.py / test_store.py), but
     # the builders' operators changed after their greens, so every
-    # registered consumer re-queues.
+    # registered consumer re-queues. Also r10: d15's builder moved onto
+    # index_cache.ensure_band_index (fingerprint-keyed persistent band
+    # index + register_band_index re-attach) and the cache guard/
+    # fingerprint generalized to table params — d15 and the s06-s09/d11
+    # cache riders below already cover every consumer.
     "s06_ivf_topk",
     "s07_pq_topk",
     "s08_ivfpq_topk",

@@ -896,3 +896,58 @@ def test_ensure_ann_index_builds_once_per_version(
     mtime = os.stat(path).st_mtime_ns
     assert IC.ensure_ann_index(spark, emb, SF, n_cells=8, m=8) == path
     assert os.stat(path).st_mtime_ns == mtime  # untouched on reuse
+
+
+def test_ensure_band_index_builds_once_and_reattaches(
+    spark, tmp_path, monkeypatch
+):
+    """ensure_band_index (r10): the corpus hash+shuffle is paid once per
+    (documents fingerprint, params) — a repeat call serves the published
+    root without rebuilding, a dropped catalog entry (fresh session)
+    re-attaches metadata-only, a fixture rewrite keys a FRESH build
+    under a fresh table name, and non-bare frames are refused."""
+    from liq_stream_spark.plans.index_cache import ensure_band_index
+
+    monkeypatch.setenv("LIQ_ANN_STORE", str(tmp_path / "store"))
+    sfd = tmp_path / "sf"
+    sfd.mkdir()
+    spark.read.parquet(f"{SF}/documents.parquet").write.parquet(
+        str(sfd / "documents.parquet")
+    )
+    docs = spark.read.parquet(str(sfd / "documents.parquet"))
+    t1 = ensure_band_index(spark, docs, str(sfd))
+    pairs = _rows(store.band_collision_pairs_from_index(spark, t1))
+    assert pairs
+
+    def boom(*a, **k):  # any rebuild attempt from here on is a bug
+        raise AssertionError("rebuild attempted on an unchanged corpus")
+
+    real_write = store.write_band_index
+    monkeypatch.setattr(store, "write_band_index", boom)
+    # repeat call: same table, no build
+    assert ensure_band_index(spark, docs, str(sfd)) == t1
+    # fresh-session simulation: catalog entry gone, root re-attaches
+    spark.sql(f"DROP TABLE {t1}")
+    assert ensure_band_index(spark, docs, str(sfd)) == t1
+    assert _rows(store.band_collision_pairs_from_index(spark, t1)) == pairs
+    # a rewritten fixture must key a FRESH build (stale pairs impossible)
+    monkeypatch.setattr(store, "write_band_index", real_write)
+    spark.read.parquet(f"{SF}/documents.parquet").filter(
+        "doc_id < 200"
+    ).write.mode("overwrite").parquet(str(sfd / "documents.parquet"))
+    docs2 = spark.read.parquet(str(sfd / "documents.parquet"))
+    t2 = ensure_band_index(spark, docs2, str(sfd))
+    assert t2 != t1
+    sub = _rows(store.band_collision_pairs_from_index(spark, t2))
+    assert sub and set(sub) <= set(pairs)
+    # guards: derived frames and foreign tables are refused
+    with pytest.raises(ValueError, match="BARE scan"):
+        ensure_band_index(spark, docs2.filter("doc_id < 10"), str(sfd))
+    with pytest.raises(ValueError, match="documents table"):
+        ensure_band_index(
+            spark,
+            spark.read.parquet(f"{SF}/documents.parquet"),
+            str(sfd),
+        )
+    spark.sql(f"DROP TABLE IF EXISTS {t1}")
+    spark.sql(f"DROP TABLE IF EXISTS {t2}")
