@@ -527,6 +527,73 @@ def parity(
     return ok
 
 
+def maintain(paths: list[str] | None = None) -> bool:
+    """One maintenance pass over persistent index roots: recover any
+    crashed compaction swaps, fold per-append small files back (ANN
+    layers AND bucketed band tables, ids sidecars included), and sweep
+    aged swap/tmp leftovers. With no arguments it walks every published
+    root under the index-cache store ($LIQ_ANN_STORE); explicit root
+    paths maintain indexes written elsewhere (band roots re-attach to
+    this session's catalog via register_band_index first, so a fresh
+    maintenance process needs no prior state). This is the command the
+    append paths' docstrings mean by 'the maintenance window'."""
+    import os
+
+    from liq_stream_spark import store
+    from liq_stream_spark.plans import index_cache
+    from liq_stream_spark.session import get_spark
+
+    def _files(root: str) -> int:
+        return sum(len(fs) for _, _, fs in os.walk(root))
+
+    if paths is None:
+        root = index_cache._store_root()
+        if not os.path.isdir(root):
+            print(f"no index store at {root} — nothing to maintain")
+            return True
+        index_cache._sweep_orphan_tmps(root)
+        paths = sorted(
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d))
+            and ".tmp." not in d
+            and ".old." not in d
+        )
+        if not paths:
+            print(f"index store {root} is empty — nothing to maintain")
+            return True
+    spark = get_spark(
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    ok = True
+    for path in paths:
+        meta = store._read_index_meta(store._local_index_root(path))
+        if meta is None:
+            print(f"{path}: SKIP (no index meta sidecar — not an index root)")
+            continue
+        before = _files(path)
+        try:
+            if "n_buckets" in meta:  # band root: needs a catalog entry
+                table = f"band_index_{os.path.basename(path).rsplit('-', 1)[-1]}"
+                store.register_band_index(spark, table, path)
+                store.compact_band_index(spark, table, path)
+                kind = f"band ({table})"
+            else:
+                kind, layers = "ann", []
+                for sub in ("inverted", "codes"):
+                    if os.path.isdir(os.path.join(path, sub)):
+                        store.compact_index_partitions(spark, path, sub)
+                        layers.append(sub)
+                kind = f"ann ({'+'.join(layers) or 'no layers?'})"
+            print(f"{path}: {kind} files {before} -> {_files(path)}")
+        except Exception as e:  # pragma: no cover - surfaced to the user
+            ok = False
+            print(f"{path}: ERROR {type(e).__name__}: {str(e)[:300]}")
+    return ok
+
+
 def main() -> None:
     import sys
     from pathlib import Path
@@ -558,6 +625,15 @@ def main() -> None:
         ap.add_argument("names", nargs="+")
         ns = ap.parse_args(sys.argv[2:])
         raise SystemExit(0 if parity(ns.names, ns.sf) else 1)
+    elif cmd == "maintain":
+        import argparse
+
+        ap = argparse.ArgumentParser(prog="tools maintain")
+        ap.add_argument("paths", nargs="*",
+                        help="index roots (default: every published root "
+                        "under $LIQ_ANN_STORE)")
+        ns = ap.parse_args(sys.argv[2:])
+        raise SystemExit(0 if maintain(ns.paths or None) else 1)
     elif cmd == "profile":
         import argparse
 
@@ -572,7 +648,7 @@ def main() -> None:
         # a typo must not silently regenerate the wrong artifact
         raise SystemExit(
             f"unknown subcommand {cmd!r}: expected plans | ledger | queries "
-            f"| drive | parity | profile"
+            f"| drive | parity | profile | maintain"
         )
     print(f"wrote {out}")
 

@@ -951,3 +951,57 @@ def test_ensure_band_index_builds_once_and_reattaches(
         )
     spark.sql(f"DROP TABLE IF EXISTS {t1}")
     spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+def test_tools_maintain_folds_every_store_root(spark, tmp_path, monkeypatch):
+    """`tools maintain` (r10): one pass over the index-cache store
+    recovers/folds/sweeps every published root — ANN layers via
+    compact_index_partitions, band tables via register+compact (the
+    catalog re-attach means a fresh maintenance process needs no prior
+    session state) — with probe results and candidate pairs identical
+    before and after."""
+    from liq_stream_spark import tools
+    from liq_stream_spark.plans.index_cache import ensure_band_index
+
+    monkeypatch.setenv("LIQ_ANN_STORE", str(tmp_path / "store"))
+    sfd = tmp_path / "sf"
+    sfd.mkdir()
+    spark.read.parquet(f"{SF}/documents.parquet").filter(
+        "doc_id < 400"
+    ).write.parquet(str(sfd / "documents.parquet"))
+    docs = spark.read.parquet(str(sfd / "documents.parquet"))
+    table = ensure_band_index(spark, docs, str(sfd))
+    band_root = [
+        str(p) for p in (tmp_path / "store").iterdir()
+        if p.name.startswith("bandidx-")
+    ][0]
+    more = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        "doc_id >= 400"
+    )
+    store.append_to_band_index(more, table, band_root)
+    pairs = _rows(store.band_collision_pairs_from_index(spark, table))
+    # an ANN root with an append, directly under the same store dir
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ann_root = str(tmp_path / "store" / "annidx-test-abc123")
+    store.write_ivf_index(
+        emb.filter("vec_id < 400"), ann_root, n_cells=4, iters=2
+    )
+    store.append_to_ivf_index(
+        emb.filter("vec_id >= 400"), ann_root
+    )
+    q = emb.filter("vec_id < 5")
+    topk = _rows(store.ivf_topk_from_store(spark, q, ann_root, k=3, nprobe=2))
+
+    def n_files(p):
+        import os as _os
+        return sum(len(fs) for _, _, fs in _os.walk(p))
+
+    band_before, ann_before = n_files(band_root), n_files(ann_root)
+    # simulate the fresh maintenance process: no catalog entry
+    spark.sql(f"DROP TABLE {table}")
+    assert tools.maintain() is True
+    assert n_files(band_root) < band_before
+    assert n_files(ann_root) < ann_before
+    assert _rows(store.band_collision_pairs_from_index(spark, table)) == pairs
+    assert _rows(store.ivf_topk_from_store(spark, q, ann_root, k=3, nprobe=2)) == topk
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
