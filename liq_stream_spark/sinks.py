@@ -402,6 +402,11 @@ def write_pg_copy(
     parallelizes with the partition count; executors need only the psql
     binary. Returns the number of rows staged (== promoted on a first
     run, staged-but-skipped on a replay).
+
+    One writer per target table: epoch ids are per-QUERY, so two
+    streaming queries sharing a table would claim each other's epochs
+    in the ledger (the JDBC exactly-once variant shares this contract;
+    give each writer its own table, or union upstream).
     """
     data_cols = list(df.columns)
     staging = f"{table}_stage_{int(epoch_id)}"
@@ -426,6 +431,7 @@ def write_pg_copy(
         n = 0
         proc = None
         errf = None
+        broken = False
         for batch in batches:
             if proc is None:
                 part = batch.column("_liq_part")[0].as_py()
@@ -457,19 +463,26 @@ def write_pg_copy(
                     include_header=False, quoting_style="all_valid"
                 ),
             )
-            proc.stdin.write(buf.getvalue())
+            try:
+                proc.stdin.write(buf.getvalue())
+            except BrokenPipeError:
+                broken = True
+                break  # psql died mid-stream: report ITS stderr below
             n += batch.num_rows
         if proc is not None:
-            proc.stdin.write(b"\\.\nCOMMIT;\n")
-            proc.stdin.close()
+            try:
+                proc.stdin.write(b"\\.\nCOMMIT;\n")
+                proc.stdin.close()
+            except BrokenPipeError:
+                broken = True
             rc = proc.wait()
             errf.seek(0)
             err = errf.read().decode(errors="replace")
             errf.close()
-            if rc != 0:
+            if rc != 0 or broken:
                 raise RuntimeError(
-                    f"psql COPY into {staging} failed (rc={rc}): "
-                    f"{err[-800:]}"
+                    f"psql COPY into {staging} failed (rc={rc}, "
+                    f"pipe_broken={broken}): {err[-800:]}"
                 )
         yield pa.RecordBatch.from_pydict(
             {"copied": pa.array([n], pa.int64())}
