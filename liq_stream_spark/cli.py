@@ -127,6 +127,14 @@ def main(argv=None) -> None:
         if args.sink in ("pg", "both"):
             if not args.pg_dsn:
                 raise SystemExit("--sink pg requires --pg-dsn / PG_DSN")
+            if args.pg_transport not in ("jdbc", "copy"):
+                # argparse validates flag values against choices but NOT
+                # an env-supplied default — a PG_TRANSPORT typo must not
+                # silently hand a libpq conninfo to the JDBC writer
+                raise SystemExit(
+                    f"PG_TRANSPORT={args.pg_transport!r} is not one of "
+                    "jdbc|copy"
+                )
             sink.jdbc_url = args.pg_dsn
             sink.jdbc_table = args.pg_table
             sink.jdbc_batch_size = args.pg_batch

@@ -407,10 +407,11 @@ def ensure_band_index(
     its copy and re-attaches the winner's."""
     _guard_bare_scan(docs, sf_dir, "documents.parquet", ("doc_id", "text"))
     fp = _fingerprint(sf_dir, "documents.parquet")
+    from liq_stream_spark import store
+
     key = ("bandidx", fp, n_buckets, bands, rows_per_band)
     disk = _disk_path(key)
-    table = f"band_index_{os.path.basename(disk).rsplit('-', 1)[-1]}"
-    from liq_stream_spark import store
+    table = store.band_table_name(disk)
 
     if not os.path.isdir(disk):
         import uuid

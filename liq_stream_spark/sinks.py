@@ -388,9 +388,12 @@ def write_pg_copy(
 
     Shape: the driver (re)creates an UNLOGGED per-epoch staging table
     typed from ``df``'s schema; each partition streams its rows into it
-    as one COPY inside a transaction that first takes an EXCLUSIVE lock
-    and deletes that partition's prior rows — so a retried or speculative
-    task attempt replaces rather than duplicates its partition; then one
+    as one COPY inside a transaction that first takes a PER-PARTITION
+    advisory lock (pg_advisory_xact_lock on (staging, partition id) —
+    distinct partitions COPY concurrently, attempts of the SAME
+    partition serialize) and deletes that partition's prior rows — so a
+    retried or speculative task attempt replaces rather than duplicates
+    its partition; then one
     driver-side transaction claims ``epoch_id`` in the ``{table}_epochs``
     ledger and promotes the staged rows iff the claim won (identical
     statements to :func:`write_jdbc_idempotent` — a replayed epoch
@@ -446,15 +449,23 @@ def write_pg_copy(
                     stderr=errf,
                     cwd="/tmp",
                 )
-                proc.stdin.write(
-                    (
-                        "BEGIN;\n"
-                        f"LOCK TABLE {staging} IN EXCLUSIVE MODE;\n"
-                        f"DELETE FROM {staging} WHERE _liq_part = {part};\n"
-                        f"COPY {staging} ({copy_cols}) FROM stdin "
-                        "(FORMAT csv, NULL '');\n"
-                    ).encode()
-                )
+                try:
+                    proc.stdin.write(
+                        (
+                            "BEGIN;\n"
+                            # per-partition, not LOCK TABLE: distinct
+                            # partitions must ingest concurrently
+                            "SELECT pg_advisory_xact_lock"
+                            f"(hashtext('{staging}'), {part});\n"
+                            f"DELETE FROM {staging} "
+                            f"WHERE _liq_part = {part};\n"
+                            f"COPY {staging} ({copy_cols}) FROM stdin "
+                            "(FORMAT csv, NULL '');\n"
+                        ).encode()
+                    )
+                except BrokenPipeError:
+                    broken = True
+                    break  # psql died on startup: raise ITS stderr below
             buf = io.BytesIO()
             pacsv.write_csv(
                 pa.Table.from_batches([batch]),

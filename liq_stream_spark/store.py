@@ -341,6 +341,19 @@ def band_collision_pairs_from_index(
     )
 
 
+def band_table_name(path: str) -> str:
+    """Canonical session-catalog name for a band root: the root dir's
+    digest suffix, sanitized to a valid SQL identifier. ONE rule shared
+    by index_cache.ensure_band_index and `tools maintain`, so every
+    attacher registers the same root under the same name — and an
+    explicit root whose basename carries dots or dashes still yields a
+    parseable identifier."""
+    import re
+
+    base = os.path.basename(os.path.normpath(path)).rsplit("-", 1)[-1]
+    return "band_index_" + re.sub(r"[^0-9A-Za-z_]", "_", base)
+
+
 def register_band_index(
     spark: SparkSession, table: str, path: str
 ) -> None:

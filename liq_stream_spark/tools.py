@@ -527,16 +527,62 @@ def parity(
     return ok
 
 
+def _part_files(d: str) -> list[str]:
+    import os
+
+    try:
+        return [f for f in os.listdir(d) if f.startswith("part-")]
+    except FileNotFoundError:
+        return []
+
+
+def _band_is_compact(path: str) -> bool:
+    """True when every bucket already holds <= 1 file and the _ids
+    sidecar is a single file — the steady-state a maintain pass must
+    turn into a metadata walk, not an O(store) rewrite. Bucket ids are
+    baked into Spark's bucketed file names ('..._00003.c000...')."""
+    import os
+    import re
+    from collections import Counter
+
+    per_bucket = Counter()
+    for f in _part_files(path):
+        m = re.search(r"_(\d{5})\.c\d+", f)
+        per_bucket[m.group(1) if m else f] += 1
+    if per_bucket and max(per_bucket.values()) > 1:
+        return False
+    return len(_part_files(os.path.join(path, "_ids"))) <= 1
+
+
+def _ann_layer_is_compact(path: str, sub: str) -> bool:
+    """True when every cell partition of ``{path}/{sub}`` already holds
+    <= 1 file (and, for the inverted pass that also folds the ids
+    sidecar, _ids is a single file)."""
+    import glob
+    import os
+
+    for cell in glob.glob(os.path.join(path, sub, "cell=*")):
+        if len(_part_files(cell)) > 1:
+            return False
+    if sub == "inverted":
+        return len(_part_files(os.path.join(path, "_ids"))) <= 1
+    return True
+
+
 def maintain(paths: list[str] | None = None) -> bool:
     """One maintenance pass over persistent index roots: recover any
-    crashed compaction swaps, fold per-append small files back (ANN
-    layers AND bucketed band tables, ids sidecars included), and sweep
-    aged swap/tmp leftovers. With no arguments it walks every published
-    root under the index-cache store ($LIQ_ANN_STORE); explicit root
-    paths maintain indexes written elsewhere (band roots re-attach to
-    this session's catalog via register_band_index first, so a fresh
-    maintenance process needs no prior state). This is the command the
-    append paths' docstrings mean by 'the maintenance window'."""
+    crashed compaction swaps (including roots that exist ONLY as a
+    '.old.' pre-swap copy — the crash window _recover_compact_swap
+    exists for), fold per-append small files back (ANN layers AND
+    bucketed band tables, ids sidecars included), and sweep aged
+    swap/tmp leftovers. Already-compact roots are skipped — a
+    steady-state pass is a metadata walk, not an O(store) rewrite.
+    With no arguments it walks every published root under the
+    index-cache store ($LIQ_ANN_STORE); explicit root paths maintain
+    indexes written elsewhere (band roots re-attach to this session's
+    catalog via register_band_index first, so a fresh maintenance
+    process needs no prior state). This is the command the append
+    paths' docstrings mean by 'the maintenance window'."""
     import os
 
     from liq_stream_spark import store
@@ -552,13 +598,16 @@ def maintain(paths: list[str] | None = None) -> bool:
             print(f"no index store at {root} — nothing to maintain")
             return True
         index_cache._sweep_orphan_tmps(root)
-        paths = sorted(
-            os.path.join(root, d)
+        # a root whose live dir is missing after a swap crash still has
+        # its '.old.' copy here — derive the live name so the recovery
+        # arm below sees it; '.compact.tmp.' dirs belong to the sweeps
+        names = {
+            d.split(".old.")[0]
             for d in os.listdir(root)
-            if os.path.isdir(os.path.join(root, d))
-            and ".tmp." not in d
-            and ".old." not in d
-        )
+            if ".tmp." not in d
+            and os.path.isdir(os.path.join(root, d))
+        }
+        paths = sorted(os.path.join(root, n) for n in names)
         if not paths:
             print(f"index store {root} is empty — nothing to maintain")
             return True
@@ -569,24 +618,42 @@ def maintain(paths: list[str] | None = None) -> bool:
     )
     ok = True
     for path in paths:
-        meta = store._read_index_meta(store._local_index_root(path))
+        local = store._local_index_root(path)
+        # recover any crashed swap BEFORE reading meta: after a
+        # root-level crash the live dir (and its sidecar) only exist
+        # under the newest '.old.' copy
+        for target in (local, f"{local}/inverted", f"{local}/codes",
+                       f"{local}/{store._IDS_SUB}"):
+            store._recover_compact_swap(target)
+        meta = store._read_index_meta(local)
         if meta is None:
             print(f"{path}: SKIP (no index meta sidecar — not an index root)")
             continue
         before = _files(path)
         try:
             if "n_buckets" in meta:  # band root: needs a catalog entry
-                table = f"band_index_{os.path.basename(path).rsplit('-', 1)[-1]}"
+                table = store.band_table_name(path)
                 store.register_band_index(spark, table, path)
+                if _band_is_compact(local):
+                    print(f"{path}: band ({table}) already compact "
+                          f"({before} files) — skipped")
+                    continue
                 store.compact_band_index(spark, table, path)
                 kind = f"band ({table})"
             else:
-                kind, layers = "ann", []
-                for sub in ("inverted", "codes"):
-                    if os.path.isdir(os.path.join(path, sub)):
-                        store.compact_index_partitions(spark, path, sub)
-                        layers.append(sub)
-                kind = f"ann ({'+'.join(layers) or 'no layers?'})"
+                layers = [
+                    sub
+                    for sub in ("inverted", "codes")
+                    if os.path.isdir(os.path.join(local, sub))
+                    and not _ann_layer_is_compact(local, sub)
+                ]
+                if not layers:
+                    print(f"{path}: ann already compact ({before} files) "
+                          "— skipped")
+                    continue
+                for sub in layers:
+                    store.compact_index_partitions(spark, path, sub)
+                kind = f"ann ({'+'.join(layers)})"
             print(f"{path}: {kind} files {before} -> {_files(path)}")
         except Exception as e:  # pragma: no cover - surfaced to the user
             ok = False

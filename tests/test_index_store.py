@@ -1004,4 +1004,24 @@ def test_tools_maintain_folds_every_store_root(spark, tmp_path, monkeypatch):
     assert n_files(ann_root) < ann_before
     assert _rows(store.band_collision_pairs_from_index(spark, table)) == pairs
     assert _rows(store.ivf_topk_from_store(spark, q, ann_root, k=3, nprobe=2)) == topk
+    # steady state is a metadata walk: a second pass rewrites NOTHING
+    import os as _os
+
+    def mtimes(p):
+        return sorted(
+            (_os.path.join(r, f), _os.stat(_os.path.join(r, f)).st_mtime_ns)
+            for r, _, fs in _os.walk(p) for f in fs
+        )
+
+    snap = mtimes(band_root) + mtimes(ann_root)
+    assert tools.maintain() is True
+    assert mtimes(band_root) + mtimes(ann_root) == snap
+    # a crashed swap (live layer missing, only the .old copy) is
+    # recovered by the pass itself — pairs identical afterwards
+    spark.sql(f"DROP TABLE {table}")
+    _os.rename(band_root, f"{band_root}.old.{store._swap_token()}")
+    assert not _os.path.isdir(band_root)
+    assert tools.maintain() is True
+    assert _os.path.isdir(band_root)
+    assert _rows(store.band_collision_pairs_from_index(spark, table)) == pairs
     spark.sql(f"DROP TABLE IF EXISTS {table}")
