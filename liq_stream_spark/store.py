@@ -208,6 +208,7 @@ def write_band_index(
     # membership sidecar for the append guard (VERDICT r9 item 2) —
     # '_'-prefixed so the table scan never sees it (hidden-path rule)
     _write_ids_sidecar(docs.select(id_col), path, "overwrite", batch=False)
+    _clear_needs_compact(local)  # fresh layout: nothing to fold
     # meta sidecar (r9, same contract as the ANN index): the append
     # path derives EVERY signature parameter from here — a caller
     # passing different bands/rows_per_band to an append would emit
@@ -296,7 +297,9 @@ def append_to_band_index(
         _refuse_known_ids(
             stored, new_docs.select(id_col), id_col, "band index"
         )
-    # ids first (see docstring: loud retry beats silent duplicates)
+    # ids first (see docstring: loud retry beats silent duplicates);
+    # dirty marker first of all (a crashed append must still read dirty)
+    _mark_needs_compact(local)
     _write_ids_sidecar(new_docs.select(id_col), path, "append", batch=True)
     from liq_stream_spark.operators.dedup import (
         _banded_keys,
@@ -552,6 +555,36 @@ def _read_index_meta(path: str) -> dict | None:
 # TABLE's location is invisible to table scans while staying directly
 # readable as parquet (both behaviors pinned in tests/test_store.py).
 _IDS_SUB = "_ids"
+
+# Dirtiness marker for the maintenance pass: append paths touch it
+# BEFORE writing (so a crashed append still reads dirty), full builds
+# and compactions clear it. `tools maintain` skips roots without it —
+# an exact signal at any scale, unlike file-count heuristics (a
+# compacted ids sidecar is legitimately multi-file once it outgrows one
+# shuffle partition).
+_DIRTY_MARKER = ".liq_needs_compact"
+
+
+def _mark_needs_compact(local: str) -> None:
+    with open(os.path.join(local, _DIRTY_MARKER), "w"):
+        pass
+
+
+def _clear_needs_compact(local: str) -> None:
+    try:
+        os.remove(os.path.join(local, _DIRTY_MARKER))
+    except FileNotFoundError:
+        pass
+
+
+def needs_compact(path: str) -> bool:
+    """Whether the index root has appends newer than its last full
+    build/compaction (the `tools maintain` skip signal). Roots written
+    before the marker existed read clean — run `tools maintain --force`
+    once if such a root might hold unfolded appends."""
+    return os.path.isfile(
+        os.path.join(_local_index_root(path), _DIRTY_MARKER)
+    )
 
 
 def _local_index_root(path: str) -> str:
@@ -813,6 +846,7 @@ def write_ivf_index(
     _write_ids_sidecar(
         corpus.select(id_col), path, "overwrite", batch=False
     )
+    _clear_needs_compact(local)  # fresh layout: nothing to fold
     # the sidecar records ARTIFACT properties, not argument values (r9
     # review — the ADVICE r8 m-derivation rule applied consistently):
     # prebuilt centroids make the n_cells/iters arguments meaningless,
@@ -1068,7 +1102,9 @@ def append_to_ivf_index(
         _refuse_known_ids(
             stored, new_vectors.select(id_col), id_col, "index"
         )
-    # ids first (see docstring: loud retry beats silent duplicates)
+    # ids first (see docstring: loud retry beats silent duplicates);
+    # dirty marker first of all (a crashed append must still read dirty)
+    _mark_needs_compact(local)
     _write_ids_sidecar(
         new_vectors.select(id_col), path, "append", batch=True
     )

@@ -527,62 +527,24 @@ def parity(
     return ok
 
 
-def _part_files(d: str) -> list[str]:
-    import os
-
-    try:
-        return [f for f in os.listdir(d) if f.startswith("part-")]
-    except FileNotFoundError:
-        return []
-
-
-def _band_is_compact(path: str) -> bool:
-    """True when every bucket already holds <= 1 file and the _ids
-    sidecar is a single file — the steady-state a maintain pass must
-    turn into a metadata walk, not an O(store) rewrite. Bucket ids are
-    baked into Spark's bucketed file names ('..._00003.c000...')."""
-    import os
-    import re
-    from collections import Counter
-
-    per_bucket = Counter()
-    for f in _part_files(path):
-        m = re.search(r"_(\d{5})\.c\d+", f)
-        per_bucket[m.group(1) if m else f] += 1
-    if per_bucket and max(per_bucket.values()) > 1:
-        return False
-    return len(_part_files(os.path.join(path, "_ids"))) <= 1
-
-
-def _ann_layer_is_compact(path: str, sub: str) -> bool:
-    """True when every cell partition of ``{path}/{sub}`` already holds
-    <= 1 file (and, for the inverted pass that also folds the ids
-    sidecar, _ids is a single file)."""
-    import glob
-    import os
-
-    for cell in glob.glob(os.path.join(path, sub, "cell=*")):
-        if len(_part_files(cell)) > 1:
-            return False
-    if sub == "inverted":
-        return len(_part_files(os.path.join(path, "_ids"))) <= 1
-    return True
-
-
-def maintain(paths: list[str] | None = None) -> bool:
+def maintain(paths: list[str] | None = None, force: bool = False) -> bool:
     """One maintenance pass over persistent index roots: recover any
     crashed compaction swaps (including roots that exist ONLY as a
     '.old.' pre-swap copy — the crash window _recover_compact_swap
     exists for), fold per-append small files back (ANN layers AND
     bucketed band tables, ids sidecars included), and sweep aged
-    swap/tmp leftovers. Already-compact roots are skipped — a
-    steady-state pass is a metadata walk, not an O(store) rewrite.
-    With no arguments it walks every published root under the
-    index-cache store ($LIQ_ANN_STORE); explicit root paths maintain
-    indexes written elsewhere (band roots re-attach to this session's
-    catalog via register_band_index first, so a fresh maintenance
-    process needs no prior state). This is the command the append
-    paths' docstrings mean by 'the maintenance window'."""
+    swap/tmp leftovers. Roots with no appends since their last full
+    build/compaction (store.needs_compact — an exact marker the
+    append/write/compact paths maintain, not a file-count heuristic)
+    are skipped, so a steady-state pass is a metadata walk, not an
+    O(store) rewrite; ``--force`` compacts regardless (use once for
+    roots whose appends predate the marker). With no arguments it
+    walks every published root under the index-cache store
+    ($LIQ_ANN_STORE); explicit root paths maintain indexes written
+    elsewhere (band roots re-attach to this session's catalog via
+    register_band_index first, so a fresh maintenance process needs no
+    prior state). This is the command the append paths' docstrings
+    mean by 'the maintenance window'."""
     import os
 
     from liq_stream_spark import store
@@ -618,13 +580,18 @@ def maintain(paths: list[str] | None = None) -> bool:
     )
     ok = True
     for path in paths:
+        import glob
+
         local = store._local_index_root(path)
-        # recover any crashed swap BEFORE reading meta: after a
-        # root-level crash the live dir (and its sidecar) only exist
-        # under the newest '.old.' copy
+        # recover any crashed swap BEFORE reading meta (after a
+        # root-level crash the live dir and its sidecar only exist
+        # under the newest '.old.' copy), then sweep aged leftovers —
+        # even for roots the dirtiness check will skip below, or a
+        # crash-after-swap's full pre-compaction copy lives forever
         for target in (local, f"{local}/inverted", f"{local}/codes",
                        f"{local}/{store._IDS_SUB}"):
             store._recover_compact_swap(target)
+            store._sweep_swap_leftovers(target)
         meta = store._read_index_meta(local)
         if meta is None:
             print(f"{path}: SKIP (no index meta sidecar — not an index root)")
@@ -634,26 +601,41 @@ def maintain(paths: list[str] | None = None) -> bool:
             if "n_buckets" in meta:  # band root: needs a catalog entry
                 table = store.band_table_name(path)
                 store.register_band_index(spark, table, path)
-                if _band_is_compact(local):
-                    print(f"{path}: band ({table}) already compact "
+                if not force and not store.needs_compact(path):
+                    print(f"{path}: band ({table}) has no appends to fold "
                           f"({before} files) — skipped")
                     continue
                 store.compact_band_index(spark, table, path)
                 kind = f"band ({table})"
             else:
+                flat_codes = os.path.isdir(
+                    os.path.join(local, "codes")
+                ) and not glob.glob(os.path.join(local, "codes", "cell=*"))
+                if flat_codes:
+                    # cell-less codes (write_pq_index without cells)
+                    # cannot be folded here — say so instead of either
+                    # erroring or silently claiming the root compact
+                    print(
+                        f"{path}: NOTE codes layer is flat (cell-less) — "
+                        "appends to it fold only via a write_pq_index "
+                        "rebuild of the PQ half"
+                    )
+                if not force and not store.needs_compact(path):
+                    print(f"{path}: ann has no appends to fold "
+                          f"({before} files) — skipped")
+                    continue
                 layers = [
                     sub
                     for sub in ("inverted", "codes")
                     if os.path.isdir(os.path.join(local, sub))
-                    and not _ann_layer_is_compact(local, sub)
+                    and not (sub == "codes" and flat_codes)
                 ]
-                if not layers:
-                    print(f"{path}: ann already compact ({before} files) "
-                          "— skipped")
-                    continue
                 for sub in layers:
                     store.compact_index_partitions(spark, path, sub)
-                kind = f"ann ({'+'.join(layers)})"
+                # layer-level swaps leave the root marker in place;
+                # every foldable layer is folded now
+                store._clear_needs_compact(local)
+                kind = f"ann ({'+'.join(layers) or 'no layers?'})"
             print(f"{path}: {kind} files {before} -> {_files(path)}")
         except Exception as e:  # pragma: no cover - surfaced to the user
             ok = False
@@ -699,8 +681,12 @@ def main() -> None:
         ap.add_argument("paths", nargs="*",
                         help="index roots (default: every published root "
                         "under $LIQ_ANN_STORE)")
+        ap.add_argument("--force", action="store_true",
+                        help="compact even roots with no recorded appends "
+                        "(for roots whose appends predate the dirtiness "
+                        "marker)")
         ns = ap.parse_args(sys.argv[2:])
-        raise SystemExit(0 if maintain(ns.paths or None) else 1)
+        raise SystemExit(0 if maintain(ns.paths or None, ns.force) else 1)
     elif cmd == "profile":
         import argparse
 

@@ -997,11 +997,16 @@ def test_tools_maintain_folds_every_store_root(spark, tmp_path, monkeypatch):
         return sum(len(fs) for _, _, fs in _os.walk(p))
 
     band_before, ann_before = n_files(band_root), n_files(ann_root)
+    # the appends marked both roots dirty (the maintain skip signal)
+    assert store.needs_compact(band_root) and store.needs_compact(ann_root)
     # simulate the fresh maintenance process: no catalog entry
     spark.sql(f"DROP TABLE {table}")
     assert tools.maintain() is True
     assert n_files(band_root) < band_before
     assert n_files(ann_root) < ann_before
+    # ...and the pass cleared the markers
+    assert not store.needs_compact(band_root)
+    assert not store.needs_compact(ann_root)
     assert _rows(store.band_collision_pairs_from_index(spark, table)) == pairs
     assert _rows(store.ivf_topk_from_store(spark, q, ann_root, k=3, nprobe=2)) == topk
     # steady state is a metadata walk: a second pass rewrites NOTHING
