@@ -304,3 +304,30 @@ def test_pg_copy_sink_under_real_streaming(pg, spark, tmp_path):
     stream.awaitTermination(120)
     assert pg("SELECT count(*) FROM liq_streamed") == "11"
     assert int(pg("SELECT count(*) FROM liq_streamed_epochs")) >= 1
+
+
+def test_pg_column_ddl_rejects_unmapped_types(spark):
+    """The COPY transport is for flat scalar sink schemas: a column with
+    no PostgreSQL mapping raises a clear pre-write error (never an
+    opaque COPY parse failure mid-job)."""
+    from liq_stream_spark.sinks import _pg_column_ddl
+
+    df = spark.createDataFrame([(1, [1.0])], "a long, v array<double>")
+    with pytest.raises(ValueError, match="no COPY-transport"):
+        _pg_column_ddl(df)
+    ddl = _pg_column_ddl(df.select("a"))
+    assert ddl == "a BIGINT"
+
+
+def test_cli_rejects_pg_transport_env_typo(monkeypatch):
+    """argparse skips choices validation on env-supplied defaults — a
+    PG_TRANSPORT typo must die loudly, not hand a libpq conninfo to the
+    JDBC writer."""
+    from liq_stream_spark.cli import main
+
+    monkeypatch.setenv("PG_TRANSPORT", "COPY")  # case matters: not 'copy'
+    with pytest.raises(SystemExit, match="PG_TRANSPORT"):
+        main([
+            "--streams", "binance:usdt", "--sink", "pg",
+            "--pg-dsn", "host=/nowhere user=postgres",
+        ])

@@ -427,3 +427,15 @@ def test_register_band_index_reattaches_without_rebuild(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql("DROP TABLE IF EXISTS band_reattach_full")
+
+
+def test_band_table_name_is_shared_and_sanitized():
+    """ONE naming rule for band roots (ensure_band_index and `tools
+    maintain` must always attach the same root under the same name),
+    and arbitrary basenames still yield a parseable SQL identifier."""
+    from liq_stream_spark.store import band_table_name
+
+    assert band_table_name("/x/bandidx-v1-97f65433") == "band_index_97f65433"
+    assert band_table_name("/x/bandidx-v1-97f65433/") == "band_index_97f65433"
+    assert band_table_name("/data/my.band") == "band_index_my_band"
+    assert band_table_name("/data/plain") == "band_index_plain"
