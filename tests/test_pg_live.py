@@ -331,3 +331,88 @@ def test_cli_rejects_pg_transport_env_typo(monkeypatch):
             "--streams", "binance:usdt", "--sink", "pg",
             "--pg-dsn", "host=/nowhere user=postgres",
         ])
+
+
+def test_pg_copy_kill_restart_exactly_once(pg, spark, tmp_path):
+    """The worst-case streaming crash window against a REAL database
+    (same simulation as tests/test_streaming_volume.py): epochs land in
+    PostgreSQL via COPY, then the newest checkpoint commit record is
+    lost AFTER the sink write — the classic at-least-once hazard — and
+    the restarted stream replays that epoch with the SAME id. The
+    ledger must promote zero rows for the replay: every source row
+    lands exactly once, and the replayed epoch is claimed exactly once."""
+    import json
+    import time
+
+    from liq_stream_spark.sinks import (
+        FanOutConfig, ensure_table_psql, fan_out,
+    )
+
+    ensure_table_psql(pg.conninfo, "liq_eo_stream")
+    src = tmp_path / "src"
+    src.mkdir()
+    n_files, rows = 12, 50
+    cols = ("exchange market symbol side qty price notional ts_exch_ms "
+            "ts_ingest_ms raw").split()
+    n = 0
+    for f in range(n_files):
+        with open(src / f"b_{f:03d}.jsonl", "w") as fh:
+            for _ in range(rows):
+                r = ("binance", "usdt", f"S{n}", "long", 1.0, 2.0, 2.0,
+                     n, n, f"r{n}")
+                fh.write(json.dumps(dict(zip(cols, r))) + "\n")
+                n += 1
+    total = n_files * rows
+    sink = FanOutConfig(
+        jdbc_url=pg.conninfo, jdbc_table="liq_eo_stream",
+        pg_transport="copy",
+    )
+    ckpt = tmp_path / "ckpt"
+
+    def start():
+        return (
+            spark.readStream.schema(ROW_SCHEMA)
+            .option("maxFilesPerTrigger", 2)
+            .json(str(src))
+            .writeStream.foreachBatch(fan_out(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(processingTime="0.1 seconds")
+            .start()
+        )
+
+    q = start()
+    commits = ckpt / "commits"
+    try:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            if commits.exists() and len(list(commits.glob("[0-9]*"))) >= 3:
+                break
+            time.sleep(0.1)
+        else:
+            raise AssertionError("no epochs committed within 120 s")
+    finally:
+        q.stop()
+    committed = sorted(
+        int(p.name) for p in commits.glob("[0-9]*") if p.name.isdigit()
+    )
+    assert committed, "expected committed epochs before the kill"
+    replayed = committed[-1]
+    (commits / str(replayed)).unlink()
+    crc = commits / f".{replayed}.crc"
+    if crc.exists():
+        crc.unlink()
+    assert int(pg("SELECT count(*) FROM liq_eo_stream")) > 0, (
+        "kill happened before any sink write"
+    )
+
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert pg("SELECT count(*) FROM liq_eo_stream") == str(total)
+    assert pg("SELECT count(DISTINCT raw) FROM liq_eo_stream") == str(total)
+    assert pg(
+        "SELECT count(*) FROM liq_eo_stream_epochs "
+        f"WHERE epoch_id = {replayed}"
+    ) == "1"
