@@ -74,9 +74,19 @@ def test_verified_dedup_chain_at_volume(spark):
 
     t0 = time.time()
     cand = lsh_candidate_pairs_banded(sigs, max_bucket=1000)
+    # The default gate keeps d14's production 8/16 bar (the estimate
+    # form of jaccard >= 0.5). Past ~1M docs the candidate volume
+    # multiplies the borderline tail through it (2M docs: 14M
+    # candidates, ~18k false pairs, borderline merges CHAIN into a
+    # 35-doc cluster) — the scale answer is a higher agreement bar (or
+    # more permutations): a candidate already agrees on its colliding
+    # band's 4 perms, so 12/16 needs 8 of the other 12 at p~0.03 —
+    # P ~ 3e-10 per candidate, ~0.004 expected false pairs over 14M —
+    # while jaccard-0.95 members (expected 15.2/16) keep full recall.
+    est_threshold = 8 if N_DOCS <= 400_000 else 12
     verified = (
         minhash_jaccard_estimates(sigs, cand)
-        .filter(F.col("n_agree") >= 8)
+        .filter(F.col("n_agree") >= est_threshold)
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
     )
