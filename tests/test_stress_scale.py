@@ -134,3 +134,40 @@ def test_verified_dedup_chain_at_volume(spark):
     )
     # a quadratic regression shows up as minutes, not seconds
     assert t_sign + t_verify + t_cluster < 600
+
+
+def test_band_index_append_is_o_batch_at_volume(spark, tmp_path):
+    """The incremental-ingest contract measured, not just I/O-pinned:
+    appending the SAME 5k-doc batch into a 10x larger stored corpus
+    must cost the same wall time — the stored corpus is never re-hashed
+    or re-shuffled, and the guarded path's duplicate-id check reads the
+    _ids sidecar, not the index. A regression to O(corpus) ingest shows
+    up as the big-corpus append scaling with the store (measured flat:
+    ~2-4 s at both 100k and 1M docs)."""
+    from liq_stream_spark import store
+
+    def synth(n, start=0):
+        return spark.range(start, start + n).select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                "concat_ws(' ', transform(sequence(1, 30), "
+                "j -> substring(md5(concat(id, '-', j)), 1, 8)))"
+            ).alias("text"),
+        )
+
+    walls = {}
+    for corpus_n in (100_000, 1_000_000):
+        table = f"obatch_{corpus_n}"
+        path = str(tmp_path / f"band_{corpus_n}")
+        store.write_band_index(synth(corpus_n), table, path)
+        try:
+            t0 = time.time()
+            store.append_to_band_index(
+                synth(5_000, start=corpus_n), table, path
+            )
+            walls[corpus_n] = time.time() - t0
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # generous 3x band: O(batch) means flat; O(corpus) is >= 10x here
+    assert walls[1_000_000] <= 3 * walls[100_000] + 2.0, walls
+    print(f"\nappend walls: {walls}")
