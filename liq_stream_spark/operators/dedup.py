@@ -477,6 +477,72 @@ def minhash_jaccard_estimates(
     )
 
 
+def minhash_estimate_bar(
+    n_docs: int,
+    n_perms: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    target_est: float = 0.5,
+    corpus_threshold: int = 400_000,
+) -> int:
+    """Corpus-size-aware agreement bar for the verified-dedup chain
+    (d14): the minimum ``n_agree`` a :func:`minhash_jaccard_estimates`
+    row must reach before it may feed transitive clustering — lifted
+    into the operator from the r10 2M-doc stress probe
+    (tests/test_stress_scale.py; VERDICT r10 item 1).
+
+    Why the bar must RISE with the corpus: every LSH candidate pair
+    already agrees on its colliding band's ``rows_per_band``
+    permutations — the banding LOCKS those, so only the remaining
+    ``n_perms - rows_per_band`` permutations carry independent
+    evidence. A random (background-similarity s ~ 0.03) pair that
+    collided on one band passes the semantic bar
+    ``ceil(target_est * n_perms)`` (8/16 at the defaults: 4 locked
+    + 4 of 12 free at p ~ s) with probability ~4e-4 — harmless tens of
+    borderline passes at fixture scale, but candidate volume grows
+    quadratically with the corpus (measured: 1.4e5 candidates at 200k
+    docs, 14e6 at 2M), and at 2M docs the same bar admitted ~18k false
+    pairs whose borderline merges CHAINED into a 35-doc seven-family
+    cluster. Past ``corpus_threshold`` docs the bar therefore demands a
+    2/3 majority of the FREE permutations on top of the locked band:
+    ``rows_per_band + ceil(2 * (n_perms - rows_per_band) / 3)`` =
+    4 + 8 = 12 at the default geometry. A candidate then needs 8 of
+    its 12 free permutations to agree at p ~ 0.03 —
+    P ~ C(12,8)·0.03^8 ≈ 3e-10 per candidate, ~0.004 expected false
+    pairs over 14M candidates — while genuine near-dups (jaccard
+    ~0.95, expected agreement 15.2/16) keep full recall. Verified at
+    2M docs by the LIQ_STRESS chain, which calls THIS function for its
+    default.
+
+    ``corpus_threshold`` marks where the measured borderline-merge
+    count stops being a handful (~25 observed at 800k — isolated
+    two-family merges, no chains); below it the semantic bar is kept
+    so small-corpus behavior (and d14's fixture-scale oracle) is
+    unchanged. Returns an int in [ceil(target_est*n_perms), n_perms].
+
+    d14's registered query pins its fixture-scale constant
+    (``_D14_MIN_AGREE = 8``, equal to this function's answer at
+    fixture size) so its DuckDB oracle stays byte-identical; pipelines
+    running the chain at production scale pass their corpus size here
+    instead of hardcoding either number.
+    """
+    import math
+
+    if not 0 < rows_per_band <= n_perms:
+        raise ValueError("need 0 < rows_per_band <= n_perms")
+    if bands * rows_per_band > n_perms:
+        raise ValueError(
+            f"banding uses {bands * rows_per_band} permutations but only "
+            f"{n_perms} exist"
+        )
+    base = math.ceil(target_est * n_perms)
+    if n_docs <= corpus_threshold:
+        return min(max(base, rows_per_band), n_perms)
+    free = n_perms - rows_per_band
+    scaled = rows_per_band + math.ceil(2 * free / 3)
+    return min(max(base, scaled), n_perms)
+
+
 def lsh_star_edges(
     sig_wide: DataFrame,
     id_col: str = "doc_id",

@@ -283,6 +283,13 @@ def d13_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- d14: verified fuzzy-dedup clusters ------------------------------------
+# Fixture-scale agreement bar, pinned so the DuckDB oracle stays
+# byte-identical. Equal to dedup.minhash_estimate_bar(n_docs) at every
+# fixture size (sf0.001-0.1 documents are far below the 400k-doc
+# boundary); production corpora derive the bar from THAT helper instead
+# — past ~400k docs it rises to 12/16 (the r10 2M-doc stress finding:
+# 8/16 over-merges once quadratic candidate volume multiplies the
+# borderline tail; math in minhash_estimate_bar's docstring).
 _D14_MIN_AGREE = 8  # jaccard_est >= 0.5 (8 of 16 permutations agree)
 
 
@@ -328,8 +335,13 @@ def _d14_sql() -> str:
     "shingles after signing, verification ships one 16-long array per "
     "candidate side, and the estimate threshold prunes the component "
     "input to genuinely-similar edges (band collisions alone over-merge "
-    "through 4-gram flukes). All integer agreements and id labels — "
-    "fully oracled against a DuckDB recursive-CTE reachability check.",
+    "through 4-gram flukes). The 8/16 bar is the FIXTURE-SCALE value of "
+    "dedup.minhash_estimate_bar (corpus-size-aware: it rises to 12/16 "
+    "past ~400k docs, where the r10 stress probe measured 8/16 chaining "
+    "families through the borderline tail) — production deployments of "
+    "this chain derive the bar from that helper. All integer agreements "
+    "and id labels — fully oracled against a DuckDB recursive-CTE "
+    "reachability check.",
 )
 def d14_verified_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from liq_stream_spark.operators import dedup as D

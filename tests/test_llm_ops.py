@@ -793,3 +793,36 @@ def test_banded_degenerate_bucket_expansion_spreads(spark):
         )
     finally:
         conf.set("spark.sql.adaptive.coalescePartitions.enabled", saved)
+
+
+def test_minhash_estimate_bar_regime():
+    """The corpus-size-aware verification bar (VERDICT r10 item 1 — the
+    2M-doc stress finding, owned by the operator): the semantic 8/16 bar
+    (est >= 0.5) up to the 400k-doc boundary, then the locked-band
+    majority bar 4 + ceil(2*12/3) = 12/16 above it. Pinned AT the
+    boundary on both sides, plus geometry scaling and the guards."""
+    bar = D.minhash_estimate_bar
+
+    # fixture scale and the boundary itself keep d14's oracle bar
+    assert bar(6) == 8
+    assert bar(60_000) == 8
+    assert bar(400_000) == 8
+    assert bar(400_000) == 8  # boundary is inclusive
+    # one past the boundary: the chained-merge regime demands 12/16
+    assert bar(400_001) == 12
+    assert bar(2_000_000) == 12  # the measured probe scale
+    # never exceeds the permutation count, never drops below the
+    # semantic bar
+    assert bar(10**9, n_perms=16) == 12
+    # locked 4 + ceil(2*4/3) = 7 of 8 — inside the permutation cap
+    assert bar(10**9, n_perms=8, bands=2, rows_per_band=4) == 7
+    assert bar(100, n_perms=16, target_est=0.9) == 15  # ceil(14.4)
+    # other geometries: 32 perms, 8 bands x 4 rows -> locked 4, free 28,
+    # majority ceil(56/3)=19 -> 23 above the boundary, 16 below
+    assert bar(100, n_perms=32, bands=8, rows_per_band=4) == 16
+    assert bar(10**6, n_perms=32, bands=8, rows_per_band=4) == 23
+    # misconfigured banding is refused, not silently accepted
+    with pytest.raises(ValueError):
+        bar(100, n_perms=16, bands=5, rows_per_band=4)
+    with pytest.raises(ValueError):
+        bar(100, rows_per_band=0)

@@ -61,6 +61,7 @@ def test_verified_dedup_chain_at_volume(spark):
     from liq_stream_spark.operators.dedup import (
         dedup_clusters,
         lsh_candidate_pairs_banded,
+        minhash_estimate_bar,
         minhash_jaccard_estimates,
         minhash_sig_arrays,
     )
@@ -74,16 +75,14 @@ def test_verified_dedup_chain_at_volume(spark):
 
     t0 = time.time()
     cand = lsh_candidate_pairs_banded(sigs, max_bucket=1000)
-    # The default gate keeps d14's production 8/16 bar (the estimate
-    # form of jaccard >= 0.5). Past ~1M docs the candidate volume
-    # multiplies the borderline tail through it (2M docs: 14M
-    # candidates, ~18k false pairs, borderline merges CHAIN into a
-    # 35-doc cluster) — the scale answer is a higher agreement bar (or
-    # more permutations): a candidate already agrees on its colliding
-    # band's 4 perms, so 12/16 needs 8 of the other 12 at p~0.03 —
-    # P ~ 3e-10 per candidate, ~0.004 expected false pairs over 14M —
-    # while jaccard-0.95 members (expected 15.2/16) keep full recall.
-    est_threshold = 8 if N_DOCS <= 400_000 else 12
+    # The OPERATOR'S corpus-size-aware default (VERDICT r10 item 1 —
+    # the regime this probe discovered, now owned by dedup.py): 8/16
+    # (est >= 0.5) at fixture scale, 12/16 past the ~400k-doc boundary
+    # where quadratic candidate volume multiplies the borderline tail
+    # into chaining territory (2M docs at 8/16: 14M candidates, ~18k
+    # false pairs, a 35-doc chained cluster). The math lives in
+    # minhash_estimate_bar's docstring.
+    est_threshold = minhash_estimate_bar(N_DOCS)
     verified = (
         minhash_jaccard_estimates(sigs, cand)
         .filter(F.col("n_agree") >= est_threshold)
