@@ -1030,3 +1030,80 @@ def test_tools_maintain_folds_every_store_root(spark, tmp_path, monkeypatch):
     assert _os.path.isdir(band_root)
     assert _rows(store.band_collision_pairs_from_index(spark, table)) == pairs
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_rebuild_ids_repairs_crashed_band_append(spark, tmp_path, monkeypatch):
+    """VERDICT r10 item 2, band family: an append killed between its
+    _ids sidecar write and its data write leaves an over-claiming
+    sidecar that refuses the batch's legitimate retry forever. The
+    repair arm (`tools maintain --rebuild-ids`, store.rebuild_ids_sidecar
+    underneath) rebuilds the sidecar from the data layer; the retry then
+    lands green with the full corpus present exactly once."""
+    from liq_stream_spark import tools
+    from liq_stream_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    t, p = "band_repair_t", str(tmp_path / "band")
+    store.write_band_index(docs.filter("doc_id < 400"), t, p)
+    try:
+        batch = docs.filter("doc_id >= 400")
+        real = D._banded_keys
+
+        def boom(*a, **k):
+            raise RuntimeError("simulated executor loss mid-append")
+
+        monkeypatch.setattr(D, "_banded_keys", boom)
+        with pytest.raises(RuntimeError, match="simulated"):
+            store.append_to_band_index(batch, t, p)
+        monkeypatch.setattr(D, "_banded_keys", real)
+        # the sidecar now claims rows the table lacks: retry refused,
+        # and the error names the repair
+        with pytest.raises(ValueError, match="rebuild-ids"):
+            store.append_to_band_index(batch, t, p)
+        assert tools.maintain([p], rebuild_ids=True) is True
+        store.append_to_band_index(batch, t, p)  # the retry lands
+        assert (
+            spark.table(t).select("doc_id").distinct().count()
+            == docs.count()
+        )
+        ids = sorted(
+            r["id"] for r in spark.read.parquet(f"{p}/_ids").collect()
+        )
+        assert ids == sorted(
+            r["doc_id"] for r in docs.select("doc_id").collect()
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_rebuild_ids_repairs_crashed_ivf_append(spark, emb, tmp_path, monkeypatch):
+    """The ANN twin of the band repair test: kill append_to_ivf_index
+    between the sidecar write and the cell assignment, show the loud
+    refusal, rebuild the sidecar from the inverted layer, retry green —
+    probe results identical to an uninterrupted append."""
+    p_ok = str(tmp_path / "ann_ok")
+    p = str(tmp_path / "ann")
+    old = emb.filter("vec_id < 400")
+    batch = emb.filter("vec_id >= 400")
+    store.write_ivf_index(old, p_ok, n_cells=4, iters=2)
+    store.append_to_ivf_index(batch, p_ok)
+    store.write_ivf_index(old, p, n_cells=4, iters=2)
+    real = S._assign_cells
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated executor loss mid-append")
+
+    monkeypatch.setattr(S, "_assign_cells", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        store.append_to_ivf_index(batch, p)
+    monkeypatch.setattr(S, "_assign_cells", real)
+    with pytest.raises(ValueError, match="rebuild-ids"):
+        store.append_to_ivf_index(batch, p)
+    store.rebuild_ids_sidecar(spark, p)
+    store.append_to_ivf_index(batch, p)  # the retry lands
+    q = emb.filter("vec_id < 5")
+    assert _rows(
+        store.ivf_topk_from_store(spark, q, p, k=3, nprobe=2)
+    ) == _rows(store.ivf_topk_from_store(spark, q, p_ok, k=3, nprobe=2))
+    ids = {r["id"] for r in spark.read.parquet(f"{p}/_ids").collect()}
+    assert ids == {r["vec_id"] for r in emb.select("vec_id").collect()}
