@@ -275,50 +275,59 @@ def append_to_band_index(
             "different hash family; rebuild the index"
         )
     id_col = meta["id_col"]
-    if check_ids:
-        intra = (
-            new_docs.groupBy(F.col(id_col))
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(5)
-            .collect()
-        )
-        if intra:
-            raise ValueError(
-                f"batch contains duplicate {id_col} values (e.g. "
-                f"{[r[id_col] for r in intra]}) — dedup the batch first"
+    # single-writer per root: an append racing a compaction's rename
+    # swap would land files into the dir the swap is about to replace
+    lock = _acquire_root_lock(local, "append_to_band_index")
+    try:
+        if check_ids:
+            intra = (
+                new_docs.groupBy(F.col(id_col))
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(5)
+                .collect()
             )
-        stored = _stored_ids(
-            spark,
-            path,
-            local,
-            backfill=lambda: spark.table(table).select(id_col),
+            if intra:
+                raise ValueError(
+                    f"batch contains duplicate {id_col} values (e.g. "
+                    f"{[r[id_col] for r in intra]}) — dedup the batch first"
+                )
+            stored = _stored_ids(
+                spark,
+                path,
+                local,
+                backfill=lambda: spark.table(table).select(id_col),
+            )
+            _refuse_known_ids(
+                stored, new_docs.select(id_col), id_col, "band index"
+            )
+        # ids first (see docstring: loud retry beats silent duplicates);
+        # dirty marker first of all (a crashed append must still read
+        # dirty)
+        _mark_needs_compact(local)
+        _write_ids_sidecar(
+            new_docs.select(id_col), path, "append", batch=True
         )
-        _refuse_known_ids(
-            stored, new_docs.select(id_col), id_col, "band index"
+        from liq_stream_spark.operators.dedup import (
+            _banded_keys,
+            minhash_sig_arrays,
         )
-    # ids first (see docstring: loud retry beats silent duplicates);
-    # dirty marker first of all (a crashed append must still read dirty)
-    _mark_needs_compact(local)
-    _write_ids_sidecar(new_docs.select(id_col), path, "append", batch=True)
-    from liq_stream_spark.operators.dedup import (
-        _banded_keys,
-        minhash_sig_arrays,
-    )
 
-    keys = _banded_keys(
-        minhash_sig_arrays(new_docs, id_col=id_col, text_col=text_col),
-        id_col,
-        meta["bands"],
-        meta["rows_per_band"],
-    )
-    (
-        keys.write.mode("append")
-        .bucketBy(meta["n_buckets"], "band", "band_key")
-        .sortBy("band", "band_key")
-        .format("parquet")
-        .saveAsTable(table)
-    )
+        keys = _banded_keys(
+            minhash_sig_arrays(new_docs, id_col=id_col, text_col=text_col),
+            id_col,
+            meta["bands"],
+            meta["rows_per_band"],
+        )
+        (
+            keys.write.mode("append")
+            .bucketBy(meta["n_buckets"], "band", "band_key")
+            .sortBy("band", "band_key")
+            .format("parquet")
+            .saveAsTable(table)
+        )
+    finally:
+        _release_root_lock(lock)
 
 
 def band_collision_pairs_from_index(
@@ -655,6 +664,72 @@ def _token_probe(token: str) -> str:
         return "alive"  # exists, owned by someone else
     except OverflowError:
         return "unknown"
+
+
+# Single-writer guard per index root (VERDICT r10 item 6): appends and
+# maintenance (compaction / sidecar repair) on the same root race the
+# rename swaps — an append landing files into a live dir mid-swap is
+# LOST when the pre-swap copy replaces it. The contract was implied
+# ("run appends in the same maintenance window"); this makes it
+# enforced: both paths take an exclusive-create lock file NEXT TO the
+# root (a sibling, so the whole-root rename swap cannot carry it away
+# mid-compaction) and a second writer fails loudly instead of racing.
+_MAINT_LOCK_SUFFIX = ".liq_maintenance_lock"
+
+
+def _acquire_root_lock(local: str, purpose: str) -> str:
+    """Take the per-root writer lock, returning the lock path for
+    :func:`_release_root_lock`. Stale policy mirrors the swap sweeps
+    (:func:`_token_probe`): a holder that is provably dead (host-stamped
+    token, same host, signal-0 says gone) is broken immediately — a
+    crashed append must not block a streaming ingest loop for an hour;
+    an unprobeable holder (another host/container) only after a day;
+    a live holder never — the caller gets the loud single-writer
+    error."""
+    import time
+
+    lock = os.path.normpath(local) + _MAINT_LOCK_SUFFIX
+    token = _swap_token()
+    for _ in range(3):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(f"{token} {purpose}\n")
+            return lock
+        except FileExistsError:
+            try:
+                with open(lock) as f:
+                    held_token, _, held_purpose = (
+                        f.read().strip().partition(" ")
+                    )
+                age = time.time() - os.stat(lock).st_mtime
+            except OSError:
+                continue  # released between the create and the read
+            probe = _token_probe(held_token)
+            if probe == "dead" or (probe == "unknown" and age > 86400):
+                try:
+                    os.remove(lock)  # stale: break it, retry the create
+                except FileNotFoundError:
+                    pass
+                continue
+            raise RuntimeError(
+                f"index root {local} is locked by another writer "
+                f"({held_purpose or 'unknown purpose'}, token "
+                f"{held_token}, {probe}) — appends and maintenance are "
+                "single-writer per root; wait for it to finish, or "
+                f"remove {lock} only if you are certain it is stale"
+            )
+    raise RuntimeError(
+        f"could not acquire the writer lock {lock} after retries — "
+        "another writer keeps (re)taking it"
+    )
+
+
+def _release_root_lock(lock: str) -> None:
+    try:
+        os.remove(lock)
+    except FileNotFoundError:
+        pass
 
 
 # a dead-pid swap artifact must also be this old before a sweep takes
@@ -1077,75 +1152,82 @@ def append_to_ivf_index(
             f"on {meta.get('dim')} — wrong corpus for this index"
         )
     centroids = spark.read.parquet(f"{path}/centroids")
-    if check_ids:
-        # intra-batch duplicates first (r9 review): _assign_cells'
-        # groupBy(vid) argmax would silently COLLAPSE them — one
-        # vector dropped, no error — and the index-side anti-join
-        # below cannot see them. One agg over the (small) batch.
-        intra = (
-            new_vectors.groupBy(F.col(id_col))
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(5)
-            .collect()
-        )
-        if intra:
-            raise ValueError(
-                f"batch contains duplicate {id_col} values (e.g. "
-                f"{[r[id_col] for r in intra]}) — the assignment "
-                "argmax would silently keep one vector per id; dedup "
-                "the batch first"
+    # single-writer per root: an append racing a compaction's rename
+    # swap would land files into the dir the swap is about to replace
+    lock = _acquire_root_lock(local, "append_to_ivf_index")
+    try:
+        if check_ids:
+            # intra-batch duplicates first (r9 review): _assign_cells'
+            # groupBy(vid) argmax would silently COLLAPSE them — one
+            # vector dropped, no error — and the index-side anti-join
+            # below cannot see them. One agg over the (small) batch.
+            intra = (
+                new_vectors.groupBy(F.col(id_col))
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(5)
+                .collect()
             )
-        stored = _stored_ids(
-            spark,
-            path,
-            local,
-            backfill=lambda: spark.read.parquet(f"{path}/inverted").select(
-                "neighbor_id"
-            ),
+            if intra:
+                raise ValueError(
+                    f"batch contains duplicate {id_col} values (e.g. "
+                    f"{[r[id_col] for r in intra]}) — the assignment "
+                    "argmax would silently keep one vector per id; dedup "
+                    "the batch first"
+                )
+            stored = _stored_ids(
+                spark,
+                path,
+                local,
+                backfill=lambda: spark.read.parquet(
+                    f"{path}/inverted"
+                ).select("neighbor_id"),
+            )
+            _refuse_known_ids(
+                stored, new_vectors.select(id_col), id_col, "index"
+            )
+        # ids first (see docstring: loud retry beats silent duplicates);
+        # dirty marker first of all (a crashed append must still read
+        # dirty)
+        _mark_needs_compact(local)
+        _write_ids_sidecar(
+            new_vectors.select(id_col), path, "append", batch=True
         )
-        _refuse_known_ids(
-            stored, new_vectors.select(id_col), id_col, "index"
+        # one assignment pass, reused by both appends (inverted + codes)
+        assigned = (
+            _assign_cells(new_vectors, centroids, id_col, vec_col)
+            .select(F.col("vid").alias("neighbor_id"), "vec", "cell")
+            .localCheckpoint(eager=False)
         )
-    # ids first (see docstring: loud retry beats silent duplicates);
-    # dirty marker first of all (a crashed append must still read dirty)
-    _mark_needs_compact(local)
-    _write_ids_sidecar(
-        new_vectors.select(id_col), path, "append", batch=True
-    )
-    # one assignment pass, reused by both appends (inverted + codes)
-    assigned = (
-        _assign_cells(new_vectors, centroids, id_col, vec_col)
-        .select(F.col("vid").alias("neighbor_id"), "vec", "cell")
-        .localCheckpoint(eager=False)
-    )
-    (
-        assigned.write.mode("append")
-        .partitionBy("cell")
-        .parquet(f"{path}/inverted")
-    )
-    if "m" not in meta:
-        return  # IVF-only store
-    codebooks = spark.read.parquet(f"{path}/codebooks")
-    m = codebooks.agg(F.max("s")).first()[0] + 1
-    d_sub = len(codebooks.select("centroid").first()["centroid"])
-    base = new_vectors.select(
-        F.col(id_col).alias("__vid"), _unit(vec_col).alias("__u")
-    )
-    codes = _pq_assign(_subspaces(base, "vid", m, d_sub), codebooks).select(
-        F.col("vid").alias("neighbor_id"), "s", "code"
-    )
-    if meta.get("codes_cell_partitioned"):
         (
-            codes.join(
-                assigned.select("neighbor_id", "cell"), "neighbor_id"
-            )
-            .write.mode("append")
+            assigned.write.mode("append")
             .partitionBy("cell")
-            .parquet(f"{path}/codes")
+            .parquet(f"{path}/inverted")
         )
-    else:
-        codes.write.mode("append").parquet(f"{path}/codes")
+        if "m" not in meta:
+            return  # IVF-only store
+        codebooks = spark.read.parquet(f"{path}/codebooks")
+        m = codebooks.agg(F.max("s")).first()[0] + 1
+        d_sub = len(codebooks.select("centroid").first()["centroid"])
+        base = new_vectors.select(
+            F.col(id_col).alias("__vid"), _unit(vec_col).alias("__u")
+        )
+        codes = _pq_assign(
+            _subspaces(base, "vid", m, d_sub), codebooks
+        ).select(F.col("vid").alias("neighbor_id"), "s", "code")
+        if meta.get("codes_cell_partitioned"):
+            (
+                codes.join(
+                    assigned.select("neighbor_id", "cell"), "neighbor_id"
+                )
+                .write.mode("append")
+                .partitionBy("cell")
+                .parquet(f"{path}/codes")
+            )
+        else:
+            codes.write.mode("append").parquet(f"{path}/codes")
+    finally:
+        _release_root_lock(lock)
 
 
 def compact_index_partitions(
@@ -1179,45 +1261,54 @@ def compact_index_partitions(
     local = _local_index_root(path)
     src_dir = f"{path}/{sub}"
     lsrc = f"{local}/{sub}"
-    _recover_compact_swap(lsrc)
-    _sweep_swap_leftovers(lsrc)
-    meta = _read_index_meta(local) or {}
-    split = meta.get("split_col", "neighbor_id")
-    df = spark.read.parquet(src_dir)
-    if split not in df.columns:
-        raise ValueError(
-            f"split column {split!r} (from the meta sidecar) is not in "
-            f"the {sub} layer's columns {df.columns} — wrong layer, or "
-            "an index root whose sidecar predates this layer"
-        )
-    n = max(1, int(files_per_cell))
-    token = _swap_token()
-    tmp = f"{src_dir}.compact.tmp.{token}"
-    ltmp = f"{lsrc}.compact.tmp.{token}"
-    (
-        df.repartition(
-            F.col("cell"), F.pmod(F.xxhash64(split), F.lit(n))
-        )
-        .sortWithinPartitions("cell")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(tmp)
-    )
-    old = f"{lsrc}.old.{token}"
-    os.rename(lsrc, old)
+    # single-writer per root: an append landing files into the live
+    # layer between this read and the swap would be LOST with the
+    # pre-compaction copy (VERDICT r10 item 6)
+    lock = _acquire_root_lock(local, f"compact_index_partitions:{sub}")
     try:
-        os.rename(ltmp, lsrc)
-    except OSError:
-        os.rename(old, lsrc)  # restore the live layer, then fail
-        shutil.rmtree(ltmp, ignore_errors=True)  # don't leak the tmp
-        raise
-    shutil.rmtree(old)
-    if sub == "inverted":
-        # the ids sidecar accumulates one small file per append — fold
-        # it in the same maintenance window (keyed to the inverted pass
-        # so a two-layer inverted+codes compaction doesn't rewrite it
-        # twice). Same token-swap dance; rows unchanged.
-        _compact_ids_sidecar(spark, path, local, token)
+        _recover_compact_swap(lsrc)
+        _sweep_swap_leftovers(lsrc)
+        meta = _read_index_meta(local) or {}
+        split = meta.get("split_col", "neighbor_id")
+        df = spark.read.parquet(src_dir)
+        if split not in df.columns:
+            raise ValueError(
+                f"split column {split!r} (from the meta sidecar) is not "
+                f"in the {sub} layer's columns {df.columns} — wrong "
+                "layer, or an index root whose sidecar predates this "
+                "layer"
+            )
+        n = max(1, int(files_per_cell))
+        token = _swap_token()
+        tmp = f"{src_dir}.compact.tmp.{token}"
+        ltmp = f"{lsrc}.compact.tmp.{token}"
+        (
+            df.repartition(
+                F.col("cell"), F.pmod(F.xxhash64(split), F.lit(n))
+            )
+            .sortWithinPartitions("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(tmp)
+        )
+        old = f"{lsrc}.old.{token}"
+        os.rename(lsrc, old)
+        try:
+            os.rename(ltmp, lsrc)
+        except OSError:
+            os.rename(old, lsrc)  # restore the live layer, then fail
+            shutil.rmtree(ltmp, ignore_errors=True)  # don't leak the tmp
+            raise
+        shutil.rmtree(old)
+        if sub == "inverted":
+            # the ids sidecar accumulates one small file per append —
+            # fold it in the same maintenance window (keyed to the
+            # inverted pass so a two-layer inverted+codes compaction
+            # doesn't rewrite it twice). Same token-swap dance; rows
+            # unchanged.
+            _compact_ids_sidecar(spark, path, local, token)
+    finally:
+        _release_root_lock(lock)
 
 
 def _compact_ids_sidecar(
@@ -1306,24 +1397,30 @@ def rebuild_ids_sidecar(spark: SparkSession, path: str) -> None:
             F.col("neighbor_id").alias("id")
         )
     lids = f"{local}/{_IDS_SUB}"
-    _recover_compact_swap(lids)
-    _sweep_swap_leftovers(lids)
-    token = _swap_token()
-    tmp = f"{path}/{_IDS_SUB}.compact.tmp.{token}"
-    ltmp = f"{lids}.compact.tmp.{token}"
-    ids.sort("id").write.mode("overwrite").parquet(tmp)
-    if not os.path.isdir(lids):
-        os.rename(ltmp, lids)
-        return
-    old = f"{lids}.old.{token}"
-    os.rename(lids, old)
+    # single-writer per root: a repair racing an append would rebuild
+    # a sidecar missing the in-flight batch's ids
+    lock = _acquire_root_lock(local, "rebuild_ids_sidecar")
     try:
-        os.rename(ltmp, lids)
-    except OSError:
-        os.rename(old, lids)
-        shutil.rmtree(ltmp, ignore_errors=True)
-        raise
-    shutil.rmtree(old)
+        _recover_compact_swap(lids)
+        _sweep_swap_leftovers(lids)
+        token = _swap_token()
+        tmp = f"{path}/{_IDS_SUB}.compact.tmp.{token}"
+        ltmp = f"{lids}.compact.tmp.{token}"
+        ids.sort("id").write.mode("overwrite").parquet(tmp)
+        if not os.path.isdir(lids):
+            os.rename(ltmp, lids)
+            return
+        old = f"{lids}.old.{token}"
+        os.rename(lids, old)
+        try:
+            os.rename(ltmp, lids)
+        except OSError:
+            os.rename(old, lids)
+            shutil.rmtree(ltmp, ignore_errors=True)
+            raise
+        shutil.rmtree(old)
+    finally:
+        _release_root_lock(lock)
 
 
 def compact_band_index(spark: SparkSession, table: str, path: str) -> None:
@@ -1354,67 +1451,77 @@ def compact_band_index(spark: SparkSession, table: str, path: str) -> None:
     import shutil
 
     local = _local_index_root(path)
-    _recover_compact_swap(local)
-    _sweep_swap_leftovers(local)
-    _check_table_location(spark, table, local)
-    meta = _read_index_meta(local)
-    if meta is None:
-        raise ValueError(
-            f"no index meta sidecar at {path} — the band index predates "
-            "the sidecar; re-run write_band_index to rebuild with meta"
-        )
-    token = _swap_token()
-    tmp = f"{path}.compact.tmp.{token}"
-    ltmp = f"{local}.compact.tmp.{token}"
-    tmp_tbl = f"{table}_compact_tmp_{token.rsplit('-', 1)[-1]}"
-    auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    # single-writer per root: this swap renames the WHOLE table dir —
+    # an append racing it writes into the copy about to be discarded
+    # (the lock is a SIBLING of the root, so the rename can't carry it)
+    lock = _acquire_root_lock(local, "compact_band_index")
     try:
-        prev = spark.conf.get(auto)
-        spark.conf.set(auto, "false")
+        _recover_compact_swap(local)
+        _sweep_swap_leftovers(local)
+        _check_table_location(spark, table, local)
+        meta = _read_index_meta(local)
+        if meta is None:
+            raise ValueError(
+                f"no index meta sidecar at {path} — the band index "
+                "predates the sidecar; re-run write_band_index to "
+                "rebuild with meta"
+            )
+        token = _swap_token()
+        tmp = f"{path}.compact.tmp.{token}"
+        ltmp = f"{local}.compact.tmp.{token}"
+        tmp_tbl = f"{table}_compact_tmp_{token.rsplit('-', 1)[-1]}"
+        auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
         try:
-            (
-                spark.table(table)
-                .repartition(
-                    meta["n_buckets"], F.col("band"), F.col("band_key")
+            prev = spark.conf.get(auto)
+            spark.conf.set(auto, "false")
+            try:
+                (
+                    spark.table(table)
+                    .repartition(
+                        meta["n_buckets"], F.col("band"), F.col("band_key")
+                    )
+                    .write.mode("overwrite")
+                    .option("path", tmp)
+                    .bucketBy(meta["n_buckets"], "band", "band_key")
+                    .sortBy("band", "band_key")
+                    .format("parquet")
+                    .saveAsTable(tmp_tbl)
                 )
-                .write.mode("overwrite")
-                .option("path", tmp)
-                .bucketBy(meta["n_buckets"], "band", "band_key")
-                .sortBy("band", "band_key")
-                .format("parquet")
-                .saveAsTable(tmp_tbl)
+            finally:
+                spark.conf.set(auto, prev)
+            # carry the sidecars: they live INSIDE the table dir being
+            # swapped. The ids sidecar is REWRITTEN (sorted, folded)
+            # rather than file-copied — appends left one small file
+            # each, and this is the maintenance window that folds small
+            # files back
+            shutil.copy2(
+                os.path.join(local, _INDEX_META),
+                os.path.join(ltmp, _INDEX_META),
             )
-        finally:
-            spark.conf.set(auto, prev)
-        # carry the sidecars: they live INSIDE the table dir being
-        # swapped. The ids sidecar is REWRITTEN (sorted, folded) rather
-        # than file-copied — appends left one small file each, and this
-        # is the maintenance window that folds small files back
-        shutil.copy2(
-            os.path.join(local, _INDEX_META), os.path.join(ltmp, _INDEX_META)
-        )
-        if os.path.isdir(os.path.join(local, _IDS_SUB)):
-            _write_ids_sidecar(
-                spark.read.parquet(f"{path}/{_IDS_SUB}"),
-                tmp,
-                "overwrite",
-                batch=False,
-            )
-        old = f"{local}.old.{token}"
-        os.rename(local, old)
-        try:
-            os.rename(ltmp, local)
-        except OSError:
-            os.rename(old, local)  # restore the live table dir
+            if os.path.isdir(os.path.join(local, _IDS_SUB)):
+                _write_ids_sidecar(
+                    spark.read.parquet(f"{path}/{_IDS_SUB}"),
+                    tmp,
+                    "overwrite",
+                    batch=False,
+                )
+            old = f"{local}.old.{token}"
+            os.rename(local, old)
+            try:
+                os.rename(ltmp, local)
+            except OSError:
+                os.rename(old, local)  # restore the live table dir
+                raise
+            shutil.rmtree(old)
+        except BaseException:
+            shutil.rmtree(ltmp, ignore_errors=True)  # don't leak the tmp
             raise
-        shutil.rmtree(old)
-    except BaseException:
-        shutil.rmtree(ltmp, ignore_errors=True)  # don't leak the tmp
-        raise
+        finally:
+            # the tmp table's catalog entry points at a renamed/removed
+            # dir; external-table DROP removes only metadata
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
     finally:
-        # the tmp table's catalog entry points at a renamed/removed dir;
-        # external-table DROP removes only metadata
-        spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+        _release_root_lock(lock)
     spark.sql(f"REFRESH TABLE {table}")  # invalidate cached file listings
 
 

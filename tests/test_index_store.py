@@ -1107,3 +1107,56 @@ def test_rebuild_ids_repairs_crashed_ivf_append(spark, emb, tmp_path, monkeypatc
     ) == _rows(store.ivf_topk_from_store(spark, q, p_ok, k=3, nprobe=2))
     ids = {r["id"] for r in spark.read.parquet(f"{p}/_ids").collect()}
     assert ids == {r["vec_id"] for r in emb.select("vec_id").collect()}
+
+
+def test_append_vs_maintain_single_writer_guard(spark, emb, tmp_path):
+    """VERDICT r10 item 6: appends and maintenance on one root race the
+    rename swap (an append landing files mid-swap is lost with the
+    pre-swap copy) — the implied single-writer contract is now ENFORCED
+    by a sibling lock file both paths take. Both directions are
+    demonstrated: with maintenance holding the lock, an append fails
+    loudly (never silently races); with an append holding it, the
+    compaction fails loudly. A provably-dead holder's lock is broken
+    immediately (a crashed append must not block a streaming ingest
+    loop), and an unprobeable holder's only after a day."""
+    import os as _os
+    import socket
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    t, p = "band_lock_t", str(tmp_path / "band")
+    store.write_band_index(docs.filter("doc_id < 400"), t, p)
+    try:
+        batch = docs.filter("doc_id >= 400")
+        local = store._local_index_root(p)
+        # maintenance in progress (live holder): the append refuses
+        lock = store._acquire_root_lock(local, "compact_band_index")
+        with pytest.raises(RuntimeError, match="locked by another writer"):
+            store.append_to_band_index(batch, t, p)
+        # ...and a second maintenance pass refuses too
+        with pytest.raises(RuntimeError, match="locked by another writer"):
+            store.compact_band_index(spark, t, p)
+        with pytest.raises(RuntimeError, match="locked by another writer"):
+            store.rebuild_ids_sidecar(spark, p)
+        store._release_root_lock(lock)
+        # a crashed writer's lock (host-stamped token, dead pid) is
+        # broken immediately — the append proceeds
+        dead = f"{socket.gethostname()}-999999999-deadbeef"
+        lock_path = _os.path.normpath(local) + store._MAINT_LOCK_SUFFIX
+        with open(lock_path, "w") as f:
+            f.write(f"{dead} append_to_band_index\n")
+        store.append_to_band_index(batch, t, p)
+        assert not _os.path.exists(lock_path)  # released after the append
+        # an unprobeable (foreign-host) holder is respected until a day old
+        with open(lock_path, "w") as f:
+            f.write("otherhost-1234-cafe0123 compact_band_index\n")
+        with pytest.raises(RuntimeError, match="locked by another writer"):
+            store.append_to_band_index(docs.limit(0), t, p)
+        day_ago = __import__("time").time() - 90000
+        _os.utime(lock_path, (day_ago, day_ago))
+        store.compact_band_index(spark, t, p)  # breaks the aged lock
+        assert (
+            spark.table(t).select("doc_id").distinct().count()
+            == docs.count()
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
