@@ -28,6 +28,7 @@ at-least-once into CSV/parquet and exactly-once into idempotent sinks.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -164,6 +165,7 @@ def bootstrap_statements(table: str) -> list[str]:
     and INSERT .. ON CONFLICT DO NOTHING via a foreachBatch writer — the
     reference itself is fire-and-forget (at-most-once, writer_pg.py), so
     plain append already strictly dominates it."""
+    _check_pg_table_name(table)
     short = table.split(".")[-1]
     return [
         DDL.format(table=table),
@@ -236,6 +238,7 @@ def write_jdbc_idempotent(
     REAL PostgreSQL 15 server in tests/test_pg_live.py; only this
     function's Spark JDBC writer leg remains unexercised in-container
     (no PostgreSQL JDBC driver jar)."""
+    _check_pg_table_name(table)
     staging = f"{table}_stage_{int(epoch_id)}"
     (
         df.write.format("jdbc")
@@ -331,6 +334,25 @@ _PG_TYPES = {
 }
 
 
+# ADVICE r10 (sinks.py:510): target/staging table names are interpolated
+# UNQUOTED into psql scripts and JDBC statements (DDL, advisory-lock and
+# DELETE text, the promote CTE) — a name carrying quotes, spaces or mixed
+# case would break the script or execute unintended SQL. Validate once at
+# every entry point against the unquoted-identifier grammar PostgreSQL
+# folds to anyway (optionally schema-qualified).
+_PG_IDENT_RE = re.compile(r"^[a-z_][a-z0-9_]*(\.[a-z_][a-z0-9_]*)?$")
+
+
+def _check_pg_table_name(table: str) -> None:
+    if not _PG_IDENT_RE.match(table):
+        raise ValueError(
+            f"table name {table!r} is not a plain (optionally "
+            "schema-qualified) lower-case identifier — sink table names "
+            "are interpolated into SQL text and must match "
+            "^[a-z_][a-z0-9_]*(\\.[a-z_][a-z0-9_]*)?$"
+        )
+
+
 def _pg_column_ddl(df: DataFrame) -> str:
     """PostgreSQL column DDL for ``df``'s schema (flat types only — the
     sink schema is flat by construction; nested/array/binary raise)."""
@@ -410,7 +432,26 @@ def write_pg_copy(
     streaming queries sharing a table would claim each other's epochs
     in the ledger (the JDBC exactly-once variant shares this contract;
     give each writer its own table, or union upstream).
+
+    Crash-window guard (ADVICE r10, medium): the staging table is
+    UNLOGGED for ingest speed, and PostgreSQL crash recovery TRUNCATES
+    unlogged tables — a server crash between the COPY jobs finishing
+    and the promote would otherwise claim the epoch over an emptied
+    staging table and silently lose the batch. The promote transaction
+    therefore verifies count(*) of the staging table against the
+    Spark-side staged count FIRST and raises on mismatch — the claim
+    never happens, the foreachBatch fails, and the epoch replays.
+
+    psql version note (ADVICE r10): psql BELOW 16 scans COPY input for
+    a line consisting solely of ``\\.`` even inside a quoted CSV field,
+    so a text value containing an embedded newline followed by ``\\.``
+    fails the partition's COPY with a LOUD 'unterminated CSV quoted
+    field' error (measured on psql 15; exactly-once is preserved — the
+    task fails before any claim). Ingesting such values needs psql >=
+    16 on the executors, where the lone ``\\.`` inside quotes is passed
+    through as data.
     """
+    _check_pg_table_name(table)
     data_cols = list(df.columns)
     staging = f"{table}_stage_{int(epoch_id)}"
     _psql_script(
@@ -504,10 +545,26 @@ def write_pg_copy(
         .agg(F.sum("copied").alias("n"))
         .collect()[0]["n"]
     ) or 0
+    # the UNLOGGED-staging crash-window guard (see docstring): verify the
+    # server-side row count against the Spark-side staged count INSIDE
+    # the promote transaction, before the claim — a crash-truncated
+    # staging table aborts the promote (epoch unclaimed -> replay)
+    # instead of silently promoting zero rows under a claimed epoch
+    count_guard = (
+        "DO $liq_guard$ DECLARE n BIGINT; BEGIN "
+        f"SELECT count(*) INTO n FROM {staging}; "
+        f"IF n <> {int(staged)} THEN "
+        f"RAISE EXCEPTION 'staging table {staging} holds % rows but the "
+        f"Spark job staged {int(staged)} — unlogged staging lost rows "
+        "(server crash recovery truncates unlogged tables); aborting the "
+        "promote so the epoch replays', n; "
+        "END IF; END $liq_guard$"
+    )
     _psql_script(
         conninfo,
         ";\n".join(
-            idempotent_statements(table, staging, epoch_id, data_cols)
+            [count_guard]
+            + idempotent_statements(table, staging, epoch_id, data_cols)
             + [f"DROP TABLE IF EXISTS {staging}"]
         ),
         single_txn=True,

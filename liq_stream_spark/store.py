@@ -355,15 +355,28 @@ def band_collision_pairs_from_index(
 
 def band_table_name(path: str) -> str:
     """Canonical session-catalog name for a band root: the root dir's
-    digest suffix, sanitized to a valid SQL identifier. ONE rule shared
-    by index_cache.ensure_band_index and `tools maintain`, so every
+    digest suffix, sanitized to a valid SQL identifier, plus a short
+    hash of the normalized FULL path. ONE rule shared by
+    index_cache.ensure_band_index and `tools maintain`, so every
     attacher registers the same root under the same name — and an
     explicit root whose basename carries dots or dashes still yields a
-    parseable identifier."""
+    parseable identifier.
+
+    The path hash closes ADVICE r10 (store.py:347): keying on the
+    basename suffix alone mapped two DIFFERENT roots like /a/prod-x1
+    and /b/prod-x1 to one catalog name — register_band_index's
+    location cross-check made that fail loudly, but `tools maintain`
+    then could not maintain both roots in one process. realpath
+    normalization also makes symlinked and direct spellings of the
+    same root agree on the name."""
+    import hashlib
     import re
 
+    norm = os.path.realpath(_local_index_root(path))
     base = os.path.basename(os.path.normpath(path)).rsplit("-", 1)[-1]
-    return "band_index_" + re.sub(r"[^0-9A-Za-z_]", "_", base)
+    suffix = re.sub(r"[^0-9A-Za-z_]", "_", base)
+    digest = hashlib.sha256(norm.encode()).hexdigest()[:8]
+    return f"band_index_{suffix}_{digest}"
 
 
 def register_band_index(

@@ -1160,3 +1160,26 @@ def test_append_vs_maintain_single_writer_guard(spark, emb, tmp_path):
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_band_table_name_distinguishes_same_basename_roots(tmp_path):
+    """ADVICE r10 (store.py:347): two DIFFERENT roots sharing a basename
+    suffix (/a/prod-x1 vs /b/prod-x1) must map to DIFFERENT catalog
+    names — otherwise `tools maintain` cannot maintain both in one
+    process (the location cross-check refuses the second). Symlinked
+    and direct spellings of the SAME root must agree."""
+    import os as _os
+
+    a = tmp_path / "a" / "prod-x1"
+    b = tmp_path / "b" / "prod-x1"
+    a.mkdir(parents=True)
+    b.mkdir(parents=True)
+    na, nb = store.band_table_name(str(a)), store.band_table_name(str(b))
+    assert na != nb
+    for n in (na, nb):
+        assert n.startswith("band_index_x1_")
+        import re as _re
+        assert _re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", n)
+    link = tmp_path / "lnk"
+    _os.symlink(tmp_path / "a", link)
+    assert store.band_table_name(str(link / "prod-x1")) == na

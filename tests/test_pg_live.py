@@ -416,3 +416,103 @@ def test_pg_copy_kill_restart_exactly_once(pg, spark, tmp_path):
         "SELECT count(*) FROM liq_eo_stream_epochs "
         f"WHERE epoch_id = {replayed}"
     ) == "1"
+
+
+def test_write_pg_copy_aborts_promote_on_truncated_staging(
+    pg, spark, monkeypatch
+):
+    """ADVICE r10 (medium): the staging table is UNLOGGED, and PostgreSQL
+    crash recovery TRUNCATES unlogged tables — a server crash between
+    the COPY jobs and the promote would otherwise claim the epoch over
+    an emptied staging table and silently lose the batch. The promote
+    transaction now verifies the staged count first: simulate the
+    truncation right before the promote and the write must FAIL with
+    the epoch unclaimed (so the stream replays it); the replay then
+    promotes every row exactly once."""
+    from liq_stream_spark import sinks
+
+    sinks.ensure_table_psql(pg.conninfo, "liq_crash")
+    df = spark.createDataFrame(_mk_rows(5, 9), ROW_SCHEMA).repartition(2)
+    real = sinks._psql_script
+
+    def truncating(conninfo, script, single_txn=False):
+        if "liq_crash_epochs" in script:  # the promote script only
+            pg("TRUNCATE liq_crash_stage_5")
+        return real(conninfo, script, single_txn)
+
+    monkeypatch.setattr(sinks, "_psql_script", truncating)
+    with pytest.raises(RuntimeError, match="lost rows"):
+        sinks.write_pg_copy(df, 5, pg.conninfo, "liq_crash")
+    # the guard aborted BEFORE the claim: no promoted rows, no ledger
+    # entry (the ledger DDL was in the same aborted transaction)
+    assert pg("SELECT count(*) FROM liq_crash") == "0"
+    assert pg("SELECT to_regclass('liq_crash_epochs') IS NULL") == "t"
+    monkeypatch.setattr(sinks, "_psql_script", real)
+    assert sinks.write_pg_copy(df, 5, pg.conninfo, "liq_crash") == 9
+    assert pg("SELECT count(*) FROM liq_crash") == "9"
+    assert pg("SELECT epoch_id FROM liq_crash_epochs") == "5"
+
+
+def _psql_major() -> int:
+    import re as _re
+    import subprocess as _sp
+
+    out = _sp.run(
+        ["psql", "--version"], capture_output=True, text=True
+    ).stdout
+    return int(_re.search(r"(\d+)\.", out).group(1))
+
+
+def test_write_pg_copy_lone_backslash_dot_line_in_quoted_field(pg, spark):
+    """ADVICE r10: psql < 16 scans COPY input for a line consisting
+    solely of '\\.' even inside a quoted CSV field. The failure mode is
+    what matters: on psql 15 the partition's COPY dies LOUDLY
+    ('unterminated CSV quoted field') before any claim — exactly-once
+    is preserved, nothing is silently truncated (measured; the
+    write_pg_copy docstring documents psql >= 16 as the requirement
+    for ingesting such values). On psql >= 16 the value round-trips."""
+    from liq_stream_spark.sinks import ensure_table_psql, write_pg_copy
+
+    ensure_table_psql(pg.conninfo, "liq_dotline")
+    tricky = "line\n\\.\nmore"
+    rows = [("okx", "usdt", "E", "long", 1.0, 1.0, 1.0, 1, 1, tricky)]
+    df = spark.createDataFrame(rows, ROW_SCHEMA)
+    if _psql_major() >= 16:
+        assert write_pg_copy(df, 1, pg.conninfo, "liq_dotline") == 1
+        assert pg("SELECT raw FROM liq_dotline") == tricky
+        return
+    # the executor-side RuntimeError surfaces driver-side wrapped in a
+    # PythonException — match the message, not the Python type
+    with pytest.raises(Exception, match="unterminated CSV quoted"):
+        write_pg_copy(df, 1, pg.conninfo, "liq_dotline")
+    # loud, not lossy: nothing promoted, no epoch claimed
+    assert pg("SELECT count(*) FROM liq_dotline") == "0"
+    assert pg("SELECT to_regclass('liq_dotline_epochs') IS NULL") == "t"
+
+
+def test_sink_table_names_are_validated(pg, spark):
+    """ADVICE r10: table/staging names are interpolated unquoted into
+    psql scripts and JDBC statements — every sink entry point refuses
+    anything but a plain (optionally schema-qualified) lower-case
+    identifier before any SQL is built."""
+    from liq_stream_spark.sinks import (
+        bootstrap_statements, write_jdbc_idempotent, write_pg_copy,
+    )
+
+    df = spark.createDataFrame(_mk_rows(1, 1), ROW_SCHEMA)
+    for bad in (
+        'liq"; DROP TABLE x; --',
+        "Liquidations",          # folds differently once quoted
+        "liq table",
+        "liq.s.t",
+        "1liq",
+        "",
+    ):
+        with pytest.raises(ValueError, match="identifier"):
+            bootstrap_statements(bad)
+        with pytest.raises(ValueError, match="identifier"):
+            write_pg_copy(df, 1, pg.conninfo, bad)
+        with pytest.raises(ValueError, match="identifier"):
+            write_jdbc_idempotent(df, 1, "jdbc:postgresql:none", bad)
+    # schema-qualified lower-case names stay accepted
+    assert bootstrap_statements("liq.liquidations")
