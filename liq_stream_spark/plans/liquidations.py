@@ -340,7 +340,11 @@ def unified_liquidations(spark: SparkSession) -> DataFrame:
     "liq_normalize_unified",
     None,
     doc="five venue normalizers + union into the unified schema "
-    "(SURVEY.md §2.2-§2.3; golden-tested in tests/test_normalizers.py).",
+    "(SURVEY.md §2.2-§2.3; golden-tested in tests/test_normalizers.py). "
+    "Rows-only FOREVER BY DESIGN: the raw column re-serializes venue "
+    "JSON with engine-specific key ordering, so no portable value hash "
+    "exists — its VALUE companion is liq_unified_rows, which oracles "
+    "the other 9 of these 10 columns over the identical union.",
 )
 def liq_normalize_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unified_liquidations(spark)

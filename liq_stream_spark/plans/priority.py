@@ -44,30 +44,28 @@ from __future__ import annotations
 # cheap JVM-only entries lead (cold-session Arrow/daemon spin-up must
 # not land on a pandas-UDF query).
 CHANGED_SINCE_GREEN: list[str] = [
-    # (r10 baseline was empty: CORRECTNESS_r09 greened the full 50-slot
-    # sample. VERDICT r9 item 1: tier stays LEAN this round so the two
-    # r6-stale rest-tier leaders — d13_dup_span_removal,
-    # liq_normalize_unified — fit inside the ~50-slot budget.)
+    # r11 (reset at round open per VERDICT r10 item 5; kept LEAN so the
+    # r8-signal rest tier rotates through the ~50-slot budget):
     #
-    # r10: the index store gained the _ids membership sidecar (the
-    # duplicate-id guard now reads it instead of the posting lists),
-    # write_ivf_index gained the prebuilt-centroid width guard +
-    # corpus-derived dim/split_col meta, write_band_index writes the
-    # sidecar, and the compaction swap hardened (recovery + sweeps).
-    # Results are build-deterministic and unchanged (pinned
-    # row-identical in tests/test_index_store.py / test_store.py), but
-    # the builders' operators changed after their greens, so every
-    # registered consumer re-queues. Also r10: d15's builder moved onto
-    # index_cache.ensure_band_index (fingerprint-keyed persistent band
-    # index + register_band_index re-attach) and the cache guard/
-    # fingerprint generalized to table params — d15 and the s06-s09/d11
-    # cache riders below already cover every consumer.
+    # - operators/dedup.py gained the corpus-size-aware
+    #   minhash_estimate_bar used by the verified-dedup chain's
+    #   production deployments (fixture-scale results unchanged — the
+    #   helper returns d14's pinned 8/16 there — but the module the
+    #   d12/d14 builders ride changed after their greens).
+    "d12_minhash_jaccard_est",
+    "d14_verified_dedup_clusters",
+    # - store.py mutators now take the per-root single-writer lock
+    #   (append/compact/rebuild), band_table_name folds a realpath hash
+    #   into the catalog name (d15 re-attaches under a new name), and
+    #   rebuild_ids_sidecar landed. Results pinned unchanged in
+    #   tests/test_index_store.py, but every store-backed consumer's
+    #   operator changed after its green.
+    "d15_band_index_pairs",
     "s06_ivf_topk",
     "s07_pq_topk",
     "s08_ivfpq_topk",
     "s09_ivf_topk_pruned",
     "d11_semantic_dedup",
-    "d15_band_index_pairs",
 ]
 
 
