@@ -208,8 +208,27 @@ def plans_md(sf_dir: str = "/root/testdata/sf0.01") -> str:
     from liq_stream_spark.session import get_spark
 
     spark = get_spark(app_name="plan_audit")
+    # freshness stamp (VERDICT r10 item 3): the drift gate in
+    # tests/test_plans.py fails when commits touching liq_stream_spark/
+    # postdate this commit — regenerate in its OWN commit right after
+    # the plan-affecting code lands, so the stamp (= the parent HEAD)
+    # already covers it
+    import subprocess
+    from pathlib import Path
+
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            capture_output=True,
+            text=True,
+            cwd=Path(__file__).resolve().parents[1],
+        ).stdout.strip() or "unknown"
+    except OSError:
+        head = "unknown"
     header = [
         "# Plan audit",
+        "",
+        f"Generated at commit {head}.",
         "",
         "Generated by `python -m liq_stream_spark.tools plans` from the "
         "EXECUTED physical plan of every registered query at sf0.01 — "

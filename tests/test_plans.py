@@ -564,3 +564,52 @@ def test_shingle_udf_evaluates_once_per_plan(spark):
         plan = plan_of(spark, name)
         n = len(_re.findall("ArrowEvalPython", plan))
         assert n <= 1, f"{name}: {n} ArrowEvalPython nodes (duplicate UDF pass)"
+
+
+def test_plans_md_is_fresh_at_head():
+    """VERDICT r10 item 3: PLANS.md is the complete-survey artifact the
+    pins in this file sample from — a REGISTRY builder changing after
+    its generation makes the artifact silently stale (it happened twice:
+    r9 and r10 both changed builders after the r8 regeneration). The
+    generator now stamps the HEAD commit; this gate fails when commits
+    touching liq_stream_spark/ postdate the stamp. Uncommitted
+    working-tree changes are deliberately ignored (the gate rides
+    commits, like the ledger's). Regenerate in its OWN commit right
+    after plan-affecting code lands:
+    `python -m liq_stream_spark.tools plans`."""
+    import pathlib
+    import subprocess
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    text = (root / "PLANS.md").read_text()
+    m = re.search(r"Generated at commit ([0-9a-f]{7,40})\.", text)
+    assert m, (
+        "PLANS.md predates the freshness stamp — regenerate it: "
+        "python -m liq_stream_spark.tools plans"
+    )
+    base = m.group(1)
+    try:
+        known = subprocess.run(
+            ["git", "cat-file", "-e", f"{base}^{{commit}}"],
+            cwd=root,
+            capture_output=True,
+        )
+    except FileNotFoundError:
+        pytest.skip("git unavailable")
+    if known.returncode != 0:
+        pytest.skip(f"stamped commit {base} unknown to this clone")
+    drift = subprocess.run(
+        ["git", "log", "--oneline", f"{base}..HEAD", "--",
+         "liq_stream_spark/"],
+        cwd=root,
+        capture_output=True,
+        text=True,
+    )
+    assert drift.returncode == 0, drift.stderr
+    stale = [line for line in drift.stdout.splitlines() if line.strip()]
+    assert not stale, (
+        "PLANS.md is STALE — these commits touch liq_stream_spark/ after "
+        "its generation stamp; regenerate it (python -m "
+        "liq_stream_spark.tools plans) in its own commit:\n"
+        + "\n".join(stale[:10])
+    )
