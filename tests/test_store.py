@@ -432,10 +432,21 @@ def test_register_band_index_reattaches_without_rebuild(spark, tmp_path):
 def test_band_table_name_is_shared_and_sanitized():
     """ONE naming rule for band roots (ensure_band_index and `tools
     maintain` must always attach the same root under the same name),
-    and arbitrary basenames still yield a parseable SQL identifier."""
+    arbitrary basenames still yield a parseable SQL identifier, and —
+    ADVICE r10 — the name carries a realpath hash so two different
+    roots sharing a basename suffix can never collide on one catalog
+    name (the full collision/symlink matrix lives in
+    tests/test_index_store.py)."""
+    import re
+
     from liq_stream_spark.store import band_table_name
 
-    assert band_table_name("/x/bandidx-v1-97f65433") == "band_index_97f65433"
-    assert band_table_name("/x/bandidx-v1-97f65433/") == "band_index_97f65433"
-    assert band_table_name("/data/my.band") == "band_index_my_band"
-    assert band_table_name("/data/plain") == "band_index_plain"
+    a = band_table_name("/x/bandidx-v1-97f65433")
+    assert a == band_table_name("/x/bandidx-v1-97f65433/")
+    assert a.startswith("band_index_97f65433_")
+    for p in ("/data/my.band", "/data/plain"):
+        n = band_table_name(p)
+        assert re.match(r"^band_index_[A-Za-z0-9_]+_[0-9a-f]{8}$", n)
+    assert band_table_name("/data/my.band").startswith("band_index_my_band_")
+    # same suffix, different roots: distinct names
+    assert band_table_name("/a/prod-x1") != band_table_name("/b/prod-x1")
