@@ -191,36 +191,44 @@ def write_band_index(
 
     local = _local_index_root(path)
     _check_index_version(local)
-    keys = _banded_keys(
-        minhash_sig_arrays(docs, id_col=id_col, text_col=text_col),
-        id_col,
-        bands,
-        rows_per_band,
-    )
-    (
-        keys.write.mode("overwrite")
-        .option("path", path)
-        .bucketBy(n_buckets, "band", "band_key")
-        .sortBy("band", "band_key")
-        .format("parquet")
-        .saveAsTable(table)
-    )
-    # membership sidecar for the append guard (VERDICT r9 item 2) —
-    # '_'-prefixed so the table scan never sees it (hidden-path rule)
-    _write_ids_sidecar(docs.select(id_col), path, "overwrite", batch=False)
-    _clear_needs_compact(local)  # fresh layout: nothing to fold
-    # meta sidecar (r9, same contract as the ANN index): the append
-    # path derives EVERY signature parameter from here — a caller
-    # passing different bands/rows_per_band to an append would emit
-    # keys from a different hash family that silently never collide
-    # with the stored ones
-    _write_index_meta(
-        local,
-        n_buckets=n_buckets,
-        bands=bands,
-        rows_per_band=rows_per_band,
-        id_col=id_col,
-    )
+    # single-writer per root: a full rebuild overwriting a LIVE root
+    # races appends/compactions the same way the swaps do
+    lock = _acquire_root_lock(local, "write_band_index")
+    try:
+        keys = _banded_keys(
+            minhash_sig_arrays(docs, id_col=id_col, text_col=text_col),
+            id_col,
+            bands,
+            rows_per_band,
+        )
+        (
+            keys.write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(n_buckets, "band", "band_key")
+            .sortBy("band", "band_key")
+            .format("parquet")
+            .saveAsTable(table)
+        )
+        # membership sidecar for the append guard (VERDICT r9 item 2) —
+        # '_'-prefixed so the table scan never sees it (hidden-path rule)
+        _write_ids_sidecar(
+            docs.select(id_col), path, "overwrite", batch=False
+        )
+        _clear_needs_compact(local)  # fresh layout: nothing to fold
+        # meta sidecar (r9, same contract as the ANN index): the append
+        # path derives EVERY signature parameter from here — a caller
+        # passing different bands/rows_per_band to an append would emit
+        # keys from a different hash family that silently never collide
+        # with the stored ones
+        _write_index_meta(
+            local,
+            n_buckets=n_buckets,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            id_col=id_col,
+        )
+    finally:
+        _release_root_lock(lock)
 
 
 def append_to_band_index(
@@ -703,6 +711,11 @@ def _acquire_root_lock(local: str, purpose: str) -> str:
 
     lock = os.path.normpath(local) + _MAINT_LOCK_SUFFIX
     token = _swap_token()
+    # a first-ever build targets a root whose parent may not exist yet
+    # (Spark's writers create nested dirs themselves; O_CREAT does not)
+    parent = os.path.dirname(lock)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     for _ in range(3):
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -927,32 +940,40 @@ def write_ivf_index(
                 f"vectors have {dim} — centroids from a different "
                 "corpus or build?"
             )
-    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
-    inverted = _assign_cells(corpus, centroids, id_col, vec_col).select(
-        F.col("vid").alias("neighbor_id"), "vec", "cell"
-    )
-    (
-        inverted.write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(f"{path}/inverted")
-    )
-    _write_ids_sidecar(
-        corpus.select(id_col), path, "overwrite", batch=False
-    )
-    _clear_needs_compact(local)  # fresh layout: nothing to fold
-    # the sidecar records ARTIFACT properties, not argument values (r9
-    # review — the ADVICE r8 m-derivation rule applied consistently):
-    # prebuilt centroids make the n_cells/iters arguments meaningless,
-    # and Lloyd rounds can drop an emptied cell below n_cells anyway.
-    # split_col: the compaction functions' intra-cell file-split key
-    # (VERDICT r9 item 4 — explicit, not positional).
-    _write_index_meta(
-        local,
-        dim=dim,
-        n_cells=centroids.count(),
-        iters=iters if trained_here else None,
-        split_col="neighbor_id",
-    )
+    # single-writer per root: a full rebuild overwriting a LIVE root
+    # races appends/compactions the same way the swaps do (training
+    # above reads only the corpus, so it stays outside the lock window)
+    lock = _acquire_root_lock(local, "write_ivf_index")
+    try:
+        centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+        inverted = _assign_cells(corpus, centroids, id_col, vec_col).select(
+            F.col("vid").alias("neighbor_id"), "vec", "cell"
+        )
+        (
+            inverted.write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{path}/inverted")
+        )
+        _write_ids_sidecar(
+            corpus.select(id_col), path, "overwrite", batch=False
+        )
+        _clear_needs_compact(local)  # fresh layout: nothing to fold
+        # the sidecar records ARTIFACT properties, not argument values
+        # (r9 review — the ADVICE r8 m-derivation rule applied
+        # consistently): prebuilt centroids make the n_cells/iters
+        # arguments meaningless, and Lloyd rounds can drop an emptied
+        # cell below n_cells anyway. split_col: the compaction
+        # functions' intra-cell file-split key (VERDICT r9 item 4 —
+        # explicit, not positional).
+        _write_index_meta(
+            local,
+            dim=dim,
+            n_cells=centroids.count(),
+            iters=iters if trained_here else None,
+            split_col="neighbor_id",
+        )
+    finally:
+        _release_root_lock(lock)
 
 
 def write_pq_index(
@@ -1023,62 +1044,75 @@ def write_pq_index(
                 f"{m * d_sub} dims but the corpus vectors have {dim} — "
                 "codebooks from a different corpus or build?"
             )
-    codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
-    cbase = corpus.select(
-        F.col(id_col).alias("__vid"), _unit(vec_col).alias("__u")
-    )
-    codes = _pq_assign(_subspaces(cbase, "vid", m, d_sub), codebooks).select(
-        F.col("vid").alias("neighbor_id"), "s", "code"
-    )
-    assigned_here = False
-    if cells is None:
-        if centroids is not None:
-            cells = _assign_cells(corpus, centroids, id_col, vec_col).select(
-                F.col("vid").alias("neighbor_id"), "cell"
-            )
-            assigned_here = True
-        else:
-            if os.path.isdir(f"{local}/inverted"):
-                # reuse the assignment already persisted by
-                # write_ivf_index instead of re-running the
-                # corpus-x-centroids pass
-                cells = spark.read.parquet(f"{path}/inverted").select(
-                    "neighbor_id", F.col("cell").cast("long").alias("cell")
+    # single-writer per root: the codebook/code writes below (and the
+    # stale-inverted read + coverage check) must see a root no append
+    # or compaction is mutating mid-build
+    lock = _acquire_root_lock(local, "write_pq_index")
+    try:
+        codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+        cbase = corpus.select(
+            F.col(id_col).alias("__vid"), _unit(vec_col).alias("__u")
+        )
+        codes = _pq_assign(
+            _subspaces(cbase, "vid", m, d_sub), codebooks
+        ).select(F.col("vid").alias("neighbor_id"), "s", "code")
+        assigned_here = False
+        if cells is None:
+            if centroids is not None:
+                cells = _assign_cells(
+                    corpus, centroids, id_col, vec_col
+                ).select(F.col("vid").alias("neighbor_id"), "cell")
+                assigned_here = True
+            else:
+                if os.path.isdir(f"{local}/inverted"):
+                    # reuse the assignment already persisted by
+                    # write_ivf_index instead of re-running the
+                    # corpus-x-centroids pass
+                    cells = spark.read.parquet(f"{path}/inverted").select(
+                        "neighbor_id",
+                        F.col("cell").cast("long").alias("cell"),
+                    )
+        if cells is not None and not assigned_here:
+            # a caller-supplied or disk-read cell source can be stale
+            # relative to the corpus being encoded; the inner join below
+            # would silently drop uncovered vectors from the code table
+            uncovered = (
+                corpus.select(F.col(id_col).alias("neighbor_id"))
+                .join(
+                    cells.select("neighbor_id"), "neighbor_id", "left_anti"
                 )
-    if cells is not None and not assigned_here:
-        # a caller-supplied or disk-read cell source can be stale
-        # relative to the corpus being encoded; the inner join below
-        # would silently drop uncovered vectors from the code table
-        uncovered = (
-            corpus.select(F.col(id_col).alias("neighbor_id"))
-            .join(cells.select("neighbor_id"), "neighbor_id", "left_anti")
-            .count()
-        )
-        if uncovered:
-            raise ValueError(
-                f"cell source does not cover the corpus ({uncovered} "
-                f"vectors unassigned) — stale inverted file at {path}? "
-                "re-run write_ivf_index on this corpus, or pass centroids"
+                .count()
             )
-    if cells is not None:
-        (
-            codes.join(cells.select("neighbor_id", "cell"), "neighbor_id")
-            .write.mode("overwrite")
-            .partitionBy("cell")
-            .parquet(f"{path}/codes")
+            if uncovered:
+                raise ValueError(
+                    f"cell source does not cover the corpus ({uncovered} "
+                    f"vectors unassigned) — stale inverted file at "
+                    f"{path}? re-run write_ivf_index on this corpus, or "
+                    "pass centroids"
+                )
+        if cells is not None:
+            (
+                codes.join(
+                    cells.select("neighbor_id", "cell"), "neighbor_id"
+                )
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(f"{path}/codes")
+            )
+        else:
+            codes.write.mode("overwrite").parquet(f"{path}/codes")
+        # m is always the artifact-derived value by this point; the
+        # training params are stamped only when training happened here
+        # (prebuilt codebooks make the arguments meaningless — r9 review)
+        _write_index_meta(
+            local,
+            m=m,
+            n_codes=n_codes if trained_here else None,
+            pq_iters=iters if trained_here else None,
+            codes_cell_partitioned=cells is not None,
         )
-    else:
-        codes.write.mode("overwrite").parquet(f"{path}/codes")
-    # m is always the artifact-derived value by this point; the
-    # training params are stamped only when training happened here
-    # (prebuilt codebooks make the arguments meaningless — r9 review)
-    _write_index_meta(
-        local,
-        m=m,
-        n_codes=n_codes if trained_here else None,
-        pq_iters=iters if trained_here else None,
-        codes_cell_partitioned=cells is not None,
-    )
+    finally:
+        _release_root_lock(lock)
 
 
 def append_to_ivf_index(
