@@ -66,6 +66,21 @@ HEADLINE = [
 ]
 
 
+def _calib_spin_ms() -> float:
+    """Fixed single-thread integer loop (min-of-3) — a Spark-independent
+    probe of effective CPU speed comparable across artifacts on the
+    same host."""
+
+    def spin() -> float:
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(2_000_000):
+            x += i * i
+        return time.perf_counter() - t0
+
+    return round(min(spin() for _ in range(3)) * 1000, 1)
+
+
 def _host_conditions() -> dict:
     """Stamp the machine epoch into the artifact (VERDICT r8 item 5):
     BENCH_NOISE.md measured that host-epoch drift (load, thermal/clock
@@ -79,13 +94,6 @@ def _host_conditions() -> dict:
     directly so the verdict rides with the number it qualifies."""
     from datetime import datetime, timezone
 
-    def spin() -> float:
-        t0 = time.perf_counter()
-        x = 0
-        for i in range(2_000_000):
-            x += i * i
-        return time.perf_counter() - t0
-
     try:
         load1, load5, load15 = os.getloadavg()
     except (AttributeError, OSError):  # platform without load averages
@@ -95,7 +103,7 @@ def _host_conditions() -> dict:
             uptime = float(f.read().split()[0])
     except OSError:  # non-Linux
         uptime = None
-    quiet = load1 is not None and load1 < 0.5
+    quiet = load1 is not None and load1 < 0.5 and load5 < 0.5
     return {
         "ts_utc": datetime.now(timezone.utc).isoformat(timespec="seconds"),
         "load1": None if load1 is None else round(load1, 2),
@@ -103,59 +111,90 @@ def _host_conditions() -> dict:
         "load15": None if load15 is None else round(load15, 2),
         "uptime_sec": None if uptime is None else round(uptime),
         "cpus": os.cpu_count(),
-        "calib_spin_ms": round(min(spin() for _ in range(3)) * 1000, 1),
+        "calib_spin_ms": _calib_spin_ms(),
         "epoch_check": (
-            "quiet (load1 < 0.5; BENCH_NOISE.md band applies)"
+            "quiet (load1 & load5 < 0.5; BENCH_NOISE.md band applies)"
             if quiet
             else "load averages unavailable on this platform — judge "
             "the epoch by the calib_spin_ms probe"
             if load1 is None
             else (
-                f"LOADED (load1 = {load1:.2f} >= 0.5) — numbers "
-                "unreliable per BENCH_NOISE.md; re-run on a quiet "
-                "machine before recording regressions"
+                f"LOADED (load1 = {load1:.2f}, load5 = {load5:.2f}; "
+                "quiet needs both < 0.5) — numbers unreliable per "
+                "BENCH_NOISE.md; re-run on a quiet machine before "
+                "recording regressions"
             )
         ),
     }
 
 
 # measured quiet-epoch calibration spin on this host (BENCH_NOISE.md /
-# verify notes: ~106-110 ms across r7-r10 quiet closes); a capture whose
-# calib drifts past ~15% of this is a degraded epoch even when load1
+# verify notes: ~106-110 ms across r7-r11 quiet closes); a capture whose
+# calib drifts past ~8% of this is a degraded epoch even when load1
 # already reads quiet — the r10 close observed exactly that (load1 0.21
 # "quiet" right after a 25-min suite, absurd per-query outliers, calib
-# 125-139 ms). Override per host with BENCH_CALIB_QUIET_MS.
+# 125-139 ms), and the r11 artifact of record shipped at calib 120.3 ms
+# (1.114x) INSIDE the old 1.15x band while reading 22.15 s against a
+# genuinely-quiet 13.26 s (VERDICT r11 item 1: every genuinely quiet
+# close reads 106-110 ms — the band must exclude 120). Override per
+# host with BENCH_CALIB_QUIET_MS.
 _QUIET_CALIB_REF_MS = 108.0
+_QUIET_CALIB_BAND = 1.08
+# quiet-epoch warm-min of the sentinel query (q01, min-of-3 after
+# warm-up) on this host: 1.19-1.41 s across the r7/r10 quiet closes and
+# the BENCH_NOISE quiet samples; the inflated r9/r11 captures read
+# 1.75/2.44 s. Unlike the calib spin this measures the actual thing —
+# Spark executing a headline plan — so it arbitrates epochs the
+# load/calib probes mis-read in either direction. Override per host
+# with BENCH_SENTINEL_QUIET_S.
+_SENTINEL_QUERY = "q01_pricing_summary"
+_QUIET_SENTINEL_REF_S = 1.35
+_SENTINEL_BAND = 1.25
+
+
+def _epoch_is_quiet(host: dict, ref: float) -> bool:
+    """VERDICT r11 item 1 (third iteration of the gate): quiet means
+    load1 AND load5 below 0.5 — load1 alone stamps "quiet" on a
+    still-settling host (the repo's own r10/r11 failure mode) — AND the
+    single-thread calib spin within 8% of the stored quiet reference
+    (every genuinely quiet close reads 106-110 ms; the two inflated
+    artifacts read 118.5 and 120.3 ms, both inside the old 15% band)."""
+    if host.get("load1") is None:  # unprobeable platform: calib only
+        return host["calib_spin_ms"] <= _QUIET_CALIB_BAND * ref
+    return (
+        host["load1"] < 0.5
+        and host["load5"] < 0.5
+        and host["calib_spin_ms"] <= _QUIET_CALIB_BAND * ref
+    )
 
 
 def _quiet_gated_host() -> tuple[dict, bool]:
-    """VERDICT r9 item 5 + r10 item 4: the artifact of record should not
-    need judge re-runs. The r10 single fixed 60 s retry was empirically
-    not enough when the bench lands right after other work, so this
-    backoff-polls (15 s doubling-ish toward 60 s) until the epoch is
-    GENUINELY quiet — load1 < 0.5 AND calib_spin_ms within 15% of the
-    stored quiet reference — or a ~5 min budget expires
-    (BENCH_QUIET_BUDGET_SEC). The give-up arm keeps the machine-first
-    top-level unreliable=True flag so a flagged artifact still says so
-    itself."""
+    """VERDICT r9 item 5 + r10 item 4 + r11 item 1: the artifact of
+    record should not need judge re-runs. Backoff-polls (15 s
+    doubling-ish toward 60 s) until the epoch is GENUINELY quiet per
+    :func:`_epoch_is_quiet` or the budget expires
+    (BENCH_QUIET_BUDGET_SEC; default 900 s — load5 needs ~8 min to
+    decay below 0.5 after a long suite, which is exactly the epoch the
+    load1-only gate mis-stamped). The give-up arm keeps the
+    machine-first top-level unreliable=True flag so a flagged artifact
+    still says so itself."""
     ref = float(
         os.environ.get("BENCH_CALIB_QUIET_MS", str(_QUIET_CALIB_REF_MS))
     )
-    budget = float(os.environ.get("BENCH_QUIET_BUDGET_SEC", "300"))
-
-    def quiet(h: dict) -> bool:
-        if h.get("load1") is None:  # unprobeable platform: calib only
-            return h["calib_spin_ms"] <= 1.15 * ref
-        return h["load1"] < 0.5 and h["calib_spin_ms"] <= 1.15 * ref
+    budget = float(os.environ.get("BENCH_QUIET_BUDGET_SEC", "900"))
 
     host = _host_conditions()
     t0 = time.monotonic()
     wait = float(os.environ.get("BENCH_QUIET_WAIT_SEC", "15"))
-    while not quiet(host) and time.monotonic() - t0 + wait <= budget:
+    while (
+        not _epoch_is_quiet(host, ref)
+        and time.monotonic() - t0 + wait <= budget
+    ):
         print(
             f"bench: epoch not quiet (load1={host['load1']}, "
-            f"calib={host['calib_spin_ms']}ms vs quiet ref {ref}ms); "
-            f"retrying in {wait:.0f}s (budget {budget:.0f}s)",
+            f"load5={host['load5']}, calib={host['calib_spin_ms']}ms "
+            f"vs quiet ref {ref}ms); retrying in {wait:.0f}s "
+            f"(budget {budget:.0f}s)",
             file=sys.stderr,
         )
         time.sleep(wait)
@@ -163,11 +202,16 @@ def _quiet_gated_host() -> tuple[dict, bool]:
         host = _host_conditions()
     host["quiet_gate"] = {
         "calib_ref_ms": ref,
-        "calib_band": "<= 1.15x ref",
+        "calib_band": f"<= {_QUIET_CALIB_BAND}x ref",
+        "load_rule": "load1 < 0.5 AND load5 < 0.5",
         "waited_sec": round(time.monotonic() - t0, 1),
-        "verdict": "quiet" if quiet(host) else "gave up still degraded",
+        "verdict": (
+            "quiet"
+            if _epoch_is_quiet(host, ref)
+            else "gave up still degraded"
+        ),
     }
-    return host, not quiet(host)
+    return host, not _epoch_is_quiet(host, ref)
 
 
 def main() -> None:
@@ -263,6 +307,57 @@ def main() -> None:
         spark.stop()
         return
 
+    # Sentinel arbitration (VERDICT r11 item 1): the load/calib gate
+    # runs BEFORE Spark starts and can still mis-read a settling host
+    # in either direction. Before measuring anything of record, time
+    # one headline plan (q01, warm min-of-3 — the same basis as the
+    # headline figures) against its stored quiet reference; a sentinel
+    # past the band backoff-polls within its own budget, and a give-up
+    # flags the whole artifact unreliable. The sentinel runs double as
+    # q01's extra warm-up, which min-of-N already absorbs.
+    sent_ref = float(
+        os.environ.get(
+            "BENCH_SENTINEL_QUIET_S", str(_QUIET_SENTINEL_REF_S)
+        )
+    )
+    sent_budget = float(os.environ.get("BENCH_SENTINEL_BUDGET_SEC", "300"))
+    # the stored reference was measured at sf0.1 — at other SFs the
+    # sentinel value is recorded but never gates (a smaller SF passes
+    # trivially, a larger one would false-flag every run)
+    gating = abs(sf - 0.1) < 1e-9 or "BENCH_SENTINEL_QUIET_S" in os.environ
+    t_sent = time.monotonic()
+    sent = min(run_query(_SENTINEL_QUERY) for _ in range(3))
+    while (
+        gating
+        and sent > _SENTINEL_BAND * sent_ref
+        and time.monotonic() - t_sent + 30 <= sent_budget
+    ):
+        print(
+            f"bench: sentinel {_SENTINEL_QUERY} read {sent:.3f}s vs "
+            f"quiet ref {sent_ref}s (band {_SENTINEL_BAND}x) — epoch "
+            "degraded in a way the load/calib gate missed; retrying "
+            f"in 30s (budget {sent_budget:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+        sent = min(run_query(_SENTINEL_QUERY) for _ in range(3))
+    sent_quiet = (not gating) or sent <= _SENTINEL_BAND * sent_ref
+    host["sentinel"] = {
+        "query": _SENTINEL_QUERY,
+        "warm_min_sec": round(sent, 3),
+        "quiet_ref_sec": sent_ref,
+        "band": f"<= {_SENTINEL_BAND}x ref",
+        "waited_sec": round(time.monotonic() - t_sent, 1),
+        "verdict": (
+            "quiet"
+            if sent_quiet and gating
+            else "recorded only (ref is sf0.1)"
+            if not gating
+            else "gave up still degraded"
+        ),
+    }
+    unreliable = unreliable or not sent_quiet
+
     cold: dict[str, float] = {}
     steady: dict[str, float] = {}
     for name in HEADLINE:
@@ -287,6 +382,10 @@ def main() -> None:
             continue
         extra[name] = round(run_query(name), 3)
 
+    # informational post-run probe: a calib re-read after the last
+    # query bounds whether the epoch degraded MID-run (not gating —
+    # the bench's own 32-core load can leave this a few ms warm)
+    host["calib_spin_ms_post"] = _calib_spin_ms()
     total = round(sum(steady.values()), 3)
     print(
         json.dumps(

@@ -20,6 +20,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import bench  # noqa: E402  (repo-root module: host stamp + quiet gate)
 from liq_stream_spark.session import get_spark  # noqa: E402
 from liq_stream_spark.sinks import FanOutConfig  # noqa: E402
 from liq_stream_spark.streaming.pipeline import run_pipeline  # noqa: E402
@@ -66,6 +67,11 @@ def gen_frames(root: str) -> int:
 
 
 def main() -> None:
+    # same epoch stamping + quiet gate as the headline bench (VERDICT
+    # r11 "what's wrong" item 3: the streaming band was the one perf
+    # surface with no capture-conditions record — a 6-8k reading on a
+    # decaying epoch was unreadable against the 8-9k quiet band)
+    host, unreliable = bench._quiet_gated_host()
     work = tempfile.mkdtemp(prefix="liq_stream_bench_")
     src = os.path.join(work, "binance")
     out = os.path.join(work, "out")
@@ -100,6 +106,8 @@ def main() -> None:
                 "rows": written,
                 "generated": total,
                 "elapsed_sec": round(elapsed, 2),
+                "host": host,
+                "unreliable": unreliable,
             }
         )
     )

@@ -44,22 +44,16 @@ from __future__ import annotations
 # cheap JVM-only entries lead (cold-session Arrow/daemon spin-up must
 # not land on a pandas-UDF query).
 CHANGED_SINCE_GREEN: list[str] = [
-    # r11 (reset at round open per VERDICT r10 item 5; kept LEAN so the
-    # r8-signal rest tier rotates through the ~50-slot budget):
+    # r12 (reset at round open per the cadence; kept LEAN so the rest
+    # tier keeps rotating the stalest signals through the ~50-slot
+    # budget):
     #
-    # - operators/dedup.py gained the corpus-size-aware
-    #   minhash_estimate_bar used by the verified-dedup chain's
-    #   production deployments (fixture-scale results unchanged — the
-    #   helper returns d14's pinned 8/16 there — but the module the
-    #   d12/d14 builders ride changed after their greens).
-    "d12_minhash_jaccard_est",
-    "d14_verified_dedup_clusters",
-    # - store.py mutators now take the per-root single-writer lock
-    #   (append/compact/rebuild), band_table_name folds a realpath hash
-    #   into the catalog name (d15 re-attaches under a new name), and
-    #   rebuild_ids_sidecar landed. Results pinned unchanged in
+    # - store.py changed again (lock-ordering fixes: meta/listing reads
+    #   moved inside the root lock, token-verified release, bounded
+    #   lock_wait_sec, and the new rebuild_pq_codes repair arm).
+    #   Query-path results are pinned unchanged in
     #   tests/test_index_store.py, but every store-backed consumer's
-    #   operator changed after its green.
+    #   module changed after its r11 green.
     "d15_band_index_pairs",
     "s06_ivf_topk",
     "s07_pq_topk",

@@ -237,6 +237,7 @@ def append_to_band_index(
     path: str,
     text_col: str = "text",
     check_ids: bool = True,
+    lock_wait_sec: float | None = None,
 ) -> None:
     """Incremental ingest into a write_band_index table: MinHash the NEW
     batch only and append its band keys into the bucketed layout — the
@@ -267,26 +268,33 @@ def append_to_band_index(
     with :func:`compact_band_index`."""
     spark = new_docs.sparkSession
     local = _local_index_root(path)
-    _check_table_location(spark, table, local)
-    meta = _read_index_meta(local)
-    if meta is None:
-        raise ValueError(
-            f"no index meta sidecar at {path} — the band index predates "
-            "the append path; re-run write_band_index to rebuild with "
-            "meta before appending"
-        )
-    if meta.get("builder_version") != BUILDER_VERSION:
-        raise ValueError(
-            f"stored band index was built by builder "
-            f"{meta.get('builder_version')!r}, this code is "
-            f"{BUILDER_VERSION!r} — appended keys would come from a "
-            "different hash family; rebuild the index"
-        )
-    id_col = meta["id_col"]
     # single-writer per root: an append racing a compaction's rename
-    # swap would land files into the dir the swap is about to replace
-    lock = _acquire_root_lock(local, "append_to_band_index")
+    # swap would land files into the dir the swap is about to replace.
+    # The lock comes BEFORE the location/meta reads (ADVICE r11,
+    # store.py:288): a concurrent full rebuild with different banding
+    # completing between an unlocked meta read and the lock would have
+    # this append emit keys from the stale hash family into the new
+    # layout.
+    lock = _acquire_root_lock(
+        local, "append_to_band_index", wait_sec=lock_wait_sec
+    )
     try:
+        _check_table_location(spark, table, local)
+        meta = _read_index_meta(local)
+        if meta is None:
+            raise ValueError(
+                f"no index meta sidecar at {path} — the band index "
+                "predates the append path; re-run write_band_index to "
+                "rebuild with meta before appending"
+            )
+        if meta.get("builder_version") != BUILDER_VERSION:
+            raise ValueError(
+                f"stored band index was built by builder "
+                f"{meta.get('builder_version')!r}, this code is "
+                f"{BUILDER_VERSION!r} — appended keys would come from a "
+                "different hash family; rebuild the index"
+            )
+        id_col = meta["id_col"]
         if check_ids:
             intra = (
                 new_docs.groupBy(F.col(id_col))
@@ -697,8 +705,19 @@ def _token_probe(token: str) -> str:
 # mid-compaction) and a second writer fails loudly instead of racing.
 _MAINT_LOCK_SUFFIX = ".liq_maintenance_lock"
 
+# lock path -> the token THIS process wrote into it, so release can
+# verify ownership (ADVICE r11, store.py:754): if another process
+# stale-broke our lock and re-acquired it, an unconditional unlink here
+# would delete the NEW holder's lock and silently re-open the
+# single-writer race. Sequential locks on one path overwrite the slot;
+# concurrent same-path locks in one process cannot both exist (the
+# second create sees a live holder and refuses).
+_HELD_LOCK_TOKENS: dict[str, str] = {}
 
-def _acquire_root_lock(local: str, purpose: str) -> str:
+
+def _acquire_root_lock(
+    local: str, purpose: str, wait_sec: float | None = None
+) -> str:
     """Take the per-root writer lock, returning the lock path for
     :func:`_release_root_lock`. Stale policy mirrors the swap sweeps
     (:func:`_token_probe`): a holder that is provably dead (host-stamped
@@ -706,9 +725,18 @@ def _acquire_root_lock(local: str, purpose: str) -> str:
     crashed append must not block a streaming ingest loop for an hour;
     an unprobeable holder (another host/container) only after a day;
     a live holder never — the caller gets the loud single-writer
-    error."""
+    error.
+
+    ``wait_sec`` (VERDICT r11 item 2) bounds a polite wait on a LIVE
+    holder before that error: a streaming foreachBatch append colliding
+    with a maintenance window can wait out the compactor (0.5 s
+    backoff-polls toward 5 s) instead of crashing the stream. ``None``
+    reads ``$LIQ_LOCK_WAIT_SEC``; the default stays 0 — the loud
+    immediate refusal remains the contract unless a caller opts in."""
     import time
 
+    if wait_sec is None:
+        wait_sec = float(os.environ.get("LIQ_LOCK_WAIT_SEC", "0") or 0)
     lock = os.path.normpath(local) + _MAINT_LOCK_SUFFIX
     token = _swap_token()
     # a first-ever build targets a root whose parent may not exist yet
@@ -716,42 +744,77 @@ def _acquire_root_lock(local: str, purpose: str) -> str:
     parent = os.path.dirname(lock)
     if parent:
         os.makedirs(parent, exist_ok=True)
-    for _ in range(3):
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "w") as f:
-                f.write(f"{token} {purpose}\n")
-            return lock
-        except FileExistsError:
+    deadline = time.monotonic() + max(0.0, wait_sec)
+    pause = 0.5
+    while True:
+        for _ in range(3):
             try:
-                with open(lock) as f:
-                    held_token, _, held_purpose = (
-                        f.read().strip().partition(" ")
-                    )
-                age = time.time() - os.stat(lock).st_mtime
-            except OSError:
-                continue  # released between the create and the read
-            probe = _token_probe(held_token)
-            if probe == "dead" or (probe == "unknown" and age > 86400):
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    f.write(f"{token} {purpose}\n")
+                _HELD_LOCK_TOKENS[lock] = token
+                return lock
+            except FileExistsError:
                 try:
-                    os.remove(lock)  # stale: break it, retry the create
-                except FileNotFoundError:
-                    pass
-                continue
+                    with open(lock) as f:
+                        held_token, _, held_purpose = (
+                            f.read().strip().partition(" ")
+                        )
+                    age = time.time() - os.stat(lock).st_mtime
+                except OSError:
+                    continue  # released between the create and the read
+                probe = _token_probe(held_token)
+                if probe == "dead" or (probe == "unknown" and age > 86400):
+                    try:
+                        os.remove(lock)  # stale: break it, retry create
+                    except FileNotFoundError:
+                        pass
+                    continue
+                # live (or young unprobeable) holder: wait if the caller
+                # budgeted for it, else the loud single-writer refusal
+                if time.monotonic() + pause <= deadline:
+                    time.sleep(pause)
+                    pause = min(pause * 1.7, 5.0)
+                    break  # re-enter the acquire attempts
+                raise RuntimeError(
+                    f"index root {local} is locked by another writer "
+                    f"({held_purpose or 'unknown purpose'}, token "
+                    f"{held_token}, {probe}) — appends and maintenance "
+                    "are single-writer per root; wait for it to finish "
+                    "(pass wait_sec / set LIQ_LOCK_WAIT_SEC to wait "
+                    f"automatically), or remove {lock} only if you are "
+                    "certain it is stale"
+                )
+        else:
             raise RuntimeError(
-                f"index root {local} is locked by another writer "
-                f"({held_purpose or 'unknown purpose'}, token "
-                f"{held_token}, {probe}) — appends and maintenance are "
-                "single-writer per root; wait for it to finish, or "
-                f"remove {lock} only if you are certain it is stale"
+                f"could not acquire the writer lock {lock} after "
+                "retries — another writer keeps (re)taking it"
             )
-    raise RuntimeError(
-        f"could not acquire the writer lock {lock} after retries — "
-        "another writer keeps (re)taking it"
-    )
 
 
 def _release_root_lock(lock: str) -> None:
+    """Release a lock taken by :func:`_acquire_root_lock` — only if this
+    process still owns it (ADVICE r11): re-read the stored token and
+    unlink solely on a match, so a lock that was stale-broken and
+    re-taken by another writer (clock-skewed age on an 'unknown' token,
+    mtime anomaly) is never deleted out from under its new holder."""
+    import warnings
+
+    token = _HELD_LOCK_TOKENS.pop(lock, None)
+    try:
+        with open(lock) as f:
+            held_token = f.read().strip().partition(" ")[0]
+    except OSError:
+        return  # already gone (broken as stale, or double release)
+    if token is not None and held_token != token:
+        warnings.warn(
+            f"writer lock {lock} is no longer ours (held by "
+            f"{held_token}, we wrote {token}) — another process broke "
+            "it as stale and re-acquired; leaving it in place",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return
     try:
         os.remove(lock)
     except FileNotFoundError:
@@ -1121,6 +1184,7 @@ def append_to_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     check_ids: bool = True,
+    lock_wait_sec: float | None = None,
 ) -> None:
     """Incremental ingest into an existing index: assign the NEW batch to
     the STORED centroids, append its rows to their cell partitions, and —
@@ -1173,36 +1237,44 @@ def append_to_ivf_index(
 
     spark = new_vectors.sparkSession
     local = _local_index_root(path)
-    meta = _read_index_meta(local)
-    if meta is None:
-        raise ValueError(
-            f"no index meta sidecar at {path} — the store predates the "
-            "append path (or is not an index root); re-run "
-            "write_ivf_index to rebuild with meta before appending"
-        )
-    if meta.get("builder_version") != BUILDER_VERSION:
-        raise ValueError(
-            f"stored index was built by builder "
-            f"{meta.get('builder_version')!r}, this code is "
-            f"{BUILDER_VERSION!r} — appending would mix assignment rules "
-            "inside one inverted file; rebuild the index"
-        )
-    if not os.path.isdir(f"{local}/centroids"):
-        raise ValueError(
-            f"no centroids at {path} — append requires the IVF half "
-            "(write_ivf_index first)"
-        )
-    dim = _corpus_dim(new_vectors, vec_col)
-    if dim != meta.get("dim"):
-        raise ValueError(
-            f"batch vectors have {dim} dims, the stored index was built "
-            f"on {meta.get('dim')} — wrong corpus for this index"
-        )
-    centroids = spark.read.parquet(f"{path}/centroids")
     # single-writer per root: an append racing a compaction's rename
-    # swap would land files into the dir the swap is about to replace
-    lock = _acquire_root_lock(local, "append_to_ivf_index")
+    # swap would land files into the dir the swap is about to replace.
+    # The lock comes BEFORE the meta/centroid reads (ADVICE r11,
+    # store.py:288): a concurrent full rebuild with different
+    # parameters completing between an unlocked meta read and the lock
+    # would have this append assign against stale centroids into the
+    # new layout.
+    lock = _acquire_root_lock(
+        local, "append_to_ivf_index", wait_sec=lock_wait_sec
+    )
     try:
+        meta = _read_index_meta(local)
+        if meta is None:
+            raise ValueError(
+                f"no index meta sidecar at {path} — the store predates "
+                "the append path (or is not an index root); re-run "
+                "write_ivf_index to rebuild with meta before appending"
+            )
+        if meta.get("builder_version") != BUILDER_VERSION:
+            raise ValueError(
+                f"stored index was built by builder "
+                f"{meta.get('builder_version')!r}, this code is "
+                f"{BUILDER_VERSION!r} — appending would mix assignment "
+                "rules inside one inverted file; rebuild the index"
+            )
+        if not os.path.isdir(f"{local}/centroids"):
+            raise ValueError(
+                f"no centroids at {path} — append requires the IVF half "
+                "(write_ivf_index first)"
+            )
+        dim = _corpus_dim(new_vectors, vec_col)
+        if dim != meta.get("dim"):
+            raise ValueError(
+                f"batch vectors have {dim} dims, the stored index was "
+                f"built on {meta.get('dim')} — wrong corpus for this "
+                "index"
+            )
+        centroids = spark.read.parquet(f"{path}/centroids")
         if check_ids:
             # intra-batch duplicates first (r9 review): _assign_cells'
             # groupBy(vid) argmax would silently COLLAPSE them — one
@@ -1417,37 +1489,43 @@ def rebuild_ids_sidecar(spark: SparkSession, path: str) -> None:
     append crashed AFTER the inverted write but BEFORE the codes write
     still refuses the retry afterwards — correctly, because re-running
     the batch would duplicate its inverted rows; that rarer window is
-    repaired by re-encoding the PQ half (write_pq_index over the
-    stored inverted file), not by this function."""
+    repaired by :func:`rebuild_pq_codes` (``tools maintain
+    --rebuild-pq-codes``), which re-encodes the codes layer from the
+    stored inverted file, not by this function."""
     import shutil
 
     local = _local_index_root(path)
-    meta = _read_index_meta(local)
-    if meta is None:
-        raise ValueError(
-            f"no index meta sidecar at {path} — not an index root; "
-            "nothing to rebuild ids from"
-        )
-    if "n_buckets" in meta:
-        ids = (
-            spark.read.parquet(path)
-            .select(F.col(meta["id_col"]).alias("id"))
-            .distinct()
-        )
-    else:
-        if not os.path.isdir(f"{local}/inverted"):
-            raise ValueError(
-                f"index root {path} has no inverted layer — cannot "
-                "rebuild the ids sidecar"
-            )
-        ids = spark.read.parquet(f"{path}/inverted").select(
-            F.col("neighbor_id").alias("id")
-        )
     lids = f"{local}/{_IDS_SUB}"
     # single-writer per root: a repair racing an append would rebuild
-    # a sidecar missing the in-flight batch's ids
+    # a sidecar missing the in-flight batch's ids. The meta read AND
+    # the ids-frame construction happen INSIDE the lock (ADVICE r11,
+    # store.py:1433): spark.read.parquet snapshots the file listing at
+    # construction, so a listing taken before the lock could miss an
+    # append committing in between — rebuilding exactly the
+    # under-claiming sidecar this function must never produce.
     lock = _acquire_root_lock(local, "rebuild_ids_sidecar")
     try:
+        meta = _read_index_meta(local)
+        if meta is None:
+            raise ValueError(
+                f"no index meta sidecar at {path} — not an index root; "
+                "nothing to rebuild ids from"
+            )
+        if "n_buckets" in meta:
+            ids = (
+                spark.read.parquet(path)
+                .select(F.col(meta["id_col"]).alias("id"))
+                .distinct()
+            )
+        else:
+            if not os.path.isdir(f"{local}/inverted"):
+                raise ValueError(
+                    f"index root {path} has no inverted layer — cannot "
+                    "rebuild the ids sidecar"
+                )
+            ids = spark.read.parquet(f"{path}/inverted").select(
+                F.col("neighbor_id").alias("id")
+            )
         _recover_compact_swap(lids)
         _sweep_swap_leftovers(lids)
         token = _swap_token()
@@ -1463,6 +1541,108 @@ def rebuild_ids_sidecar(spark: SparkSession, path: str) -> None:
             os.rename(ltmp, lids)
         except OSError:
             os.rename(old, lids)
+            shutil.rmtree(ltmp, ignore_errors=True)
+            raise
+        shutil.rmtree(old)
+    finally:
+        _release_root_lock(lock)
+
+
+def rebuild_pq_codes(spark: SparkSession, path: str) -> None:
+    """Repair arm for the PQ codes layer (VERDICT r11 item 3): re-encode
+    the ENTIRE codes layer from the stored inverted file against the
+    stored codebooks, closing the one crash window
+    :func:`rebuild_ids_sidecar` documents as manual — an
+    append_to_ivf_index killed AFTER its inverted append but BEFORE its
+    codes append. In that state the ids sidecar and the inverted layer
+    both hold the batch, so the retry refuses (correctly: re-running
+    would duplicate inverted rows), and every IVF-PQ probe silently
+    misses the batch (its vectors have no codes to join). The fix is to
+    make the codes layer AGREE with the inverted layer again.
+
+    Deterministic and lossless: encoding is a pure per-row function of
+    (vector, codebooks) — the inverted layer stores the RAW vectors
+    exactly as the original encode saw them (operators/similarity
+    ``_assign_cells`` keeps the unmodified cast), so the rebuilt codes
+    are row-identical to what an uninterrupted append would have
+    written (pinned in tests/test_index_store.py). O(corpus) read +
+    encode — repair-only, flag-gated behind ``tools maintain
+    --rebuild-pq-codes``, never automatic. The overwrite goes through
+    the same token-named tmp -> .old -> live rename swap as
+    :func:`compact_index_partitions`, so a crash mid-repair self-heals
+    on the next maintenance entry. Honors the store's
+    ``codes_cell_partitioned`` layout (cells come from the inverted
+    rows themselves — no reassignment pass)."""
+    import shutil
+
+    from liq_stream_spark.operators.similarity import (
+        _pq_assign,
+        _subspaces,
+        _unit,
+    )
+
+    local = _local_index_root(path)
+    # single-writer per root, taken before ANY read (ADVICE r11): the
+    # inverted listing below must not miss an append landing mid-repair
+    lock = _acquire_root_lock(local, "rebuild_pq_codes")
+    try:
+        meta = _read_index_meta(local)
+        if meta is None:
+            raise ValueError(
+                f"no index meta sidecar at {path} — not an index root; "
+                "nothing to re-encode"
+            )
+        if "m" not in meta or not os.path.isdir(f"{local}/codebooks"):
+            raise ValueError(
+                f"index root {path} has no PQ half (codebooks) — "
+                "nothing to re-encode"
+            )
+        lsrc = f"{local}/inverted"
+        _recover_compact_swap(lsrc)  # a crashed layer swap restores first
+        if not os.path.isdir(lsrc):
+            raise ValueError(
+                f"index root {path} has no inverted layer — the codes "
+                "rebuild re-encodes from it; write_ivf_index first"
+            )
+        lcodes = f"{local}/codes"
+        _recover_compact_swap(lcodes)
+        _sweep_swap_leftovers(lcodes)
+        codebooks = spark.read.parquet(f"{path}/codebooks")
+        m = codebooks.agg(F.max("s")).first()[0] + 1
+        d_sub = len(codebooks.select("centroid").first()["centroid"])
+        inv = spark.read.parquet(f"{path}/inverted")
+        base = inv.select(
+            F.col("neighbor_id").alias("__vid"), _unit("vec").alias("__u")
+        )
+        codes = _pq_assign(
+            _subspaces(base, "vid", m, d_sub), codebooks
+        ).select(F.col("vid").alias("neighbor_id"), "s", "code")
+        token = _swap_token()
+        tmp = f"{path}/codes.compact.tmp.{token}"
+        ltmp = f"{lcodes}.compact.tmp.{token}"
+        if meta.get("codes_cell_partitioned"):
+            (
+                codes.join(
+                    inv.select(
+                        "neighbor_id", F.col("cell").cast("long").alias("cell")
+                    ),
+                    "neighbor_id",
+                )
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(tmp)
+            )
+        else:
+            codes.write.mode("overwrite").parquet(tmp)
+        if not os.path.isdir(lcodes):
+            os.rename(ltmp, lcodes)
+            return
+        old = f"{lcodes}.old.{token}"
+        os.rename(lcodes, old)
+        try:
+            os.rename(ltmp, lcodes)
+        except OSError:
+            os.rename(old, lcodes)
             shutil.rmtree(ltmp, ignore_errors=True)
             raise
         shutil.rmtree(old)

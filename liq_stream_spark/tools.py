@@ -491,6 +491,20 @@ def profile(
             )
 
 
+# Recorded sf0.1 row counts for the recursive-CTE dedup family whose
+# DuckDB value oracle is impractical at 10x (VERDICT r11 item 4/5: d14's
+# sf0.1 oracle exceeded 85 min and was killed; its 10x gate is parity +
+# these pins). Constants measured r8 and re-confirmed every round since
+# (verify notes: d14 4,913 cluster rows over the d12/d15 1,553,607
+# candidate pairs). A parity run at sf0.1 asserts them, so a silent
+# scale-regression trips the gate instead of round-note archaeology.
+_PARITY_EXPECTED_ROWS_SF01 = {
+    "d14_verified_dedup_clusters": 4913,
+    "d15_band_index_pairs": 1553607,
+    "d12_minhash_jaccard_est": 1553607,
+}
+
+
 def parity(
     names: list[str], sf_dir: str = "/root/testdata/sf0.1"
 ) -> bool:
@@ -534,11 +548,24 @@ def parity(
                 )
             (n1, b1), (n2, b2) = reprs
             good = n1 == n2 and b1 == b2
+            note = ""
+            expected = _PARITY_EXPECTED_ROWS_SF01.get(name)
+            if expected is not None and sf_dir.rstrip("/").endswith(
+                "sf0.1"
+            ):
+                if len(b1) != expected:
+                    good = False
+                    note = (
+                        f" (ROWS {len(b1)} != recorded sf0.1 pin "
+                        f"{expected})"
+                    )
+                else:
+                    note = f" (rows == recorded sf0.1 pin {expected})"
             ok = ok and good
             print(
                 f"{name}: runs 2x{len(b1)} rows in "
                 f"{time.perf_counter() - t0:.1f}s -> "
-                f"{'PARITY OK' if good else 'PARITY FAIL'}"
+                f"{'PARITY OK' if good else 'PARITY FAIL'}{note}"
             )
         except Exception as e:  # pragma: no cover - surfaced to the user
             ok = False
@@ -550,6 +577,7 @@ def maintain(
     paths: list[str] | None = None,
     force: bool = False,
     rebuild_ids: bool = False,
+    rebuild_pq_codes: bool = False,
 ) -> bool:
     """One maintenance pass over persistent index roots: recover any
     crashed compaction swaps (including roots that exist ONLY as a
@@ -567,7 +595,13 @@ def maintain(
     store.rebuild_ids_sidecar — the repair for an append crashed
     between its sidecar write and its data write, whose over-claiming
     sidecar otherwise refuses the batch's legitimate retry forever;
-    an O(corpus) read, so it is flag-gated, never automatic. With no arguments it
+    an O(corpus) read, so it is flag-gated, never automatic.
+    ``--rebuild-pq-codes`` (VERDICT r11 item 3) re-encodes each PQ
+    store's codes layer from its inverted layer via
+    store.rebuild_pq_codes — the repair for an append crashed AFTER its
+    inverted write but BEFORE its codes write, whose probes otherwise
+    silently miss the batch; O(corpus) likewise, flag-gated, and a
+    no-op note on stores without a PQ half. With no arguments it
     walks every published root under the index-cache store
     ($LIQ_ANN_STORE); explicit root paths maintain indexes written
     elsewhere (band roots re-attach to this session's catalog via
@@ -616,11 +650,26 @@ def maintain(
         # root-level crash the live dir and its sidecar only exist
         # under the newest '.old.' copy), then sweep aged leftovers —
         # even for roots the dirtiness check will skip below, or a
-        # crash-after-swap's full pre-compaction copy lives forever
-        for target in (local, f"{local}/inverted", f"{local}/codes",
-                       f"{local}/{store._IDS_SUB}"):
-            store._recover_compact_swap(target)
-            store._sweep_swap_leftovers(target)
+        # crash-after-swap's full pre-compaction copy lives forever.
+        # UNDER the root writer lock (ADVICE r11, tools.py:622): a
+        # compactor in another process may be inside its rename-swap
+        # window right now (live dir momentarily absent, .old present)
+        # — an unlocked "recovery" would rename the .old back and
+        # collide with its ltmp->live rename, failing both. A root
+        # whose lock is held by a live writer is skipped whole.
+        try:
+            prelock = store._acquire_root_lock(local, "maintain_prepass")
+        except RuntimeError as e:
+            ok = False
+            print(f"{path}: SKIP (writer lock held: {str(e)[:200]})")
+            continue
+        try:
+            for target in (local, f"{local}/inverted", f"{local}/codes",
+                           f"{local}/{store._IDS_SUB}"):
+                store._recover_compact_swap(target)
+                store._sweep_swap_leftovers(target)
+        finally:
+            store._release_root_lock(prelock)
         meta = store._read_index_meta(local)
         if meta is None:
             print(f"{path}: SKIP (no index meta sidecar — not an index root)")
@@ -630,6 +679,14 @@ def maintain(
             if rebuild_ids:
                 store.rebuild_ids_sidecar(spark, path)
                 print(f"{path}: ids sidecar rebuilt from the data layer")
+            if rebuild_pq_codes:
+                if "n_buckets" in meta or "m" not in meta:
+                    print(f"{path}: NOTE no PQ half — --rebuild-pq-codes "
+                          "has nothing to re-encode here")
+                else:
+                    store.rebuild_pq_codes(spark, path)
+                    print(f"{path}: codes layer re-encoded from the "
+                          "inverted layer")
             if "n_buckets" in meta:  # band root: needs a catalog entry
                 table = store.band_table_name(path)
                 store.register_band_index(spark, table, path)
@@ -722,9 +779,21 @@ def main() -> None:
                         "from its data layer (repairs an append crashed "
                         "between the ids write and the data write; "
                         "O(corpus) read)")
+        ap.add_argument("--rebuild-pq-codes", action="store_true",
+                        help="re-encode each PQ store's codes layer from "
+                        "its inverted layer (repairs an append crashed "
+                        "between the inverted write and the codes write; "
+                        "O(corpus) read+encode)")
         ns = ap.parse_args(sys.argv[2:])
         raise SystemExit(
-            0 if maintain(ns.paths or None, ns.force, ns.rebuild_ids) else 1
+            0
+            if maintain(
+                ns.paths or None,
+                ns.force,
+                ns.rebuild_ids,
+                ns.rebuild_pq_codes,
+            )
+            else 1
         )
     elif cmd == "profile":
         import argparse

@@ -1183,3 +1183,133 @@ def test_band_table_name_distinguishes_same_basename_roots(tmp_path):
     link = tmp_path / "lnk"
     _os.symlink(tmp_path / "a", link)
     assert store.band_table_name(str(link / "prod-x1")) == na
+
+
+def test_rebuild_pq_codes_repairs_crashed_codes_half(
+    spark, emb, tmp_path, monkeypatch
+):
+    """VERDICT r11 item 3: an append killed AFTER its inverted write but
+    BEFORE its codes write leaves the codes layer missing the batch —
+    the retry correctly refuses forever (inverted rows would duplicate)
+    and IVF-PQ probes silently miss the batch. `tools maintain
+    --rebuild-pq-codes` re-encodes the codes layer from the inverted
+    layer: probe results become row-identical to an uninterrupted
+    append's, and the codes row set equals the uninterrupted twin's
+    exactly (encoding is deterministic per row over the RAW vectors the
+    inverted layer stores)."""
+    p_ok = str(tmp_path / "ann_ok")
+    p = str(tmp_path / "ann")
+    batch = emb.filter(F.col("vec_id") >= 250)
+    _build_half(emb, p_ok)
+    store.append_to_ivf_index(batch, p_ok)
+    _build_half(emb, p)
+    real = S._subspaces
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated executor loss before the codes leg")
+
+    monkeypatch.setattr(S, "_subspaces", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        store.append_to_ivf_index(batch, p)
+    monkeypatch.setattr(S, "_subspaces", real)
+    # the inverted half landed; the codes half did not
+    assert (
+        spark.read.parquet(f"{p}/inverted").count() == emb.count()
+    )
+    assert (
+        spark.read.parquet(f"{p}/codes").select("neighbor_id").distinct().count()
+        == 250
+    )
+    # the retry refuses — correctly (re-running would duplicate inverted
+    # rows); this crash window is NOT rebuild-ids' to fix
+    with pytest.raises(ValueError, match="already present"):
+        store.append_to_ivf_index(batch, p)
+    store.rebuild_pq_codes(spark, p)
+    assert _rows(spark.read.parquet(f"{p}/codes")) == _rows(
+        spark.read.parquet(f"{p_ok}/codes")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    assert _rows(
+        store.ivfpq_topk_from_store(spark, q, p, k=3, nprobe=3)
+    ) == _rows(store.ivfpq_topk_from_store(spark, q, p_ok, k=3, nprobe=3))
+
+
+def test_rebuild_pq_codes_refuses_non_pq_roots(spark, emb, tmp_path):
+    """No PQ half (or no meta) -> a loud ValueError, never a partial
+    codes dir appearing on an IVF-only store."""
+    ivf_only = str(tmp_path / "ivfonly")
+    store.write_ivf_index(emb.filter(F.col("vec_id") < 100), ivf_only)
+    with pytest.raises(ValueError, match="no PQ half"):
+        store.rebuild_pq_codes(spark, ivf_only)
+    assert not os.path.isdir(f"{ivf_only}/codes")
+    with pytest.raises(ValueError, match="meta sidecar"):
+        store.rebuild_pq_codes(spark, str(tmp_path / "nothing"))
+
+
+def test_lock_wait_rides_out_live_holder(tmp_path):
+    """VERDICT r11 item 2: a bounded wait on a LIVE holder — a streaming
+    foreachBatch append colliding with a maintenance window can wait the
+    compactor out instead of crashing the stream. wait_sec=0 keeps the
+    loud immediate refusal; a budget shorter than the holder still
+    raises (bounded, not indefinite)."""
+    import threading
+    import time as _time
+
+    local = str(tmp_path / "root")
+    os.makedirs(local)
+    lock = store._acquire_root_lock(local, "compact_band_index")
+    with pytest.raises(RuntimeError, match="locked by another writer"):
+        store._acquire_root_lock(local, "append", wait_sec=0)
+    with pytest.raises(RuntimeError, match="locked by another writer"):
+        store._acquire_root_lock(local, "append", wait_sec=1.0)
+    t = threading.Timer(1.5, store._release_root_lock, args=(lock,))
+    t0 = _time.monotonic()
+    t.start()
+    try:
+        got = store._acquire_root_lock(local, "append", wait_sec=30.0)
+    finally:
+        t.join()
+    assert _time.monotonic() - t0 < 25.0  # waited the holder out, not the budget
+    store._release_root_lock(got)
+    assert not os.path.exists(got)
+
+
+def test_release_only_unlinks_own_lock(tmp_path):
+    """ADVICE r11 (store.py:754): if another process stale-broke our
+    lock and re-acquired it, our release must NOT delete the new
+    holder's lock — ownership is verified by token before the unlink."""
+    local = str(tmp_path / "root")
+    os.makedirs(local)
+    lock = store._acquire_root_lock(local, "append_to_ivf_index")
+    # simulate: a foreign sweeper broke the lock as stale and re-took it
+    with open(lock, "w") as f:
+        f.write("otherhost-4242-feedface compact_index_partitions\n")
+    with pytest.warns(RuntimeWarning, match="no longer ours"):
+        store._release_root_lock(lock)
+    assert os.path.exists(lock)  # the new holder's lock survives
+    os.remove(lock)
+
+
+def test_maintain_prepass_respects_live_swap_window(
+    spark, emb, tmp_path, monkeypatch
+):
+    """ADVICE r11 (tools.py:622): maintain's recover/sweep pre-pass runs
+    under the per-root writer lock. With a live writer mid-swap (lock
+    held, live layer momentarily renamed to .old), maintain SKIPS the
+    root — it must not rename the .old back into the compactor's rename
+    path. Once the writer releases, the same call recovers the crashed
+    state."""
+    from liq_stream_spark import tools
+
+    monkeypatch.setenv("LIQ_ANN_STORE", str(tmp_path / "store"))
+    path = str(tmp_path / "ann")
+    store.write_ivf_index(emb.filter(F.col("vec_id") < 100), path)
+    # simulate a compactor inside its swap window: lock held, inverted
+    # layer renamed away to the .old copy
+    lock = store._acquire_root_lock(path, "compact_index_partitions")
+    os.rename(f"{path}/inverted", f"{path}/inverted.old.{store._swap_token()}")
+    assert tools.maintain([path]) is False  # skipped, reported not-ok
+    assert not os.path.isdir(f"{path}/inverted")  # pre-pass did NOT touch it
+    store._release_root_lock(lock)
+    assert tools.maintain([path]) is True  # recovery restored the layer
+    assert spark.read.parquet(f"{path}/inverted").count() == 100

@@ -806,7 +806,7 @@ def test_minhash_estimate_bar_regime():
     # fixture scale and the boundary itself keep d14's oracle bar
     assert bar(6) == 8
     assert bar(60_000) == 8
-    assert bar(400_000) == 8
+    assert bar(399_999) == 8
     assert bar(400_000) == 8  # boundary is inclusive
     # one past the boundary: the chained-merge regime demands 12/16
     assert bar(400_001) == 12
