@@ -1313,3 +1313,38 @@ def test_maintain_prepass_respects_live_swap_window(
     store._release_root_lock(lock)
     assert tools.maintain([path]) is True  # recovery restored the layer
     assert spark.read.parquet(f"{path}/inverted").count() == 100
+
+
+def test_lock_wait_env_and_kwarg_plumb_through(
+    spark, emb, tmp_path, monkeypatch
+):
+    """$LIQ_LOCK_WAIT_SEC is the no-code-change ingest-loop opt-in for
+    the bounded wait (wait_sec=None reads it), and append_to_ivf_index's
+    lock_wait_sec kwarg reaches the lock: with a maintenance holder
+    releasing after ~2 s, a waiting append lands instead of crashing."""
+    import threading
+
+    path = str(tmp_path / "ann")
+    store.write_ivf_index(emb.filter(F.col("vec_id") < 250), path)
+    # env path on the primitive
+    monkeypatch.setenv("LIQ_LOCK_WAIT_SEC", "10")
+    held = store._acquire_root_lock(path, "compact_index_partitions")
+    t = threading.Timer(1.0, store._release_root_lock, args=(held,))
+    t.start()
+    try:
+        got = store._acquire_root_lock(path, "append")  # waits via env
+    finally:
+        t.join()
+    store._release_root_lock(got)
+    monkeypatch.delenv("LIQ_LOCK_WAIT_SEC")
+    # kwarg path through a real append
+    held = store._acquire_root_lock(path, "compact_index_partitions")
+    t = threading.Timer(2.0, store._release_root_lock, args=(held,))
+    t.start()
+    try:
+        store.append_to_ivf_index(
+            emb.filter(F.col("vec_id") >= 250), path, lock_wait_sec=60.0
+        )
+    finally:
+        t.join()
+    assert spark.read.parquet(f"{path}/inverted").count() == emb.count()
