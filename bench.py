@@ -356,7 +356,18 @@ def main() -> None:
             else "gave up still degraded"
         ),
     }
-    unreliable = unreliable or not sent_quiet
+    if gating:
+        # At sf0.1 the sentinel is the FINAL arbiter in BOTH directions:
+        # it measures the actual thing (a headline plan in Spark), so it
+        # flags epochs the OS probes stamped quiet (the r9-r11 failure)
+        # AND exonerates a pre-gate give-up whose calib misread a
+        # transient (observed live: calib 218 ms on an idle host while
+        # Spark simultaneously ran its fastest-ever passes — co-tenant
+        # steal hits a 100 ms single-thread spin far harder than a
+        # 32-core job). The pre-gate verdict stays recorded either way.
+        unreliable = not sent_quiet
+    else:
+        unreliable = unreliable or not sent_quiet
 
     cold: dict[str, float] = {}
     steady: dict[str, float] = {}

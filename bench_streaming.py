@@ -74,38 +74,67 @@ def main() -> None:
     host, unreliable = bench._quiet_gated_host()
     work = tempfile.mkdtemp(prefix="liq_stream_bench_")
     src = os.path.join(work, "binance")
-    out = os.path.join(work, "out")
-    ckpt = os.path.join(work, "ckpt")
     total = gen_frames(src)
 
     spark = get_spark(
         app_name="liq_stream_spark_stream_bench",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
-    sink = FanOutConfig(parquet_path=out)
-    t0 = time.perf_counter()
-    q = run_pipeline(
-        spark,
-        [("binance", "usdt")],
-        {"binance": src},
-        sink,
-        checkpoint_dir=ckpt,
-        trigger_seconds=1.0,
-        union_dedup_watermark="10 minutes",
-    )
-    q.processAllAvailable()
-    q.stop()
-    elapsed = time.perf_counter() - t0
-    written = spark.read.parquet(out).count()
+    # best-of-N passes (default 3), same source files, fresh
+    # checkpoint/output per pass — the headline bench's min-of-N
+    # discipline applied here too: BENCH_NOISE.md measured single
+    # streaming runs swinging 6.3-9.0k rows/s with epoch decay, so one
+    # pass cannot pin the band. Pass 1 also carries the Python worker
+    # pool spin-up.
+    runs = max(1, int(os.environ.get("STREAM_BENCH_RUNS", "3")))
+    passes = []
+    written = 0
+    for i in range(runs):
+        out = os.path.join(work, f"out{i}")
+        ckpt = os.path.join(work, f"ckpt{i}")
+        t0 = time.perf_counter()
+        q = run_pipeline(
+            spark,
+            [("binance", "usdt")],
+            {"binance": src},
+            sink_config=FanOutConfig(parquet_path=out),
+            checkpoint_dir=ckpt,
+            trigger_seconds=1.0,
+            union_dedup_watermark="10 minutes",
+        )
+        q.processAllAvailable()
+        q.stop()
+        elapsed = time.perf_counter() - t0
+        written = spark.read.parquet(out).count()
+        passes.append(round(written / elapsed, 1))
+    # a pre-gate give-up can be a transient calib misread (observed:
+    # 218 ms on an idle host mid-best-ever passes — co-tenant steal
+    # hits the 100 ms spin far harder than the 32-core job). A post-run
+    # calib inside the quiet band exonerates it; load averages are NOT
+    # re-checked post-run (the bench's own passes inflate them).
+    if unreliable:
+        ref = float(
+            os.environ.get(
+                "BENCH_CALIB_QUIET_MS", str(bench._QUIET_CALIB_REF_MS)
+            )
+        )
+        post = bench._calib_spin_ms()
+        host["calib_spin_ms_post"] = post
+        if post <= bench._QUIET_CALIB_BAND * ref:
+            unreliable = False
+            host["quiet_gate"]["verdict"] = (
+                "pre-gate gave up; post-run calib quiet"
+            )
     print(
         json.dumps(
             {
                 "metric": "streaming_rows_per_sec",
-                "value": round(written / elapsed, 1),
+                "value": max(passes),
                 "unit": "rows/sec",
+                "basis": f"best-of-{runs}",
+                "passes": passes,
                 "rows": written,
                 "generated": total,
-                "elapsed_sec": round(elapsed, 2),
                 "host": host,
                 "unreliable": unreliable,
             }
