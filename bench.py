@@ -326,7 +326,13 @@ def main() -> None:
     # trivially, a larger one would false-flag every run)
     gating = abs(sf - 0.1) < 1e-9 or "BENCH_SENTINEL_QUIET_S" in os.environ
     t_sent = time.monotonic()
-    sent = min(run_query(_SENTINEL_QUERY) for _ in range(3))
+    # the sentinel's FIRST run is the session's first execution of q01
+    # — i.e. its true cold figure; capture it here so the headline
+    # loop's warmed-over run 1 doesn't replace it (the sentinel must
+    # not silently improve cold_total_sec across rounds)
+    sent_first = run_query(_SENTINEL_QUERY)
+    sentinel_cold = round(sent_first, 3)
+    sent = min(sent_first, *(run_query(_SENTINEL_QUERY) for _ in range(2)))
     while (
         gating
         and sent > _SENTINEL_BAND * sent_ref
@@ -369,14 +375,16 @@ def main() -> None:
     else:
         unreliable = unreliable or not sent_quiet
 
-    cold: dict[str, float] = {}
+    # the sentinel query's cold slot is pre-filled with its genuinely
+    # cold first run (above); setdefault keeps it
+    cold: dict[str, float] = {_SENTINEL_QUERY: sentinel_cold}
     steady: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
         for i in range(runs):
             dt = run_query(name)
             if i == 0:
-                cold[name] = round(dt, 3)
+                cold.setdefault(name, round(dt, 3))
             best = min(best, dt)
         steady[name] = round(best, 3)
 

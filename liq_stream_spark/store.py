@@ -705,14 +705,24 @@ def _token_probe(token: str) -> str:
 # mid-compaction) and a second writer fails loudly instead of racing.
 _MAINT_LOCK_SUFFIX = ".liq_maintenance_lock"
 
-# lock path -> the token THIS process wrote into it, so release can
-# verify ownership (ADVICE r11, store.py:754): if another process
-# stale-broke our lock and re-acquired it, an unconditional unlink here
-# would delete the NEW holder's lock and silently re-open the
-# single-writer race. Sequential locks on one path overwrite the slot;
-# concurrent same-path locks in one process cannot both exist (the
-# second create sees a live holder and refuses).
+# Ownership-verified release (ADVICE r11, store.py:754): if another
+# writer stale-broke our lock and re-acquired it, an unconditional
+# unlink would delete the NEW holder's lock and silently re-open the
+# single-writer race. The acquire returns a str SUBCLASS carrying the
+# exact token that acquire wrote — every caller keeps treating it as
+# the lock path, while release verifies against the token of THAT
+# acquire specifically (a path-keyed registry alone cannot tell two
+# sequential same-path holders in one process apart: a double release
+# would read the newer holder's token and wrongly match). The registry
+# below remains as a fallback for callers that round-tripped the path
+# through a plain str.
 _HELD_LOCK_TOKENS: dict[str, str] = {}
+
+
+class _LockHandle(str):
+    """The lock path, plus the token this acquire wrote into it."""
+
+    token: str
 
 
 def _acquire_root_lock(
@@ -753,7 +763,9 @@ def _acquire_root_lock(
                 with os.fdopen(fd, "w") as f:
                     f.write(f"{token} {purpose}\n")
                 _HELD_LOCK_TOKENS[lock] = token
-                return lock
+                handle = _LockHandle(lock)
+                handle.token = token
+                return handle
             except FileExistsError:
                 try:
                     with open(lock) as f:
@@ -786,6 +798,15 @@ def _acquire_root_lock(
                     "certain it is stale"
                 )
         else:
+            # three attempts eaten by races (read OSError, or a
+            # competing waiter winning the stale-break re-create):
+            # consult the caller's wait budget before giving up, so a
+            # bounded-wait append is not crashed in under a second by
+            # lock churn — exactly the crash wait_sec exists to prevent
+            if time.monotonic() + pause <= deadline:
+                time.sleep(pause)
+                pause = min(pause * 1.7, 5.0)
+                continue
             raise RuntimeError(
                 f"could not acquire the writer lock {lock} after "
                 "retries — another writer keeps (re)taking it"
@@ -800,21 +821,32 @@ def _release_root_lock(lock: str) -> None:
     mtime anomaly) is never deleted out from under its new holder."""
     import warnings
 
-    token = _HELD_LOCK_TOKENS.pop(lock, None)
+    # the handle knows the token of the exact acquire being released;
+    # the registry is only a fallback for plain-str round-trips (and is
+    # read, not popped, until the unlink is actually ours — a stale
+    # double release must not consume a newer holder's slot)
+    token = getattr(lock, "token", None)
+    if token is None:
+        token = _HELD_LOCK_TOKENS.get(lock)
     try:
         with open(lock) as f:
             held_token = f.read().strip().partition(" ")[0]
     except OSError:
         return  # already gone (broken as stale, or double release)
-    if token is not None and held_token != token:
+    if token is None or held_token != token:
+        # a double release (the lock present is a NEWER holder's), a
+        # stale-broken-and-retaken lock, or a release this process
+        # never acquired — all must leave whatever lock is present in
+        # place, or the single-writer race silently re-opens
         warnings.warn(
-            f"writer lock {lock} is no longer ours (held by "
-            f"{held_token}, we wrote {token}) — another process broke "
-            "it as stale and re-acquired; leaving it in place",
+            f"writer lock {lock} is not ours (held by {held_token}, "
+            f"we hold {token}) — leaving it in place",
             RuntimeWarning,
             stacklevel=2,
         )
         return
+    if _HELD_LOCK_TOKENS.get(lock) == token:
+        _HELD_LOCK_TOKENS.pop(lock, None)
     try:
         os.remove(lock)
     except FileNotFoundError:
@@ -903,6 +935,35 @@ def _check_table_location(spark: SparkSession, table: str, local: str) -> None:
             "(table, path) mismatch: the sidecar at the supplied path "
             "describes a DIFFERENT index's hash family"
         )
+
+
+def _encode_pq_codes(
+    frame: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: DataFrame,
+    m: int,
+    d_sub: int,
+) -> DataFrame:
+    """THE one PQ encode path — unit-normalize, split into ``m``
+    subspaces of width ``d_sub``, assign each to its nearest codebook
+    centroid — shared by :func:`write_pq_index`,
+    :func:`append_to_ivf_index` and :func:`rebuild_pq_codes`, so the
+    build, append and repair arms can never drift apart: codes written
+    by any of the three are row-identical for the same inputs (the
+    repair arm's whole correctness claim)."""
+    from liq_stream_spark.operators.similarity import (
+        _pq_assign,
+        _subspaces,
+        _unit,
+    )
+
+    base = frame.select(
+        F.col(id_col).alias("__vid"), _unit(vec_col).alias("__u")
+    )
+    return _pq_assign(_subspaces(base, "vid", m, d_sub), codebooks).select(
+        F.col("vid").alias("neighbor_id"), "s", "code"
+    )
 
 
 def _write_ids_sidecar(
@@ -1074,13 +1135,9 @@ def write_pq_index(
     subspace set (ADVICE r8)."""
     from liq_stream_spark.operators.similarity import (
         _assign_cells,
-        _pq_assign,
-        _subspaces,
-        _unit,
+        _corpus_dim,
         pq_codebooks,
     )
-
-    from liq_stream_spark.operators.similarity import _corpus_dim
 
     spark = corpus.sparkSession
     local = _local_index_root(path)
@@ -1113,12 +1170,7 @@ def write_pq_index(
     lock = _acquire_root_lock(local, "write_pq_index")
     try:
         codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
-        cbase = corpus.select(
-            F.col(id_col).alias("__vid"), _unit(vec_col).alias("__u")
-        )
-        codes = _pq_assign(
-            _subspaces(cbase, "vid", m, d_sub), codebooks
-        ).select(F.col("vid").alias("neighbor_id"), "s", "code")
+        codes = _encode_pq_codes(corpus, id_col, vec_col, codebooks, m, d_sub)
         assigned_here = False
         if cells is None:
             if centroids is not None:
@@ -1230,9 +1282,6 @@ def append_to_ivf_index(
     from liq_stream_spark.operators.similarity import (
         _assign_cells,
         _corpus_dim,
-        _pq_assign,
-        _subspaces,
-        _unit,
     )
 
     spark = new_vectors.sparkSession
@@ -1328,12 +1377,9 @@ def append_to_ivf_index(
         codebooks = spark.read.parquet(f"{path}/codebooks")
         m = codebooks.agg(F.max("s")).first()[0] + 1
         d_sub = len(codebooks.select("centroid").first()["centroid"])
-        base = new_vectors.select(
-            F.col(id_col).alias("__vid"), _unit(vec_col).alias("__u")
+        codes = _encode_pq_codes(
+            new_vectors, id_col, vec_col, codebooks, m, d_sub
         )
-        codes = _pq_assign(
-            _subspaces(base, "vid", m, d_sub), codebooks
-        ).select(F.col("vid").alias("neighbor_id"), "s", "code")
         if meta.get("codes_cell_partitioned"):
             (
                 codes.join(
@@ -1575,12 +1621,6 @@ def rebuild_pq_codes(spark: SparkSession, path: str) -> None:
     rows themselves — no reassignment pass)."""
     import shutil
 
-    from liq_stream_spark.operators.similarity import (
-        _pq_assign,
-        _subspaces,
-        _unit,
-    )
-
     local = _local_index_root(path)
     # single-writer per root, taken before ANY read (ADVICE r11): the
     # inverted listing below must not miss an append landing mid-repair
@@ -1611,12 +1651,9 @@ def rebuild_pq_codes(spark: SparkSession, path: str) -> None:
         m = codebooks.agg(F.max("s")).first()[0] + 1
         d_sub = len(codebooks.select("centroid").first()["centroid"])
         inv = spark.read.parquet(f"{path}/inverted")
-        base = inv.select(
-            F.col("neighbor_id").alias("__vid"), _unit("vec").alias("__u")
+        codes = _encode_pq_codes(
+            inv, "neighbor_id", "vec", codebooks, m, d_sub
         )
-        codes = _pq_assign(
-            _subspaces(base, "vid", m, d_sub), codebooks
-        ).select(F.col("vid").alias("neighbor_id"), "s", "code")
         token = _swap_token()
         tmp = f"{path}/codes.compact.tmp.{token}"
         ltmp = f"{lcodes}.compact.tmp.{token}"

@@ -658,7 +658,13 @@ def maintain(
         # collide with its ltmp->live rename, failing both. A root
         # whose lock is held by a live writer is skipped whole.
         try:
-            prelock = store._acquire_root_lock(local, "maintain_prepass")
+            # wait_sec=0 EXPLICITLY: the contract here is skip-if-held,
+            # and the default-None would read $LIQ_LOCK_WAIT_SEC — an
+            # ingest-loop opt-in that must not turn a store walk into
+            # N x budget of blocking waits
+            prelock = store._acquire_root_lock(
+                local, "maintain_prepass", wait_sec=0
+            )
         except RuntimeError as e:
             ok = False
             print(f"{path}: SKIP (writer lock held: {str(e)[:200]})")
@@ -683,6 +689,13 @@ def maintain(
                 if "n_buckets" in meta or "m" not in meta:
                     print(f"{path}: NOTE no PQ half — --rebuild-pq-codes "
                           "has nothing to re-encode here")
+                elif not os.path.isdir(os.path.join(local, "inverted")):
+                    # a PQ-only root (write_pq_index with no IVF half)
+                    # has nothing to re-encode FROM — a note, not an
+                    # error, or one such root fails the whole store walk
+                    print(f"{path}: NOTE no inverted layer — "
+                          "--rebuild-pq-codes re-encodes from it; "
+                          "rebuild this root with write_pq_index instead")
                 else:
                     store.rebuild_pq_codes(spark, path)
                     print(f"{path}: codes layer re-encoded from the "

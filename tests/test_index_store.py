@@ -1284,10 +1284,20 @@ def test_release_only_unlinks_own_lock(tmp_path):
     # simulate: a foreign sweeper broke the lock as stale and re-took it
     with open(lock, "w") as f:
         f.write("otherhost-4242-feedface compact_index_partitions\n")
-    with pytest.warns(RuntimeWarning, match="no longer ours"):
+    with pytest.warns(RuntimeWarning, match="not ours"):
         store._release_root_lock(lock)
     assert os.path.exists(lock)  # the new holder's lock survives
     os.remove(lock)
+    # double release: the first pop consumed the token slot, so a
+    # second release must leave a waiter's freshly-acquired lock alone
+    first = store._acquire_root_lock(local, "append_to_ivf_index")
+    store._release_root_lock(first)
+    waiter = store._acquire_root_lock(local, "compact_band_index")
+    with pytest.warns(RuntimeWarning, match="not ours"):
+        store._release_root_lock(first)  # stale double release
+    assert os.path.exists(waiter)  # the waiter's lock survives
+    store._release_root_lock(waiter)
+    assert not os.path.exists(waiter)
 
 
 def test_maintain_prepass_respects_live_swap_window(
