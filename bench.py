@@ -141,15 +141,67 @@ def _host_conditions() -> dict:
 _QUIET_CALIB_REF_MS = 108.0
 _QUIET_CALIB_BAND = 1.08
 # quiet-epoch warm-min of the sentinel query (q01, min-of-3 after
-# warm-up) on this host: 1.19-1.41 s across the r7/r10 quiet closes and
-# the BENCH_NOISE quiet samples; the inflated r9/r11 captures read
-# 1.75/2.44 s. Unlike the calib spin this measures the actual thing —
-# Spark executing a headline plan — so it arbitrates epochs the
-# load/calib probes mis-read in either direction. Override per host
-# with BENCH_SENTINEL_QUIET_S.
+# warm-up) on this host: 1.19-1.41 s across the r7/r10/r12 quiet closes
+# and the BENCH_NOISE quiet samples; the inflated r9/r11/r12 captures
+# read 1.75/2.44/1.648 s. Unlike the calib spin this measures the
+# actual thing — Spark executing a headline plan — so it arbitrates
+# epochs the load/calib probes mis-read in either direction. Override
+# per host with BENCH_SENTINEL_QUIET_S.
+#
+# Band history (VERDICT r12 item 1a): the original 1.25x band admitted
+# the settling gap between the quiet evidence (tops at 1.41 s) and the
+# genuinely inflated captures — the r12 artifact's sentinel read
+# 1.648 s, squeaked under 1.6875, and stamped `unreliable: false` on a
+# 32.7 s warm total 2.7x the same-code quiet close. 1.08x (cut 1.458 s,
+# matching the calib band's philosophy) excludes it while keeping every
+# recorded quiet warm-min inside.
 _SENTINEL_QUERY = "q01_pricing_summary"
 _QUIET_SENTINEL_REF_S = 1.35
-_SENTINEL_BAND = 1.25
+_SENTINEL_BAND = 1.08
+
+# Per-query quiet warm-min-of-3 references at sf0.1 (VERDICT r12 item
+# 3): the r12 artifact's contamination arrived MID-run — q03 8.5 s vs
+# quiet ~1.5-2.1, t04 4.6 vs ~1.3, d02 2.8 vs ~0.75 — while q01 itself
+# stayed clean, so a q01-only probe (even run twice) cannot flag a
+# co-tenant burst that lands between its two readings. These per-query
+# references turn the judge's manual arbitration into a machine check:
+# any query whose warm-min reads > _QUERY_CONTAM_BAND x its reference
+# is self-reported in `contaminated_queries`, and the artifact carries
+# `epoch_factor` = median of (measured / reference) over every
+# referenced query — ~1.0 on a quiet epoch, the systematic inflation
+# factor on a degraded one. Values are the median of the recorded
+# quiet captures (BENCH_NOISE_samples.json warm medians, r8, and the
+# r12/r13 quiet closes — extras use the freshest quiet close where the
+# operator's plan was rewritten after r8: d14/d05/q45/s09 got faster).
+# Refresh at each quiet round close; 1.5x sits well past the measured
+# <=18% min-of-3 noise spread (BENCH_NOISE.md conclusion 2).
+_QUERY_CONTAM_BAND = 1.5
+_QUIET_QUERY_REF_S = {
+    "q01_pricing_summary": 1.26,
+    "q02_top_revenue_orders": 1.20,
+    "q03_region_revenue": 1.80,
+    "q06_revenue_change": 0.30,
+    "q07_top_orders_per_customer": 0.40,
+    "q09_distinct_stats": 0.84,
+    "q13_supplier_part_stats": 0.73,
+    "q14_events_hourly": 0.56,
+    "q15_sessionization": 1.30,
+    "q17_asof_enrichment": 0.61,
+    "q18_first_event_dedup": 0.55,
+    "t01_doc_stats": 0.62,
+    "t04_simhash": 1.35,
+    "d02_minhash_signatures": 0.75,
+    "d03_minhash_lsh_pairs": 2.10,
+    "s01_cosine_topk": 1.30,
+    # tracked extras (min-of-N basis, same as headline)
+    "d14_verified_dedup_clusters": 5.70,
+    "s09_ivf_topk_pruned": 1.45,
+    "q36_spend_deciles": 0.85,
+    "q45_twap": 0.80,
+    "q47_anomaly_zscore": 2.00,
+    "q50_ewma": 1.85,
+    "d05_simhash_near_pairs": 0.90,
+}
 
 
 def _epoch_is_quiet(host: dict, ref: float) -> bool:
@@ -166,6 +218,31 @@ def _epoch_is_quiet(host: dict, ref: float) -> bool:
         and host["load5"] < 0.5
         and host["calib_spin_ms"] <= _QUIET_CALIB_BAND * ref
     )
+
+
+def _artifact_unreliable(
+    gate_quiet: bool,
+    sent_pre_s: float,
+    sent_post_s: float,
+    calib_mid_ms: float,
+    sent_ref: float = _QUIET_SENTINEL_REF_S,
+    calib_ref: float = _QUIET_CALIB_REF_MS,
+) -> bool:
+    """Gate v4's reliability verdict (VERDICT r12 item 1; ADVICE r12
+    bench.py:380). The sentinel must read quiet BOTH before and after
+    the headline loop — the r12 contamination arrived mid-run, invisible
+    to a pre-loop-only probe — and the sentinel alone can no longer
+    exonerate a pre-gate-degraded epoch: exoneration additionally needs
+    the in-window calib probe (taken right after the pre-sentinel, i.e.
+    inside the measurement window) within the quiet band, because one
+    quiet query cannot vouch for how contention hits the other fifteen
+    plans. A quiet pre-gate epoch is still flagged if either sentinel
+    reads degraded (the OS probes mis-stamp settling hosts)."""
+    cut = _SENTINEL_BAND * sent_ref
+    sents_ok = sent_pre_s <= cut and sent_post_s <= cut
+    if gate_quiet:
+        return not sents_ok
+    return not (sents_ok and calib_mid_ms <= _QUIET_CALIB_BAND * calib_ref)
 
 
 def _quiet_gated_host() -> tuple[dict, bool]:
@@ -348,6 +425,12 @@ def main() -> None:
         time.sleep(30)
         sent = min(run_query(_SENTINEL_QUERY) for _ in range(3))
     sent_quiet = (not gating) or sent <= _SENTINEL_BAND * sent_ref
+    # the in-window calib probe (ADVICE r12): evidence from INSIDE the
+    # measurement window, required alongside the sentinel to exonerate
+    # a pre-gate-degraded epoch — one quiet query cannot vouch for how
+    # contention hits the other fifteen plans
+    calib_mid = _calib_spin_ms()
+    host["calib_spin_ms_in_window"] = calib_mid
     host["sentinel"] = {
         "query": _SENTINEL_QUERY,
         "warm_min_sec": round(sent, 3),
@@ -362,18 +445,7 @@ def main() -> None:
             else "gave up still degraded"
         ),
     }
-    if gating:
-        # At sf0.1 the sentinel is the FINAL arbiter in BOTH directions:
-        # it measures the actual thing (a headline plan in Spark), so it
-        # flags epochs the OS probes stamped quiet (the r9-r11 failure)
-        # AND exonerates a pre-gate give-up whose calib misread a
-        # transient (observed live: calib 218 ms on an idle host while
-        # Spark simultaneously ran its fastest-ever passes — co-tenant
-        # steal hits a 100 ms single-thread spin far harder than a
-        # 32-core job). The pre-gate verdict stays recorded either way.
-        unreliable = not sent_quiet
-    else:
-        unreliable = unreliable or not sent_quiet
+    gate_quiet = not unreliable
 
     # the sentinel query's cold slot is pre-filled with its genuinely
     # cold first run (above); setdefault keeps it
@@ -401,45 +473,140 @@ def main() -> None:
             continue
         extra[name] = round(run_query(name), 3)
 
+    # post-loop sentinel (VERDICT r12 item 1b): the r12 contamination
+    # arrived MID-run — q03 tripled while the pre-loop sentinel read
+    # clean. Re-time the sentinel after the last measured query; gate
+    # v4 requires BOTH readings quiet or the artifact self-flags. No
+    # backoff-poll here: the measurements are already taken, waiting
+    # cannot un-contaminate them.
+    sent_post = min(run_query(_SENTINEL_QUERY) for _ in range(3))
+    sent_post_quiet = (not gating) or sent_post <= _SENTINEL_BAND * sent_ref
+    host["sentinel_post"] = {
+        "query": _SENTINEL_QUERY,
+        "warm_min_sec": round(sent_post, 3),
+        "quiet_ref_sec": sent_ref,
+        "band": f"<= {_SENTINEL_BAND}x ref",
+        "verdict": (
+            "quiet"
+            if sent_post_quiet and gating
+            else "recorded only (ref is sf0.1)"
+            if not gating
+            else "degraded (mid-run contamination)"
+        ),
+    }
     # informational post-run probe: a calib re-read after the last
     # query bounds whether the epoch degraded MID-run (not gating —
     # the bench's own 32-core load can leave this a few ms warm)
     host["calib_spin_ms_post"] = _calib_spin_ms()
-    total = round(sum(steady.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                # comparison basis for cross-round ratios: r1 was
-                # single cold runs; r2+ report warm min-of-N with the
-                # cold series riding along under cold_queries
-                "basis": (
-                    "cold-single-run"
-                    if runs == 1
-                    else f"warm-min-of-{runs}"
-                ),
-                "queries": steady,
-                "sf": sf,
-                "runs_per_query": runs,
-                "cold_total_sec": round(sum(cold.values()), 3),
-                "cold_queries": cold,
-                # min-of-N for the heavy extras (d16 min-of-2, see module
-                # doc); single-run figures below carry no precision claim
-                "extra_queries_min": extra_min,
-                "extra_queries_single_run": extra,
-                # capture conditions (VERDICT r8 item 5): the epoch this
-                # artifact was measured in, so cross-round reads don't
-                # need out-of-band archaeology. "unreliable" (VERDICT r9
-                # item 5) is the machine-first verdict: True means the
-                # host was STILL loaded after the quiet-epoch retry and
-                # the numbers must not be compared across rounds.
-                "host": host,
-                "unreliable": unreliable,
-            }
+
+    if gating:
+        unreliable = _artifact_unreliable(
+            gate_quiet, sent, sent_post, calib_mid, sent_ref
         )
+    else:
+        unreliable = unreliable or not (sent_quiet and sent_post_quiet)
+
+    # per-query contamination self-report (VERDICT r12 item 3): ratio
+    # every measured warm-min against its recorded quiet reference;
+    # epoch_factor is the median ratio (~1.0 quiet, the systematic
+    # inflation factor on a degraded epoch), contaminated_queries the
+    # localized bursts the sentinels can miss. >= 3 flagged queries is
+    # a systemic mid-run burst and flags the whole artifact.
+    # the references are sf0.1 warm-min-of-N figures: at another SF, or
+    # on the cold single-run basis, the ratios compare different things
+    # (a cold run at sf0.001 is pure plan/codegen overhead and reads 3x
+    # a warm sf0.1 figure) — compute the self-report only on the basis
+    # the references were measured on
+    measured = {**steady, **extra_min}
+    if gating and runs >= 2:
+        ratios = {
+            name: round(measured[name] / ref, 2)
+            for name, ref in _QUIET_QUERY_REF_S.items()
+            if name in measured
+        }
+    else:
+        ratios = {}
+    contaminated = sorted(
+        n for n, r in ratios.items() if r > _QUERY_CONTAM_BAND
     )
+    epoch_factor = (
+        round(sorted(ratios.values())[len(ratios) // 2], 2)
+        if ratios
+        else None
+    )
+    if len(contaminated) >= 3:
+        unreliable = True
+
+    total = round(sum(steady.values()), 3)
+    basis = "cold-single-run" if runs == 1 else f"warm-min-of-{runs}"
+    # Two output lines (VERDICT r12 item 2): the r12 artifact of record
+    # shipped unparseable because the single verbose JSON line outgrew
+    # the driver's 2000-char tail capture. The DETAIL line (everything:
+    # cold series, single-run extras, full host block) prints first;
+    # the compact LINE OF RECORD prints LAST and is kept under ~1900
+    # chars so the capture window always contains a parseable record.
+    detail = {
+        "metric": "headline_queries_detail",
+        "value": total,
+        "unit": "sec",
+        "basis": basis,
+        "queries": steady,
+        "sf": sf,
+        "runs_per_query": runs,
+        "cold_total_sec": round(sum(cold.values()), 3),
+        "cold_queries": cold,
+        # min-of-N for the heavy extras (d16 min-of-2, see module
+        # doc); single-run figures below carry no precision claim
+        "extra_queries_min": extra_min,
+        "extra_queries_single_run": extra,
+        "query_ref_ratios": ratios,
+        "epoch_factor": epoch_factor,
+        "contaminated_queries": contaminated,
+        # capture conditions (VERDICT r8 item 5): the epoch this
+        # artifact was measured in, so cross-round reads don't
+        # need out-of-band archaeology.
+        "host": host,
+        "unreliable": unreliable,
+    }
+    print(json.dumps(detail))
+    record = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        # comparison basis for cross-round ratios: r1 was single cold
+        # runs; r2+ report warm min-of-N with the cold series riding
+        # along on the detail line
+        "basis": basis,
+        "queries": steady,
+        "sf": sf,
+        "runs_per_query": runs,
+        "cold_total_sec": round(sum(cold.values()), 3),
+        "extra_queries_min": extra_min,
+        # epoch self-report: median measured/quiet-ref ratio plus the
+        # queries past the 1.5x contamination band (empty when quiet)
+        "epoch_factor": epoch_factor,
+        "contaminated_queries": contaminated,
+        "host": {
+            "load1": host.get("load1"),
+            "load5": host.get("load5"),
+            "calib_spin_ms": host.get("calib_spin_ms"),
+            "calib_spin_ms_in_window": calib_mid,
+            "calib_spin_ms_post": host.get("calib_spin_ms_post"),
+            "gate": host["quiet_gate"]["verdict"],
+            "sentinel_warm_s": round(sent, 3),
+            "sentinel_post_warm_s": round(sent_post, 3),
+        },
+        # machine-first verdict (VERDICT r9 item 5, gate v4): True means
+        # the epoch failed the pre-gate + double-sentinel + in-window
+        # calib discipline and the numbers must not be compared across
+        # rounds.
+        "unreliable": unreliable,
+    }
+    line = json.dumps(record)
+    if len(line) > 1900:  # never let the record outgrow the capture
+        record.pop("extra_queries_min", None)
+        line = json.dumps(record)
+    print(line)
     spark.stop()
 
 

@@ -89,7 +89,7 @@ def main() -> None:
     runs = max(1, int(os.environ.get("STREAM_BENCH_RUNS", "3")))
     passes = []
     calibs = []
-    written = 0
+    rows_per_pass = []
     for i in range(runs):
         out = os.path.join(work, f"out{i}")
         ckpt = os.path.join(work, f"ckpt{i}")
@@ -107,6 +107,7 @@ def main() -> None:
         q.stop()
         elapsed = time.perf_counter() - t0
         written = spark.read.parquet(out).count()
+        rows_per_pass.append(written)
         passes.append(round(written / elapsed, 1))
         # per-pass calib: a probe adjacent to each measurement, so a
         # reliability call about pass i has evidence FROM pass i's
@@ -141,7 +142,12 @@ def main() -> None:
                 "unit": "rows/sec",
                 "basis": f"best-of-{runs}",
                 "passes": passes,
-                "rows": written,
+                # rows from the BEST pass — the one the headline value
+                # comes from (ADVICE r12: pairing the best pass's rate
+                # with the LAST pass's count would hide a divergence);
+                # the per-pass list makes any divergence visible
+                "rows": rows_per_pass[passes.index(max(passes))],
+                "rows_per_pass": rows_per_pass,
                 "generated": total,
                 "host": host,
                 "unreliable": unreliable,

@@ -44,16 +44,16 @@ from __future__ import annotations
 # cheap JVM-only entries lead (cold-session Arrow/daemon spin-up must
 # not land on a pandas-UDF query).
 CHANGED_SINCE_GREEN: list[str] = [
-    # r12 (reset at round open per the cadence; kept LEAN so the rest
+    # r13 (reset at round open per the cadence; kept LEAN so the rest
     # tier keeps rotating the stalest signals through the ~50-slot
     # budget):
     #
-    # - store.py changed again (lock-ordering fixes: meta/listing reads
-    #   moved inside the root lock, token-verified release, bounded
-    #   lock_wait_sec, and the new rebuild_pq_codes repair arm).
-    #   Query-path results are pinned unchanged in
-    #   tests/test_index_store.py, but every store-backed consumer's
-    #   module changed after its r11 green.
+    # - store.py changed again (r13: lock-release registry hygiene —
+    #   _HELD_LOCK_TOKENS popped on the early-return paths — and the
+    #   process-level lock-wait default run_pipeline now raises).
+    #   Neither touches a query's data path (acquire/release only),
+    #   but the cadence convention is that every store-backed
+    #   consumer's module change re-queues its entries.
     "d15_band_index_pairs",
     "s06_ivf_topk",
     "s07_pq_topk",

@@ -518,6 +518,7 @@ def parity(
     sf0.01 (every round, `tools drive`), and this re-runs the Spark
     side at sf0.1 in minutes. NOT a substitute for an oracle — it can
     only catch nondeterminism, never a both-runs-wrong answer."""
+    import os
     import time
 
     from liq_stream_spark.compare import frame_repr
@@ -550,8 +551,13 @@ def parity(
             good = n1 == n2 and b1 == b2
             note = ""
             expected = _PARITY_EXPECTED_ROWS_SF01.get(name)
-            if expected is not None and sf_dir.rstrip("/").endswith(
-                "sf0.1"
+            # basename match, mirroring how bench.py derives sf (ADVICE
+            # r12: a bare endswith("sf0.1") also matched unrelated dirs
+            # like /data/foo-sf0.1, asserting pins against data they
+            # were never measured on)
+            if (
+                expected is not None
+                and os.path.basename(sf_dir.rstrip("/")) == "sf0.1"
             ):
                 if len(b1) != expected:
                     good = False

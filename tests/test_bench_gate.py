@@ -57,10 +57,87 @@ def test_unprobeable_platform_falls_back_to_calib_only():
 def test_sentinel_band_separates_quiet_from_inflated_q01():
     """The sentinel thresholds are data, not code — pin that the stored
     reference and band separate the recorded quiet q01 warm-mins
-    (1.19-1.41 s: r7 close 1.41, BENCH_NOISE quiet samples 1.19-1.26)
-    from the arbitrated-inflated captures (r9 1.752, r11 2.441)."""
+    (1.19-1.41 s: r7 close 1.41, r12 close 1.197, BENCH_NOISE quiet
+    samples 1.19-1.26) from the inflated captures. Gate v4 (VERDICT r12
+    item 1a) tightened the band from 1.25x to 1.08x: the old cut
+    (1.6875) admitted the settling gap above the quiet evidence — the
+    r12 artifact's sentinel read 1.648 s inside it and stamped
+    `unreliable: false` on a 32.7 s total 2.7x the same-code quiet
+    close, and the judge's r12 runs reproduced 1.596/1.679 s "quiet"
+    sentinels on visibly degraded epochs."""
     cut = bench._SENTINEL_BAND * bench._QUIET_SENTINEL_REF_S
-    for quiet in (1.193, 1.247, 1.262, 1.364, 1.41, 1.581):
+    assert cut <= 1.46  # ~1.08x: quiet evidence tops at 1.41
+    for quiet in (1.193, 1.197, 1.247, 1.262, 1.364, 1.41):
         assert quiet <= cut, quiet
-    for inflated in (1.752, 2.441):
+    # r9 1.752, r11 2.441, and the three r12-era settling-gap readings
+    # (artifact 1.648; judge repro 1.596/1.679) the 1.25x band admitted
+    for inflated in (1.596, 1.648, 1.679, 1.752, 2.441):
         assert inflated > cut, inflated
+
+
+def test_r12_artifact_of_record_flagged_by_gate_v4():
+    """BENCH_r12.json — the fourth consecutive epoch-inflated artifact
+    of record (~32.7 s warm vs the 12.033 s same-code quiet close):
+    pre-gate honestly recorded "gave up still degraded" (load ok after
+    871 s wait but calib 134.1), then the 1.25x sentinel (1.648 s)
+    single-handedly overrode it to `unreliable: false`. Under v4 the
+    capture is flagged THREE independent ways: the sentinel band
+    rejects 1.648; even with a quiet sentinel the in-window calib
+    (134.1) blocks exoneration of a degraded pre-gate; and the mid-run
+    bursts (q03 8.529 vs ref ~1.8, t04 4.618 vs 1.35, d02 2.839 vs
+    0.75) trip the >= 3-contaminated-queries rule."""
+    # as captured: pre-gate degraded, sentinel 1.648 (assume the post
+    # sentinel would have read quiet — flagged regardless)
+    assert bench._artifact_unreliable(False, 1.648, 1.3, 134.1)
+    # even a clean pre+post sentinel cannot exonerate with the
+    # in-window calib probe outside the quiet band (ADVICE r12)
+    assert bench._artifact_unreliable(False, 1.3, 1.3, 134.1)
+    # a quiet in-window calib plus both sentinels quiet DOES exonerate
+    # a pre-gate give-up (the observed calib-218-ms-transient case)
+    assert not bench._artifact_unreliable(False, 1.3, 1.3, 110.0)
+    # mid-run contamination: a quiet pre-gate epoch is still flagged
+    # when the POST sentinel reads degraded
+    assert bench._artifact_unreliable(True, 1.25, 1.648, 108.0)
+    # and the genuinely quiet close (r12: sentinel 1.197, calib 108.3)
+    assert not bench._artifact_unreliable(True, 1.197, 1.25, 108.3)
+
+
+def test_r12_midrun_bursts_trip_contamination_refs():
+    """The r12 artifact's localized mid-run bursts vs the per-query
+    quiet references (VERDICT r12 item 3): q03/t04/d02 read 3-5x their
+    quiet bands while q01/q18/s01 in the SAME capture were at or below
+    r11 values — exactly the bimodal signature the per-query check
+    exists to catch. Three queries past the 1.5x band flag the
+    artifact."""
+    r12 = {
+        "q03_region_revenue": 8.529,
+        "t04_simhash": 4.618,
+        "d02_minhash_signatures": 2.839,
+        # clean-in-the-same-capture readings must NOT flag
+        "q01_pricing_summary": 1.648,
+        "q18_first_event_dedup": 0.433,
+        "s01_cosine_topk": 0.783,
+    }
+    flagged = [
+        n
+        for n, v in r12.items()
+        if v > bench._QUERY_CONTAM_BAND * bench._QUIET_QUERY_REF_S[n]
+    ]
+    assert flagged == [
+        "q03_region_revenue",
+        "t04_simhash",
+        "d02_minhash_signatures",
+    ]
+    assert len(flagged) >= 3  # trips the systemic-burst rule
+
+
+def test_query_refs_cover_headline_and_tracked_extras():
+    """Every headline query has a quiet reference (the contamination
+    self-report must cover the whole headline total), and every
+    reference names a real registered query."""
+    from liq_stream_spark.plans import REGISTRY
+
+    for name in bench.HEADLINE:
+        assert name in bench._QUIET_QUERY_REF_S, name
+    for name in bench._QUIET_QUERY_REF_S:
+        assert name in REGISTRY, name

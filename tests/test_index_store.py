@@ -1287,7 +1287,15 @@ def test_release_only_unlinks_own_lock(tmp_path):
     with pytest.warns(RuntimeWarning, match="not ours"):
         store._release_root_lock(lock)
     assert os.path.exists(lock)  # the new holder's lock survives
+    # ADVICE r12: the early-return release paths must not leak our dead
+    # token in the registry (our hold is over either way)
+    assert str(lock) not in store._HELD_LOCK_TOKENS
     os.remove(lock)
+    # the lock-file-already-gone early return drops the entry too
+    gone = store._acquire_root_lock(local, "append_to_ivf_index")
+    os.remove(gone)  # simulate a sweeper breaking it as stale
+    store._release_root_lock(gone)
+    assert str(gone) not in store._HELD_LOCK_TOKENS
     # double release: the first pop consumed the token slot, so a
     # second release must leave a waiter's freshly-acquired lock alone
     first = store._acquire_root_lock(local, "append_to_ivf_index")
@@ -1354,6 +1362,67 @@ def test_lock_wait_env_and_kwarg_plumb_through(
     try:
         store.append_to_ivf_index(
             emb.filter(F.col("vec_id") >= 250), path, lock_wait_sec=60.0
+        )
+    finally:
+        t.join()
+    assert spark.read.parquet(f"{path}/inverted").count() == emb.count()
+
+
+def test_pipeline_sets_default_lock_wait(
+    spark, emb, tmp_path, monkeypatch
+):
+    """VERDICT r12 item 4 (finishing r11 item 2's pipeline half): a
+    foreachBatch ingest loop driven by run_pipeline appends to an index
+    root and outlasts a concurrent short maintenance pass WITHOUT the
+    operator exporting $LIQ_LOCK_WAIT_SEC — run_pipeline raises the
+    process-level lock-wait default to ~2x its trigger, and the lock
+    acquire falls back to that default when neither the kwarg nor the
+    env var is set."""
+    import shutil as _shutil
+    import threading
+    from pathlib import Path
+
+    from liq_stream_spark.sinks import FanOutConfig
+    from liq_stream_spark.streaming.pipeline import run_pipeline
+
+    monkeypatch.delenv("LIQ_LOCK_WAIT_SEC", raising=False)
+    # patched global -> the raise-only default resets after the test
+    monkeypatch.setattr(store, "_DEFAULT_LOCK_WAIT_SEC", 0.0)
+
+    # refuse-fast is still the library contract outside a pipeline
+    path = str(tmp_path / "ann")
+    store.write_ivf_index(emb.filter(F.col("vec_id") < 250), path)
+    held = store._acquire_root_lock(path, "compact_index_partitions")
+    with pytest.raises(RuntimeError, match="locked by another writer"):
+        store._acquire_root_lock(path, "append_to_ivf_index")
+
+    # a real (drained availableNow) pipeline run raises the default
+    fixtures = Path(__file__).parent / "fixtures"
+    src = tmp_path / "binance"
+    src.mkdir()
+    _shutil.copy(fixtures / "binance_force_order.jsonl", src / "b1.jsonl")
+    q = run_pipeline(
+        spark,
+        [("binance", "usdt")],
+        {"binance": str(src)},
+        FanOutConfig(parquet_path=str(tmp_path / "out")),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_seconds=2.0,
+        available_now=True,
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    assert store._DEFAULT_LOCK_WAIT_SEC == pytest.approx(4.0)
+
+    # ...and an append under a live maintenance holder releasing within
+    # that budget now lands instead of crashing — no env var, no kwarg
+    t = threading.Timer(1.0, store._release_root_lock, args=(held,))
+    t.start()
+    try:
+        store.append_to_ivf_index(
+            emb.filter(F.col("vec_id") >= 250), path
         )
     finally:
         t.join()

@@ -141,7 +141,11 @@ def test_coverage_ledger_covers_every_correctness_artifact():
         pytest.skip(
             f"ledger pending round-open regeneration for driver artifacts "
             f"{missing} — run python -m liq_stream_spark.tools ledger (and "
-            "reset CHANGED_SINCE_GREEN for the new round)"
+            "reset CHANGED_SINCE_GREEN for the new round). This skip "
+            "exists ONLY in the window between the driver writing "
+            f"{missing[0]} and the next round's ledger commit, so suite "
+            "skip counts differ by one across that boundary (VERDICT "
+            "r12 item 6) — it is not a third LIQ_STRESS-style gate"
         )
     pytest.fail(
         f"COVERAGE.md ledger (built from rounds <= r{max_built}) is "
