@@ -893,13 +893,26 @@ def connected_components(
     edges = directed.union(
         directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    edges = _pin(edges, eager=True, reliable=reliable_checkpoint)
     session_sp = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is None:
         n_edges = edges.count()
         shuffle_partitions = max(
             1, min(int(session_sp), n_edges // 100_000 + 1)
         )
+    # Pin the edge list AT the loop's partition count (r13): the union
+    # inherits the upstream pin's partitioning (often 1-2 blocks after
+    # an AQE-coalesced candidate chain), so without this every round's
+    # scan of the pinned edges ran on that handful of fat partitions
+    # before its shuffle — the map side of the loop's dominant join was
+    # serialized however many executors exist. One deterministic hash
+    # repartition on dst sizes the pinned blocks to the edge list. The
+    # pin stays LAZY: round 1's groupBy (or the sizing count above for
+    # the un-sized path) is what materializes it.
+    edges = _pin(
+        edges.repartition(shuffle_partitions, "dst"),
+        eager=False,
+        reliable=reliable_checkpoint,
+    )
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
         labels = _cc_loop(edges, max_iters, reliable_checkpoint)
@@ -918,6 +931,15 @@ def _cc_loop(
     # the generic round below pays (r7; ~25% off the loop at d14's
     # 3.1M-edge frame). The generic round then starts from these
     # already-one-hop labels.
+    #
+    # Convergence is detected IN-ROW (r13): each round's pre-step label
+    # rides along as ``__old`` so ``changed`` is a filter-count on the
+    # round's own checkpoint — the old shape re-joined the fresh labels
+    # against the previous round's frame, an extra label-sized shuffle
+    # join per round that existed only to compare a value the round
+    # already had in hand. The per-round pin is also LAZY now: the
+    # changed count is what materializes it (an eager pin ran one job
+    # to cache and a second to count the same blocks).
     labels = None
     for _ in range(max_iters):
         if labels is None:
@@ -926,6 +948,8 @@ def _cc_loop(
             ).select(
                 F.col("src").alias("node"),
                 F.least(F.col("src"), F.col("__m")).alias("comp"),
+                # identity labels: the pre-step label IS the node id
+                F.col("src").alias("__old"),
             )
         else:
             nbr_min = (
@@ -940,6 +964,7 @@ def _cc_loop(
                     F.least(
                         F.col("comp"), F.coalesce("nbr_comp", "comp")
                     ).alias("comp"),
+                    F.col("comp").alias("__old"),
                 )
             )
         hop = stepped.select(
@@ -952,21 +977,14 @@ def _cc_loop(
                 F.least(
                     F.col("comp"), F.coalesce("h_comp", "comp")
                 ).alias("comp"),
+                "__old",
             )
         )
         compressed = _pin(
-            compressed, eager=True, reliable=reliable_checkpoint
+            compressed, eager=False, reliable=reliable_checkpoint
         )
-        if labels is None:
-            # round 1 compares against identity labels — no join needed
-            changed = compressed.filter(F.col("comp") != F.col("node")).count()
-        else:
-            changed = (
-                compressed.join(labels.withColumnRenamed("comp", "old"), "node")
-                .filter(F.col("comp") != F.col("old"))
-                .count()
-            )
-        labels = compressed
+        changed = compressed.filter(F.col("comp") != F.col("__old")).count()
+        labels = compressed.select("node", "comp")
         if changed == 0:
             break
     if labels is None:  # max_iters == 0: identity labels, original contract
