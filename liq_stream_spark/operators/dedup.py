@@ -160,7 +160,16 @@ def minhash_sig_arrays(
                 out.append(vals.min(axis=0).astype(np.int64))
             return pd.Series(out)
 
-        return df.select(F.col(id_col), _mh(text_col).alias("sig"))
+        from liq_stream_spark.operators.skew import spread_for_compute
+
+        # the signing pass is the chain's per-row hot spot: an input
+        # arriving in fewer splits than the session has cores (single-
+        # row-group parquet, gzipped dumps) would run it on ONE task —
+        # hash-spread on the id first, like simhash_table (no-op at
+        # 100 TB where splits >= cores; r13)
+        return spread_for_compute(df, key_cols=[id_col]).select(
+            F.col(id_col), _mh(text_col).alias("sig")
+        )
 
     shingles = df.select(
         F.col(id_col),

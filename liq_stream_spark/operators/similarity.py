@@ -92,11 +92,20 @@ def cosine_topk(
     cosine desc with neighbor_id as the deterministic tiebreak. The query
     side is broadcast (queries are few); the corpus streams through one
     projection + one top-k window per query partition."""
+    from liq_stream_spark.operators.skew import spread_for_compute
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    # the corpus side carries the |corpus| x |queries| Arrow cosine pass
+    # — an input in fewer splits than the session has cores (single-
+    # row-group parquet) would run it on one task; hash-spread on the
+    # id first (simhash_table's guard; no-op at 100 TB — r13)
+    c = spread_for_compute(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ),
+        key_cols=["neighbor_id"],
     )
     scored = (
         F.broadcast(q)

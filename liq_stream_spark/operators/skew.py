@@ -116,6 +116,7 @@ def spread_for_compute(
     df: DataFrame,
     min_tasks: int | None = None,
     splits: int | None = None,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Round-robin ``df`` across the session's cores IFF its physical
     partitioning is narrower than half of them — the compute-parallelism
@@ -143,7 +144,18 @@ def spread_for_compute(
     build): semantically-equal plans have equal physical partitioning,
     and a hash collision can only skip/add a semantically-neutral
     repartition, never change results. Callers that already know their
-    split count can pass ``splits`` and skip the probe entirely."""
+    split count can pass ``splits`` and skip the probe entirely.
+
+    ``key_cols`` (r13): spread by HASH of the named high-cardinality
+    columns instead of round-robin. A keyless ``repartition(n)`` first
+    locally sorts its input so retried tasks reproduce the same
+    row-to-partition assignment (spark.sql.execution.sortBeforeRepartition,
+    SPARK-23207) — negligible for the few-thousand-doc UDF frames this
+    guard was built for, but a measurable serial tax when the spread
+    side is a fact table (600k-row lineitem: hash 0.78 s vs round-robin
+    1.29 s end-to-end on the q01 shape). Hash partitioning needs no
+    sort (it is already deterministic per row) and a near-unique key
+    spreads as evenly. Pass the table's primary key."""
     sc = df.sparkSession.sparkContext
     target = min_tasks or sc.defaultParallelism
     if splits is None:
@@ -154,4 +166,6 @@ def spread_for_compute(
             _SPLITS_MEMO[key] = splits
     if splits * 2 > target:
         return df
+    if key_cols:
+        return df.repartition(target, *[F.col(c) for c in key_cols])
     return df.repartition(target)

@@ -340,7 +340,17 @@ def stopword_count(col: Column | str) -> Column:
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length/punct/stopword quality features + a composite score — the
-    classic cheap pre-filter stage of a training-data pipeline."""
+    classic cheap pre-filter stage of a training-data pipeline.
+
+    The regexp extraction behind the token/punct/stopword counters is
+    the per-row hot spot of this stage, so an input arriving in fewer
+    splits than the session has cores is round-robined first
+    (skew.spread_for_compute — the simhash_table guard; no-op whenever
+    splits >= cores, i.e. always at 100 TB. r13: 0.43 -> 0.29 s warm
+    on t01 at sf0.1)."""
+    from liq_stream_spark.operators.skew import spread_for_compute
+
+    df = spread_for_compute(df)
     n_tok = token_count(text_col)
     n_chr = F.length(text_col).cast("long")
     n_punct = punct_count(text_col)

@@ -32,7 +32,11 @@ def count(marker: str, plan: str) -> int:
 
 def test_q01_agg_on_pruned_pushed_scan(spark):
     plan = plan_of(spark, "q01_pricing_summary")
-    assert count("Exchange", plan) == 1           # one agg shuffle, no join
+    # one agg shuffle, no join, plus (at fixture scale only) the
+    # spread_for_compute hash exchange that parallelizes the decimal
+    # partial agg on single-row-group inputs (r13; no-op >= cores
+    # splits, so production plans keep 1)
+    assert 1 <= count("Exchange", plan) <= 2
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     # column pruning: the scan reads the 7 referenced lineitem columns,
