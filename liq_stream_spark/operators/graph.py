@@ -72,7 +72,16 @@ def pagerank(
     decimal places (exactly representable multiples of 10^-SCALE up to
     double precision).
     """
-    nd = nodes.select(F.col(id_col).alias("node_id")).distinct()
+    # nd feeds THREE consumers (the count, both closure semi-joins, and
+    # r0's spine) and DataFrame lineage has no common-subexpression
+    # reuse — without the pin each consumer re-runs the node source +
+    # distinct exchange. Vertex-sized, lazily materialized by the
+    # count() below (r13).
+    nd = (
+        nodes.select(F.col(id_col).alias("node_id"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n = nd.count()
     if n == 0:
         return nd.select(
@@ -95,7 +104,14 @@ def pagerank(
         .join(nd.select(F.col("node_id").alias("dst")), "dst", "left_semi")
         .localCheckpoint(eager=False)
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # deg is joined in EVERY round plus the final projection — without
+    # the pin each consumer re-aggregates the edge checkpoint (an
+    # edge-sized pass per iteration at 100 TB). Vertex-sized (r13).
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .localCheckpoint(eager=False)
+    )
 
     ranks = nd.withColumn("r", r0)
     for _ in range(n_iters):
