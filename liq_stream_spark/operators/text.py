@@ -997,22 +997,34 @@ def bigram_lm_scores(
             .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
         )
 
-    # one tokenize+explode pass feeds model/starts/occ (and vocab): the
-    # checkpoint stops four consumers re-scanning the corpus (the
-    # pagerank/winnow convention)
-    tb = _bigrams(train).localCheckpoint(eager=False)
-    model = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    starts = tb.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    # the model chain is a strict aggregation hierarchy — occ (per-doc
+    # distinct bigrams with multiplicity) sums over docs to the bigram
+    # model c(w1,w2), which sums over w2 to the start counts c(w1.) —
+    # so each level derives from the one below with exact-integer sums
+    # instead of re-scanning the corpus-sized bigram frame (r13: the
+    # old shape ran THREE groupBys over the exploded bigrams; this one
+    # runs ONE, and the two model levels aggregate already-compressed
+    # frames). Each level feeds two consumers, so each is pinned once
+    # (the pagerank/winnow convention).
+    tb = _bigrams(train)
+    if train is docs:
+        # scoring occurrences double as the model's per-doc partials
+        occ = (
+            tb.groupBy(id_col, "w1", "w2")
+            .agg(F.count(F.lit(1)).alias("k"))
+            .localCheckpoint(eager=False)
+        )
+        model = occ.groupBy("w1", "w2").agg(F.sum("k").alias("cb"))
+    else:
+        model = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+        occ = _bigrams(docs).groupBy(id_col, "w1", "w2").agg(
+            F.count(F.lit(1)).alias("k")
+        )
+    model = model.localCheckpoint(eager=False)
+    starts = model.groupBy("w1").agg(F.sum("cb").alias("cu"))
     vocab = (
         train.select(F.explode(tokens(text_col)).alias("w"))
         .agg(F.countDistinct("w").alias("v"))
-    )
-
-    scored_bigrams = (
-        tb if train is docs else _bigrams(docs)
-    )
-    occ = scored_bigrams.groupBy(id_col, "w1", "w2").agg(
-        F.count(F.lit(1)).alias("k")
     )
     scored = (
         occ.join(model, ["w1", "w2"], "left")
