@@ -141,23 +141,47 @@ def _host_conditions() -> dict:
 _QUIET_CALIB_REF_MS = 108.0
 _QUIET_CALIB_BAND = 1.08
 # quiet-epoch warm-min of the sentinel query (q01, min-of-3 after
-# warm-up) on this host: 1.19-1.41 s across the r7/r10/r12 quiet closes
-# and the BENCH_NOISE quiet samples; the inflated r9/r11/r12 captures
-# read 1.75/2.44/1.648 s. Unlike the calib spin this measures the
-# actual thing — Spark executing a headline plan — so it arbitrates
-# epochs the load/calib probes mis-read in either direction. Override
-# per host with BENCH_SENTINEL_QUIET_S.
+# warm-up) on this host, expressed AT THE CANONICAL CLOCK (calib spin =
+# _QUIET_CALIB_REF_MS): the r13 compute-spread change made q01 ~35%
+# faster (1.19-1.41 s across the r7-r12 quiet closes on the old plan;
+# the r13 quiet close read 0.879/0.713 s pre/post at calib 95.3 —
+# ~1.0 s once scaled to the 108 ms canonical clock). The expected value
+# is scaled by the measured clock factor (:func:`_clock_factor`) before
+# gating, so a legitimately slower-but-quiet epoch (calib up to the
+# 1.08x calib band) is not false-flagged. Unlike the calib spin this
+# measures the actual thing — Spark executing a headline plan — so it
+# arbitrates epochs the load/calib probes mis-read in either direction.
+# Override per host with BENCH_SENTINEL_QUIET_S.
 #
 # Band history (VERDICT r12 item 1a): the original 1.25x band admitted
-# the settling gap between the quiet evidence (tops at 1.41 s) and the
-# genuinely inflated captures — the r12 artifact's sentinel read
-# 1.648 s, squeaked under 1.6875, and stamped `unreliable: false` on a
-# 32.7 s warm total 2.7x the same-code quiet close. 1.08x (cut 1.458 s,
-# matching the calib band's philosophy) excludes it while keeping every
-# recorded quiet warm-min inside.
+# the settling gap between the quiet evidence and the genuinely
+# inflated captures — the r12 artifact's sentinel read 1.648 s (old
+# plan; quiet evidence then topped at 1.41), squeaked under the 1.25x
+# cut, and stamped `unreliable: false` on a 32.7 s warm total 2.7x the
+# same-code quiet close. 1.08x matches the calib band's philosophy.
 _SENTINEL_QUERY = "q01_pricing_summary"
-_QUIET_SENTINEL_REF_S = 1.35
+_QUIET_SENTINEL_REF_S = 1.0
 _SENTINEL_BAND = 1.08
+
+
+def _clock_factor(calib_ms: float | None, calib_ref: float) -> float:
+    """Expected-time scale for the sentinel/per-query references, which
+    are expressed at the canonical clock (calib spin == ``calib_ref``).
+    A quiet epoch whose single-thread spin runs slower than canonical
+    (e.g. the 106-110 ms r7-r12 closes vs the 87-95 ms r13 close —
+    thermal/steal drift moves this host's effective clock ~25% between
+    rounds on IDENTICAL code) legitimately reads proportionally slower
+    per query; scale the reference up by the measured ratio so the
+    contamination checks compare against what THIS epoch's quiet
+    actually looks like. Clamped to [1.0, _QUIET_CALIB_BAND]: never
+    tighten below the canonical reference on fast clocks (single-thread
+    spin and 32-core Spark throughput do not correlate perfectly —
+    an unclamped fast-clock scale would false-flag), and never loosen
+    past the calib quiet band (a calib beyond it already fails the
+    pre-gate; scaling refs to a degraded clock would exonerate it)."""
+    if not calib_ms:
+        return 1.0
+    return min(_QUIET_CALIB_BAND, max(1.0, calib_ms / calib_ref))
 
 # Per-query quiet warm-min-of-3 references at sf0.1 (VERDICT r12 item
 # 3): the r12 artifact's contamination arrived MID-run — q03 8.5 s vs
@@ -166,40 +190,47 @@ _SENTINEL_BAND = 1.08
 # co-tenant burst that lands between its two readings. These per-query
 # references turn the judge's manual arbitration into a machine check:
 # any query whose warm-min reads > _QUERY_CONTAM_BAND x its reference
-# is self-reported in `contaminated_queries`, and the artifact carries
-# `epoch_factor` = median of (measured / reference) over every
-# referenced query — ~1.0 on a quiet epoch, the systematic inflation
-# factor on a degraded one. Values are the median of the recorded
-# quiet captures (BENCH_NOISE_samples.json warm medians, r8, and the
-# r12/r13 quiet closes — extras use the freshest quiet close where the
-# operator's plan was rewritten after r8: d14/d05/q45/s09 got faster).
-# Refresh at each quiet round close; 1.5x sits well past the measured
-# <=18% min-of-3 noise spread (BENCH_NOISE.md conclusion 2).
+# (scaled by :func:`_clock_factor`) is self-reported in
+# `contaminated_queries`, and the artifact carries `epoch_factor` =
+# median of (measured / scaled reference) over every referenced query
+# — ~1.0 on a quiet epoch, the systematic inflation factor on a
+# degraded one. Values are expressed AT THE CANONICAL CLOCK (calib ==
+# _QUIET_CALIB_REF_MS). Refreshed at the r13 quiet close (10.312 s
+# total, calib 95.3 in-window — readings scaled by 108/95.3): queries
+# the r13 optimization round made faster carry the new close's scaled
+# reading; unchanged queries keep max(previous ref, scaled r13 close)
+# so one fast epoch cannot silently tighten a band. Refresh at each
+# quiet round close; 1.5x sits well past the measured <=18% min-of-3
+# noise spread (BENCH_NOISE.md conclusion 2). d14's reference is the
+# r13 interleaved loop A/B floor (front ~1.9 + loop ~3.9) plus the
+# fresh-session overhead its bench basis carries — its ~30-job
+# iterative chain integrates co-tenant micro-bursts that single-join
+# plans dodge, so its quiet spread is the table's widest.
 _QUERY_CONTAM_BAND = 1.5
 _QUIET_QUERY_REF_S = {
-    "q01_pricing_summary": 1.26,
-    "q02_top_revenue_orders": 1.20,
-    "q03_region_revenue": 1.80,
-    "q06_revenue_change": 0.30,
-    "q07_top_orders_per_customer": 0.40,
-    "q09_distinct_stats": 0.84,
-    "q13_supplier_part_stats": 0.73,
-    "q14_events_hourly": 0.56,
+    "q01_pricing_summary": 0.88,
+    "q02_top_revenue_orders": 0.89,
+    "q03_region_revenue": 1.17,
+    "q06_revenue_change": 0.39,
+    "q07_top_orders_per_customer": 0.50,
+    "q09_distinct_stats": 1.14,
+    "q13_supplier_part_stats": 0.84,
+    "q14_events_hourly": 0.57,
     "q15_sessionization": 1.30,
     "q17_asof_enrichment": 0.61,
     "q18_first_event_dedup": 0.55,
-    "t01_doc_stats": 0.62,
-    "t04_simhash": 1.35,
-    "d02_minhash_signatures": 0.75,
-    "d03_minhash_lsh_pairs": 2.10,
-    "s01_cosine_topk": 1.30,
+    "t01_doc_stats": 0.42,
+    "t04_simhash": 0.80,
+    "d02_minhash_signatures": 0.52,
+    "d03_minhash_lsh_pairs": 1.38,
+    "s01_cosine_topk": 0.68,
     # tracked extras (min-of-N basis, same as headline)
-    "d14_verified_dedup_clusters": 5.70,
-    "s09_ivf_topk_pruned": 1.45,
-    "q36_spend_deciles": 0.85,
+    "d14_verified_dedup_clusters": 6.00,
+    "s09_ivf_topk_pruned": 1.48,
+    "q36_spend_deciles": 1.06,
     "q45_twap": 0.80,
-    "q47_anomaly_zscore": 2.00,
-    "q50_ewma": 1.85,
+    "q47_anomaly_zscore": 1.05,
+    "q50_ewma": 0.96,
     "d05_simhash_near_pairs": 0.90,
 }
 
@@ -227,6 +258,7 @@ def _artifact_unreliable(
     calib_mid_ms: float,
     sent_ref: float = _QUIET_SENTINEL_REF_S,
     calib_ref: float = _QUIET_CALIB_REF_MS,
+    clock: float = 1.0,
 ) -> bool:
     """Gate v4's reliability verdict (VERDICT r12 item 1; ADVICE r12
     bench.py:380). The sentinel must read quiet BOTH before and after
@@ -237,8 +269,10 @@ def _artifact_unreliable(
     inside the measurement window) within the quiet band, because one
     quiet query cannot vouch for how contention hits the other fifteen
     plans. A quiet pre-gate epoch is still flagged if either sentinel
-    reads degraded (the OS probes mis-stamp settling hosts)."""
-    cut = _SENTINEL_BAND * sent_ref
+    reads degraded (the OS probes mis-stamp settling hosts). ``clock``
+    scales the canonical-clock sentinel reference to this epoch's
+    measured clock (:func:`_clock_factor`)."""
+    cut = _SENTINEL_BAND * sent_ref * clock
     sents_ok = sent_pre_s <= cut and sent_post_s <= cut
     if gate_quiet:
         return not sents_ok
@@ -397,6 +431,14 @@ def main() -> None:
             "BENCH_SENTINEL_QUIET_S", str(_QUIET_SENTINEL_REF_S)
         )
     )
+    # the epoch's clock factor: references are canonical-clock values;
+    # a quiet-but-slower clock (calib inside the 1.08x band) reads
+    # proportionally slower everywhere, so scale expectations once here
+    calib_ref = float(
+        os.environ.get("BENCH_CALIB_QUIET_MS", str(_QUIET_CALIB_REF_MS))
+    )
+    clock = _clock_factor(host.get("calib_spin_ms"), calib_ref)
+    sent_cut = _SENTINEL_BAND * sent_ref * clock
     sent_budget = float(os.environ.get("BENCH_SENTINEL_BUDGET_SEC", "300"))
     # the stored reference was measured at sf0.1 — at other SFs the
     # sentinel value is recorded but never gates (a smaller SF passes
@@ -412,19 +454,19 @@ def main() -> None:
     sent = min(sent_first, *(run_query(_SENTINEL_QUERY) for _ in range(2)))
     while (
         gating
-        and sent > _SENTINEL_BAND * sent_ref
+        and sent > sent_cut
         and time.monotonic() - t_sent + 30 <= sent_budget
     ):
         print(
             f"bench: sentinel {_SENTINEL_QUERY} read {sent:.3f}s vs "
-            f"quiet ref {sent_ref}s (band {_SENTINEL_BAND}x) — epoch "
-            "degraded in a way the load/calib gate missed; retrying "
-            f"in 30s (budget {sent_budget:.0f}s)",
+            f"quiet ref {sent_ref}s (band {_SENTINEL_BAND}x, clock "
+            f"{clock:.3f}) — epoch degraded in a way the load/calib "
+            f"gate missed; retrying in 30s (budget {sent_budget:.0f}s)",
             file=sys.stderr,
         )
         time.sleep(30)
         sent = min(run_query(_SENTINEL_QUERY) for _ in range(3))
-    sent_quiet = (not gating) or sent <= _SENTINEL_BAND * sent_ref
+    sent_quiet = (not gating) or sent <= sent_cut
     # the in-window calib probe (ADVICE r12): evidence from INSIDE the
     # measurement window, required alongside the sentinel to exonerate
     # a pre-gate-degraded epoch — one quiet query cannot vouch for how
@@ -436,6 +478,7 @@ def main() -> None:
         "warm_min_sec": round(sent, 3),
         "quiet_ref_sec": sent_ref,
         "band": f"<= {_SENTINEL_BAND}x ref",
+        "clock_factor": round(clock, 3),
         "waited_sec": round(time.monotonic() - t_sent, 1),
         "verdict": (
             "quiet"
@@ -480,7 +523,7 @@ def main() -> None:
     # backoff-poll here: the measurements are already taken, waiting
     # cannot un-contaminate them.
     sent_post = min(run_query(_SENTINEL_QUERY) for _ in range(3))
-    sent_post_quiet = (not gating) or sent_post <= _SENTINEL_BAND * sent_ref
+    sent_post_quiet = (not gating) or sent_post <= sent_cut
     host["sentinel_post"] = {
         "query": _SENTINEL_QUERY,
         "warm_min_sec": round(sent_post, 3),
@@ -501,7 +544,7 @@ def main() -> None:
 
     if gating:
         unreliable = _artifact_unreliable(
-            gate_quiet, sent, sent_post, calib_mid, sent_ref
+            gate_quiet, sent, sent_post, calib_mid, sent_ref, clock=clock
         )
     else:
         unreliable = unreliable or not (sent_quiet and sent_post_quiet)
@@ -520,7 +563,7 @@ def main() -> None:
     measured = {**steady, **extra_min}
     if gating and runs >= 2:
         ratios = {
-            name: round(measured[name] / ref, 2)
+            name: round(measured[name] / (ref * clock), 2)
             for name, ref in _QUIET_QUERY_REF_S.items()
             if name in measured
         }

@@ -54,25 +54,43 @@ def test_unprobeable_platform_falls_back_to_calib_only():
     assert not bench._epoch_is_quiet(_host(None, None, 120.3), REF)
 
 
+def test_clock_factor_scales_only_inside_the_calib_band():
+    """References are canonical-clock (calib 108) values; a quiet epoch
+    whose spin runs slower scales expectations up proportionally, but
+    never below canonical (fast clocks: single-thread spin and 32-core
+    Spark throughput correlate imperfectly) and never past the calib
+    quiet band (a worse clock already fails the pre-gate)."""
+    # the r13 close's fast clock (calib 87-95) clamps to canonical
+    assert bench._clock_factor(95.3, REF) == 1.0
+    assert bench._clock_factor(87.0, REF) == 1.0
+    # the r7-r12 canonical clock is ~1.0x
+    assert abs(bench._clock_factor(108.3, REF) - 1.003) < 0.01
+    # band edge: 116.6/108 = 1.0796 — scaled, not clamped
+    assert abs(bench._clock_factor(116.6, REF) - 1.0796) < 0.001
+    # a degraded clock (r12's 134.1) clamps AT the band — refs never
+    # loosen to exonerate an epoch the calib gate rejects
+    assert bench._clock_factor(134.1, REF) == bench._QUIET_CALIB_BAND
+    assert bench._clock_factor(None, REF) == 1.0
+
+
 def test_sentinel_band_separates_quiet_from_inflated_q01():
     """The sentinel thresholds are data, not code — pin that the stored
-    reference and band separate the recorded quiet q01 warm-mins
-    (1.19-1.41 s: r7 close 1.41, r12 close 1.197, BENCH_NOISE quiet
-    samples 1.19-1.26) from the inflated captures. Gate v4 (VERDICT r12
-    item 1a) tightened the band from 1.25x to 1.08x: the old cut
-    (1.6875) admitted the settling gap above the quiet evidence — the
-    r12 artifact's sentinel read 1.648 s inside it and stamped
-    `unreliable: false` on a 32.7 s total 2.7x the same-code quiet
-    close, and the judge's r12 runs reproduced 1.596/1.679 s "quiet"
-    sentinels on visibly degraded epochs."""
+    reference and band separate the recorded quiet q01 warm-mins ON THE
+    CURRENT PLAN (r13 quiet close: 0.879 pre / 0.713 post at calib
+    95.3; the r13 compute-spread change made q01 ~35% faster than the
+    1.19-1.41 s r7-r12 evidence, so the reference was refreshed to
+    1.0 s canonical-clock at the r13 close) from the inflated captures
+    (r9 1.752, r11 2.441, r12 1.648/1.596/1.679 — old-plan readings
+    that exceed even the old-plan quiet band, and a fortiori today's)."""
     cut = bench._SENTINEL_BAND * bench._QUIET_SENTINEL_REF_S
-    assert cut <= 1.46  # ~1.08x: quiet evidence tops at 1.41
-    for quiet in (1.193, 1.197, 1.247, 1.262, 1.364, 1.41):
+    assert cut <= 1.09  # ~1.08x of the 1.0 s canonical reference
+    for quiet in (0.676, 0.713, 0.805, 0.879, 1.014):
         assert quiet <= cut, quiet
-    # r9 1.752, r11 2.441, and the three r12-era settling-gap readings
-    # (artifact 1.648; judge repro 1.596/1.679) the 1.25x band admitted
+    # at the slowest quiet clock the calib band admits, the scaled cut
+    # still accepts a canonical-clock quiet reading
+    assert 1.0 <= cut * bench._clock_factor(116.6, REF)
     for inflated in (1.596, 1.648, 1.679, 1.752, 2.441):
-        assert inflated > cut, inflated
+        assert inflated > cut * bench._QUIET_CALIB_BAND, inflated
 
 
 def test_r12_artifact_of_record_flagged_by_gate_v4():
@@ -82,39 +100,44 @@ def test_r12_artifact_of_record_flagged_by_gate_v4():
     871 s wait but calib 134.1), then the 1.25x sentinel (1.648 s)
     single-handedly overrode it to `unreliable: false`. Under v4 the
     capture is flagged THREE independent ways: the sentinel band
-    rejects 1.648; even with a quiet sentinel the in-window calib
-    (134.1) blocks exoneration of a degraded pre-gate; and the mid-run
-    bursts (q03 8.529 vs ref ~1.8, t04 4.618 vs 1.35, d02 2.839 vs
-    0.75) trip the >= 3-contaminated-queries rule."""
+    rejects 1.648 (even clock-scaled to the band edge); even with a
+    quiet sentinel the in-window calib (134.1) blocks exoneration of a
+    degraded pre-gate; and the mid-run bursts trip the >=
+    3-contaminated-queries rule (next test)."""
     # as captured: pre-gate degraded, sentinel 1.648 (assume the post
-    # sentinel would have read quiet — flagged regardless)
-    assert bench._artifact_unreliable(False, 1.648, 1.3, 134.1)
+    # sentinel would have read quiet — flagged regardless); clock
+    # clamps at the band for the degraded 134.1 calib
+    clk = bench._clock_factor(134.1, REF)
+    assert bench._artifact_unreliable(False, 1.648, 0.9, 134.1, clock=clk)
     # even a clean pre+post sentinel cannot exonerate with the
     # in-window calib probe outside the quiet band (ADVICE r12)
-    assert bench._artifact_unreliable(False, 1.3, 1.3, 134.1)
+    assert bench._artifact_unreliable(False, 0.9, 0.9, 134.1, clock=clk)
     # a quiet in-window calib plus both sentinels quiet DOES exonerate
     # a pre-gate give-up (the observed calib-218-ms-transient case)
-    assert not bench._artifact_unreliable(False, 1.3, 1.3, 110.0)
+    assert not bench._artifact_unreliable(False, 0.9, 0.9, 110.0)
     # mid-run contamination: a quiet pre-gate epoch is still flagged
-    # when the POST sentinel reads degraded
-    assert bench._artifact_unreliable(True, 1.25, 1.648, 108.0)
-    # and the genuinely quiet close (r12: sentinel 1.197, calib 108.3)
-    assert not bench._artifact_unreliable(True, 1.197, 1.25, 108.3)
+    # when the POST sentinel reads degraded (r12's burst arrived after
+    # a clean pre-sentinel)
+    assert bench._artifact_unreliable(True, 0.9, 1.648, 108.0)
+    # and the r13 genuinely quiet close (sentinel 0.879 pre / 0.713
+    # post, in-window calib 87.0) is accepted
+    assert not bench._artifact_unreliable(True, 0.879, 0.713, 87.0)
 
 
 def test_r12_midrun_bursts_trip_contamination_refs():
     """The r12 artifact's localized mid-run bursts vs the per-query
     quiet references (VERDICT r12 item 3): q03/t04/d02 read 3-5x their
-    quiet bands while q01/q18/s01 in the SAME capture were at or below
-    r11 values — exactly the bimodal signature the per-query check
-    exists to catch. Three queries past the 1.5x band flag the
-    artifact."""
+    quiet bands while q18/s01 in the SAME capture were at or below r11
+    values — exactly the bimodal signature the per-query check exists
+    to catch. Three queries past the 1.5x band flag the artifact.
+    (Against the refreshed r13 references the capture's q01 1.648 now
+    ALSO reads contaminated — correct: the r13 plan is ~35% faster, so
+    an old-plan reading is no longer inside the current quiet band.)"""
     r12 = {
         "q03_region_revenue": 8.529,
         "t04_simhash": 4.618,
         "d02_minhash_signatures": 2.839,
         # clean-in-the-same-capture readings must NOT flag
-        "q01_pricing_summary": 1.648,
         "q18_first_event_dedup": 0.433,
         "s01_cosine_topk": 0.783,
     }
@@ -129,6 +152,30 @@ def test_r12_midrun_bursts_trip_contamination_refs():
         "d02_minhash_signatures",
     ]
     assert len(flagged) >= 3  # trips the systemic-burst rule
+
+
+def test_r13_run1_residual_epoch_trips_contamination_refs():
+    """The r13 round-close's FIRST invocation (the documented
+    first-after-heavy-work residual mode): pre-gate read quiet (load
+    0.15/0.13, calib 95.2) and both sentinels passed (1.014/0.676),
+    but d14/q09/q13 read 1.8-2.9x their quiet references mid-run — the
+    >= 3 rule flagged the artifact with no human in the loop, and the
+    second invocation (10.312 s, zero contaminated) became the close."""
+    run1 = {
+        "d14_verified_dedup_clusters": 17.258,
+        "q09_distinct_stats": 3.412,
+        "q13_supplier_part_stats": 1.496,
+        "q01_pricing_summary": 0.805,  # clean in the same capture
+        "s01_cosine_topk": 1.091,
+    }
+    clk = bench._clock_factor(95.2, REF)  # 1.0 — fast clock clamps
+    flagged = [
+        n
+        for n, v in run1.items()
+        if v > bench._QUERY_CONTAM_BAND * bench._QUIET_QUERY_REF_S[n] * clk
+    ]
+    assert len(flagged) >= 3
+    assert "q01_pricing_summary" not in flagged
 
 
 def test_query_refs_cover_headline_and_tracked_extras():
