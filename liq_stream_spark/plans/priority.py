@@ -44,16 +44,46 @@ from __future__ import annotations
 # cheap JVM-only entries lead (cold-session Arrow/daemon spin-up must
 # not land on a pandas-UDF query).
 CHANGED_SINCE_GREEN: list[str] = [
-    # r13 (reset at round open per the cadence; kept LEAN so the rest
-    # tier keeps rotating the stalest signals through the ~50-slot
-    # budget):
+    # r13 — the OPTIMIZATION round's plan rewrites (each entry's results
+    # are oracle-identical by the round's rules, re-driven green locally
+    # at sf0.01+sf0.1 before its commit, but the driver ledger must
+    # re-sign them; cheap JVM-only entries lead per the tier
+    # convention):
     #
-    # - store.py changed again (r13: lock-release registry hygiene —
-    #   _HELD_LOCK_TOKENS popped on the early-return paths — and the
-    #   process-level lock-wait default run_pipeline now raises).
-    #   Neither touches a query's data path (acquire/release only),
-    #   but the cadence convention is that every store-backed
-    #   consumer's module change re-queues its entries.
+    # - q01/q02/q03 + t01: compute-spread guard on the serial scan
+    #   stages (a5f43fe); q47/q50: phase-1 exchange exempt from AQE
+    #   coalescing (8073e0c); t13/p10: bigram-LM level derivation
+    #   (16a7071); g01: vertex/degree frames materialized once
+    #   (8e1c767).
+    "q01_pricing_summary",
+    "q02_top_revenue_orders",
+    "q03_region_revenue",
+    "q47_anomaly_zscore",
+    "q50_ewma",
+    "t01_doc_stats",
+    "t13_lm_perplexity",
+    "p10_perplexity_buckets",
+    "g01_pagerank",
+    # - s01/s02: cosine_topk corpus side spread-guarded (a5f43fe);
+    #   d02/d03/d10/d12/g02/p01: minhash_sig_arrays / quality_features
+    #   scan-stage spread (a5f43fe); d06/d07/d14/p13/p14: the
+    #   connected-components loop lost two per-round jobs (7e74b23).
+    "s01_cosine_topk",
+    "s02_knn_label_vote",
+    "d02_minhash_signatures",
+    "d03_minhash_lsh_pairs",
+    "g02_triangle_counts",
+    "d10_incremental_dedup",
+    "d12_minhash_jaccard_est",
+    "p01_training_prep",
+    "d06_dedup_clusters",
+    "d07_dedup_survivors",
+    "d14_verified_dedup_clusters",
+    "p13_leakage_free_split",
+    "p14_quality_survivors",
+    # - round-open set: store.py lock-release registry hygiene + the
+    #   run_pipeline lock-wait default (736baea) re-queue the
+    #   store-backed consumers per the module-change convention.
     "d15_band_index_pairs",
     "s06_ivf_topk",
     "s07_pq_topk",
