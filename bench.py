@@ -213,7 +213,13 @@ _QUIET_QUERY_REF_S = {
     "q03_region_revenue": 1.17,
     "q06_revenue_change": 0.39,
     "q07_top_orders_per_customer": 0.50,
-    "q09_distinct_stats": 1.14,
+    # q09's plan changed AFTER the r13 close (multi-distinct Expand ->
+    # three single-distinct aggs crossJoined); the 1.14 old-plan ref
+    # would leave the new ~0.4 s shape's contamination check blind.
+    # 0.45 is the interleaved A/B min measured on a DEGRADED epoch
+    # (calib ~140 — i.e. a conservative ceiling for quiet); tighten at
+    # the next quiet close per the refresh convention above.
+    "q09_distinct_stats": 0.45,
     "q13_supplier_part_stats": 0.84,
     "q14_events_hourly": 0.57,
     "q15_sessionization": 1.30,

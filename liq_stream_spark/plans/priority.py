@@ -58,6 +58,9 @@ CHANGED_SINCE_GREEN: list[str] = [
     "q01_pricing_summary",
     "q02_top_revenue_orders",
     "q03_region_revenue",
+    # - q09: multi-distinct Expand replaced by three independent
+    #   single-distinct aggs crossJoined (1-row frames).
+    "q09_distinct_stats",
     "q47_anomaly_zscore",
     "q50_ewma",
     "t01_doc_stats",
