@@ -265,6 +265,7 @@ def lsh_candidate_pairs_banded(
     rows_per_band: int = 4,
     max_bucket: int | None = 1000,
     chunk: int = 256,
+    min_agree: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs straight from the array-form signatures
     (minhash_sig_arrays): band keys are sliced out of the in-row array, so
@@ -315,35 +316,63 @@ def lsh_candidate_pairs_banded(
     check alone would silently DROP a pair; hashing both sides would
     ADD phantom candidates and break oracle parity). Deployments whose
     degenerate buckets outgrow executor memory should set ``max_bucket``
-    — that is what the valve is for."""
+    — that is what the valve is for.
+
+    ``min_agree`` (uncapped path only) FUSES MinHash-estimate
+    verification into the pair expansion: each posting-list struct
+    additionally carries the doc's full signature array, and a pair is
+    emitted only when its two signatures agree on at least ``min_agree``
+    permutations — exactly the pairs
+    ``minhash_jaccard_estimates(sig_wide, pairs).filter(n_agree >=
+    min_agree)`` selects, computed IN-ROW at emission time instead of
+    re-joining the corpus-sized signature frame onto both pair sides
+    (two equi-join shuffles shipping one k-long array per candidate
+    side; the d14 chain's dominant pre-loop cost — r13). The agreement
+    count reads the same ``sig`` arrays the join shipped, so the
+    surviving pair set is identical by construction; exactly-once
+    emission (first-shared-band) is untouched because the verification
+    filter is a further restriction applied inside the same per-pair
+    lambda. Memory price: the posting struct grows by k longs per
+    member on top of the band-key strings (~1.8x; same degenerate-
+    bucket valve discussion as above). The capped path refuses the
+    knob: it verifies via the join form, whose distinct interacts with
+    the cap."""
     # validate BEFORE the capped-path early return so an invalid chunk is
     # rejected on every path, not only the uncapped one (ADVICE r7)
     if chunk < 1:
         raise ValueError("chunk must be >= 1")
+    if min_agree is not None and max_bucket is not None:
+        raise ValueError(
+            "min_agree fuses verification into the uncapped expansion; "
+            "the capped path verifies via minhash_jaccard_estimates"
+        )
     if max_bucket is not None:
         banded = _banded_keys(sig_wide, id_col, bands, rows_per_band)
         return _pairs_from_banded(banded, id_col, max_bucket)
 
-    with_keys = sig_wide.select(
-        F.col(id_col), _band_key_array(bands, rows_per_band).alias("__bk")
-    )
+    fused = min_agree is not None
+    key_cols = [
+        F.col(id_col),
+        _band_key_array(bands, rows_per_band).alias("__bk"),
+    ]
+    if fused:
+        key_cols.insert(1, F.col("sig"))
+    with_keys = sig_wide.select(*key_cols)
     # posexplode_OUTER so Catalyst's InferFiltersFromGenerate does not
     # add a size(__bk) > 0 filter below the Generate and split the Arrow
     # signing pass into two full evaluations (r7 audit; the band-key
     # array is never NULL/empty, and the != '' filter drops any NULL row
     # the outer form could emit)
     banded = with_keys.select(
-        F.col(id_col),
-        "__bk",
+        "*",
         F.posexplode_outer("__bk").alias("band", "band_key"),
     ).filter(F.col("band_key") != "")
+    member_fields = [F.col(id_col).alias("i"), F.col("__bk").alias("k")]
+    if fused:
+        member_fields.append(F.col("sig").alias("s"))
     grouped = (
         banded.groupBy("band", "band_key")
-        .agg(
-            F.collect_list(
-                F.struct(F.col(id_col).alias("i"), F.col("__bk").alias("k"))
-            ).alias("xs")
-        )
+        .agg(F.collect_list(F.struct(*member_fields)).alias("xs"))
         .filter(F.size("xs") > 1)
         # sort ONCE per bucket (id is unique, so struct order == id order)
         .select("band", F.array_sort("xs").alias("xs"))
@@ -380,15 +409,27 @@ def lsh_candidate_pairs_banded(
         "j <= band AND element_at(x.k, j) != '' "
         "AND element_at(x.k, j) = element_at(y.k, j))"
     )
+    if fused:
+        # in-row MinHash-estimate verification: count agreeing
+        # permutations straight off the carried signature arrays —
+        # the same integer minhash_jaccard_estimates' n_agree counts
+        # after its two joins, so the surviving set is identical
+        emit_ok = (
+            f"({first_band_ok}) AND size(filter("
+            f"zip_with(x.s, y.s, (p, q) -> p = q), v -> v))"
+            f" >= {int(min_agree)}"
+        )
+    else:
+        emit_ok = first_band_ok
     pair_expr = (
         "CASE WHEN size(cp.xb) = 0 THEN "
         "flatten(transform(cp.xa, (x, i) -> "
         "transform(filter(slice(cp.xa, i + 2, size(cp.xa)), "
-        f"y -> {first_band_ok}), "
+        f"y -> {emit_ok}), "
         "y -> struct(x.i AS id_a, y.i AS id_b)))) "
         "ELSE "
         "flatten(transform(cp.xa, x -> "
-        f"transform(filter(cp.xb, y -> {first_band_ok}), "
+        f"transform(filter(cp.xb, y -> {emit_ok}), "
         "y -> struct(x.i AS id_a, y.i AS id_b)))) END"
     )
     return (

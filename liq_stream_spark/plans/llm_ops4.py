@@ -332,8 +332,10 @@ def _d14_sql() -> str:
     "transitive connected components with canonical flags (d06 "
     "machinery). This is the chain real pipelines run INSTEAD of exact "
     "n-gram Jaccard at corpus scale: candidates never touch raw "
-    "shingles after signing, verification ships one 16-long array per "
-    "candidate side, and the estimate threshold prunes the component "
+    "shingles after signing, verification is fused in-row into the "
+    "band expansion (the posting lists carry the signature arrays, so "
+    "n_agree is counted at pair emission — no signature re-join), and "
+    "the estimate threshold prunes the component "
     "input to genuinely-similar edges (band collisions alone over-merge "
     "through 4-gram flukes). The 8/16 bar is the FIXTURE-SCALE value of "
     "dedup.minhash_estimate_bar (corpus-size-aware: it rises to 12/16 "
@@ -346,16 +348,18 @@ def _d14_sql() -> str:
 def d14_verified_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from liq_stream_spark.operators import dedup as D
 
-    # sigs feed candidates + both estimate-join sides: materialize once
-    # (d12's rationale; 11.2 -> 8.7 s min-of-3 at sf0.1)
-    sigs = D.minhash_sig_arrays(
-        load(spark, sf_dir, "documents")
-    ).localCheckpoint(eager=False)
-    cand = D.lsh_candidate_pairs_banded(sigs, max_bucket=None)
-    verified = (
-        D.minhash_jaccard_estimates(sigs, cand)
-        .filter(F.col("n_agree") >= _D14_MIN_AGREE)
-        .select("id_a", "id_b")
+    # verification is FUSED into the pair expansion (min_agree): the
+    # posting lists carry each doc's signature array, so n_agree is
+    # counted in-row at emission — the pre-r13 shape re-joined the
+    # signature frame onto both candidate sides (two pair-sized
+    # shuffle joins shipping a 16-long array per side), which was the
+    # chain's dominant pre-loop cost. Identical verified set by
+    # construction (same candidates, same n_agree off the same
+    # arrays); sigs now has ONE consumer, so the r8-era multi-consumer
+    # checkpoint is gone too.
+    sigs = D.minhash_sig_arrays(load(spark, sf_dir, "documents"))
+    verified = D.lsh_candidate_pairs_banded(
+        sigs, max_bucket=None, min_agree=_D14_MIN_AGREE
     )
     return D.dedup_clusters(verified)
 

@@ -750,6 +750,51 @@ def test_banded_chunked_expansion_matches_long_form(spark):
         assert all(a < b for a, b in got_rows), chunk
 
 
+def test_banded_fused_min_agree_matches_join_verification(spark):
+    """min_agree fuses the MinHash-estimate verification into the pair
+    expansion (r13: d14's two signature re-joins removed). The fused
+    output must equal minhash_jaccard_estimates(sigs, candidates)
+    .filter(n_agree >= bar) EXACTLY — same pairs, exactly-once — for
+    every bar regime (0 = everything, the d14 semantic bar, k+1 =
+    nothing) and across chunk sizes (triangle arm, cross-slice arm,
+    partial final slices)."""
+    from liq_stream_spark.operators.dedup import (
+        lsh_candidate_pairs_banded,
+        minhash_jaccard_estimates,
+        minhash_sig_arrays,
+    )
+
+    rows = [(i, f"shared boilerplate template text block number {i % 3}")
+            for i in range(17)]
+    rows += [(100 + i, f"unique content {i} with nothing in common "
+              f"beyond words {i * 7} and {i * 13}") for i in range(6)]
+    rows += [(200, ""), (201, "ab")]  # sentinel-signature (short) docs
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wide = minhash_sig_arrays(docs)
+    cand = lsh_candidate_pairs_banded(wide, max_bucket=None)
+    est = minhash_jaccard_estimates(wide, cand)
+    for bar in (0, 8, 17):
+        want = {
+            tuple(r)
+            for r in est.filter(F.col("n_agree") >= bar)
+            .select("id_a", "id_b")
+            .collect()
+        }
+        for chunk in (1, 3, 256):
+            got_rows = [
+                tuple(r)
+                for r in lsh_candidate_pairs_banded(
+                    wide, max_bucket=None, chunk=chunk, min_agree=bar
+                ).collect()
+            ]
+            # exactly-once emission survives the fused filter
+            assert len(got_rows) == len(set(got_rows)), (bar, chunk)
+            assert set(got_rows) == want, (bar, chunk)
+    # the capped path cannot fuse — it must refuse, not silently ignore
+    with pytest.raises(ValueError, match="min_agree"):
+        lsh_candidate_pairs_banded(wide, max_bucket=100, min_agree=8)
+
+
 def test_banded_degenerate_bucket_expansion_spreads(spark):
     """The chunked expansion's point: a degenerate bucket's O(n^2) pair
     generation must not serialize into the one task that owns its
