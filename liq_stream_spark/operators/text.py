@@ -1078,13 +1078,22 @@ def hashed_linear_score(
     [-1000, 1000] derived from md5(bucket id) — because no trained
     artifact ships with the repo; swapping in a real model is replacing
     the generated dim with a table read. What this operator demonstrates
-    is the SCALE pattern: model inference as explode -> map-side-
-    combinable (doc, bucket) agg -> BROADCAST join against the weight
-    vector -> per-doc agg. The weight side of a hashed linear model is
-    bounded by the bucket count — it is always the broadcast side no
-    matter how large the corpus.
+    is the SCALE pattern: MODEL-AS-LITERAL inference. A hashed linear
+    model is bounded by its bucket count regardless of corpus size
+    (1024 ints here; even a 10M-bucket production model is ~40 MB), so
+    the whole classifier evaluates IN-ROW — the weight vector rides the
+    plan as one constant-folded array literal and the dot product is a
+    higher-order aggregate over the token array. ZERO shuffles, zero
+    joins: the pre-r13 shape (explode -> (doc, bucket) agg -> broadcast
+    weight join -> per-doc agg -> doc-spine stitch join) paid two
+    corpus-keyed exchanges plus a doc-spine join for work every row can
+    finish locally. (A model too big for plan literals drops back to
+    the broadcast-join form — that threshold, not corpus size, is what
+    forces the join.)
 
-    Determinism: weights and the dot product are exact BIGINT sums;
+    Determinism: weights and the dot product are exact BIGINT sums
+    (integer addition is order-free, so in-row accumulation over the
+    token array equals the old per-bucket k*w regrouping exactly);
     the margin is ONE IEEE division of exact integers (deterministic
     with no quantization at all), and only the sigmoid — the lone
     transcendental — is quantized, at the coarse 1e-6 grid so a
@@ -1092,35 +1101,49 @@ def hashed_linear_score(
     bigram_lm_scores). Docs with no tokens score NULL.
 
     Output: (doc_id, n_tokens, margin, prob)."""
-    spark = docs.sparkSession
-    weights = spark.range(QW_BUCKETS).select(
-        F.col("id").alias("bucket"),
-        (md5_bucket("id", QW_SALT, mod=2001) - F.lit(1000)).alias("w"),
+    arr = "array(" + ",".join(str(x) for x in _qw_weights()) + ")"
+    # per-token bucket: md5_bucket('lower(tok)', QW_SALT, QW_BUCKETS)
+    # inlined as SQL so it runs inside the lambda — ONE rule with the
+    # md5_bucket expression (pinned byte-identical in
+    # tests/test_quality_models.py)
+    bkt = (
+        f"CAST(conv(substring(md5(concat('{QW_SALT}', ':', lower(tok))), "
+        f"1, 8), 16, 10) AS BIGINT) % {QW_BUCKETS}"
     )
-    toks = docs.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    dot = F.expr(
+        f"aggregate(__t, 0L, (a, tok) -> "
+        f"a + element_at(__w, CAST(({bkt}) AS INT) + 1))"
+    )
+    n_tokens = F.when(F.col("__t").isNull(), F.lit(0)).otherwise(
+        F.size("__t")
+    ).cast("long")
+    margin = dot / (F.lit(1000.0) * F.nullif(n_tokens, F.lit(0)))
+    return docs.select(
+        F.col(id_col),
+        tokens(text_col).alias("__t"),
+        F.expr(arr).alias("__w"),
     ).select(
         id_col,
-        md5_bucket("lower(tok)", QW_SALT, mod=QW_BUCKETS).alias("bucket"),
-    )
-    scored = (
-        toks.groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).alias("k"))
-        .join(F.broadcast(weights), "bucket")
-        .groupBy(id_col)
-        .agg(
-            F.sum("k").alias("n_tokens"),
-            F.sum(F.col("k") * F.col("w")).alias("dot"),
-        )
-    )
-    margin = F.col("dot") / (F.lit(1000.0) * F.col("n_tokens"))
-    out = docs.select(id_col).join(scored, id_col, "left")
-    return out.select(
-        id_col,
-        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        n_tokens.alias("n_tokens"),
         margin.alias("margin"),
         qround(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6).alias("prob"),
     )
+
+
+def _qw_weights() -> list[int]:
+    """The t14 pseudo-model as a Python list: w_j = int(md5('qw-v1:<j>')
+    [:8 hex], 16) % 2001 - 1000 — the same rule ``md5_bucket(j, QW_SALT,
+    2001) - 1000`` evaluates in-engine (and the DuckDB oracle's weights
+    CTE mirrors). Equality of all three derivations is pinned in
+    tests/test_quality_models.py so the literal cannot drift."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{QW_SALT}:{j}".encode()).hexdigest()[:8], 16)
+        % 2001
+        - 1000
+        for j in range(QW_BUCKETS)
+    ]
 
 
 def gopher_quality_signals(

@@ -150,10 +150,12 @@ _T14_SQL = f"""
     "pipelines): tokens hash into 1024 feature buckets, score = "
     "sigmoid(weights . normalized bag of buckets). Weights are a "
     "deterministic md5-derived pseudo-model (a trained artifact drops "
-    "in as a table read). The scale pattern under test: explode -> "
-    "map-side-combinable (doc, bucket) agg -> BROADCAST weight join "
-    "(the weight side of a hashed model is bounded by bucket count "
-    "regardless of corpus size) -> per-doc agg. Dot products are exact "
+    "in as a table read). The scale pattern under test: MODEL-AS-"
+    "LITERAL in-row inference (r13) — a hashed model is bounded by its "
+    "bucket count regardless of corpus size, so the weight vector "
+    "rides the plan as one constant array and the dot product is a "
+    "higher-order aggregate over the token array: zero shuffles, zero "
+    "joins at any corpus size. Dot products are exact "
     "BIGINT sums; the margin is one raw IEEE division of exact "
     "integers, and only the sigmoid is quantized (coarse 1e-6 grid, "
     "transcendental-safe).",

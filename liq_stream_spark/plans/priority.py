@@ -67,6 +67,9 @@ CHANGED_SINCE_GREEN: list[str] = [
     "t13_lm_perplexity",
     "p10_perplexity_buckets",
     "g01_pagerank",
+    # - t14 (+p14's scorer front): hashed_linear_score rewritten to
+    #   model-as-literal in-row inference — zero shuffles, zero joins.
+    "t14_quality_classifier",
     # - s01/s02: cosine_topk corpus side spread-guarded (a5f43fe);
     #   d02/d03/d10/d12/g02/p01: minhash_sig_arrays / quality_features
     #   scan-stage spread (a5f43fe); d06/d07/d14/p13/p14: the

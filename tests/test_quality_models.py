@@ -130,11 +130,39 @@ def test_classifier_is_case_insensitive_and_deterministic(spark):
     assert a["margin"] == b["margin"] and a["prob"] == b["prob"]
 
 
-def test_classifier_plan_broadcasts_weights(spark):
+def test_classifier_inference_is_shuffle_free(spark):
+    # r13: the weight vector is a plan literal and the dot product an
+    # in-row higher-order aggregate — classifier inference needs NO
+    # exchange and NO join at any corpus size (the pre-r13 shape paid
+    # two corpus-keyed exchanges plus a doc-spine stitch join)
     df = hashed_linear_score(_docs(spark, ["x y z"] * 10))
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_classifier_literal_weights_match_expression_rule(spark):
+    # the in-row literal (text._qw_weights) and the engine expression
+    # md5_bucket(j, QW_SALT, 2001) - 1000 must be the SAME model — a
+    # drift here would silently change every t14/p14 score
+    from pyspark.sql import functions as F
+
+    from liq_stream_spark.operators.text import (
+        QW_BUCKETS,
+        QW_SALT,
+        _qw_weights,
+        md5_bucket,
+    )
+
+    got = [
+        r["w"]
+        for r in spark.range(QW_BUCKETS)
+        .select((md5_bucket("id", QW_SALT, mod=2001) - F.lit(1000)).alias("w"))
+        .orderBy("id")
+        .collect()
+    ]
+    assert got == _qw_weights()
+    assert all(-1000 <= w <= 1000 for w in got)
 
 
 # ---------------------------------------------------------------------------
