@@ -124,6 +124,53 @@ def test_r12_artifact_of_record_flagged_by_gate_v4():
     assert not bench._artifact_unreliable(True, 0.879, 0.713, 87.0)
 
 
+def test_r13_artifact_of_record_exonerated_by_gate_v5():
+    """BENCH_r13.json — the fifth consecutive artifact of record that
+    needed judge arbitration, this time in the EXONERATING direction
+    (VERDICT r13 items: 'What's wrong' #1, 'Next round' #2): pre-gate
+    'gave up still degraded' purely on the calib clock band (119.2 then
+    128.3 in-window vs the 116.6 cut) at ZERO load (0.01/0.38), both
+    sentinels quiet (0.82 pre / 0.476 post), epoch_factor 0.76, zero
+    contaminated queries, best total ever recorded (10.848 s) — and
+    still stamped `unreliable: true`. Under gate v5 the per-query
+    evidence (quiet load + both sentinels + epoch_factor <= 1.1 + zero
+    contaminated) exonerates a calib-only pre-gate failure."""
+    clk = bench._clock_factor(119.2, REF)
+    assert not bench._artifact_unreliable(
+        False, 0.82, 0.476, 128.3, clock=clk,
+        load_quiet=True, epoch_factor=0.76, n_contaminated=0,
+    )
+    # every leg of the v5 evidence is REQUIRED — drop any one and the
+    # artifact stays flagged:
+    assert bench._artifact_unreliable(  # load was not quiet
+        False, 0.82, 0.476, 128.3, clock=clk,
+        load_quiet=False, epoch_factor=0.76, n_contaminated=0,
+    )
+    assert bench._artifact_unreliable(  # epoch_factor past the ceiling
+        False, 0.82, 0.476, 128.3, clock=clk,
+        load_quiet=True, epoch_factor=1.2, n_contaminated=0,
+    )
+    assert bench._artifact_unreliable(  # any contaminated query blocks
+        False, 0.82, 0.476, 128.3, clock=clk,
+        load_quiet=True, epoch_factor=0.76, n_contaminated=1,
+    )
+    assert bench._artifact_unreliable(  # no self-report available
+        False, 0.82, 0.476, 128.3, clock=clk,
+        load_quiet=True, epoch_factor=None, n_contaminated=0,
+    )
+    assert bench._artifact_unreliable(  # a degraded sentinel blocks
+        False, 1.648, 0.476, 128.3, clock=clk,
+        load_quiet=True, epoch_factor=0.76, n_contaminated=0,
+    )
+    # and the v5 arm cannot loosen gate v4's verdicts: the r12 capture
+    # (calib 134.1, epoch_factor ~2.7, 3+ contaminated) stays flagged
+    clk12 = bench._clock_factor(134.1, REF)
+    assert bench._artifact_unreliable(
+        False, 1.648, 0.9, 134.1, clock=clk12,
+        load_quiet=True, epoch_factor=2.7, n_contaminated=4,
+    )
+
+
 def test_r12_midrun_bursts_trip_contamination_refs():
     """The r12 artifact's localized mid-run bursts vs the per-query
     quiet references (VERDICT r12 item 3): q03/t04/d02 read 3-5x their
