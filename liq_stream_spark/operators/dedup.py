@@ -957,7 +957,10 @@ def connected_components(
     # serialized however many executors exist. One deterministic hash
     # repartition on dst sizes the pinned blocks to the edge list. The
     # pin stays LAZY: round 1's groupBy (or the sizing count above for
-    # the un-sized path) is what materializes it.
+    # the un-sized path) is what materializes it. In the LARGE-graph
+    # regime the loop re-pins this frame sorted+persisted after round 1
+    # (see _cc_loop) — deferred there because the regime test needs the
+    # exact node count, which round 1 produces for free.
     edges = _pin(
         edges.repartition(shuffle_partitions, "dst"),
         eager=False,
@@ -983,14 +986,57 @@ def _cc_loop(
     # already-one-hop labels.
     #
     # Convergence is detected IN-ROW (r13): each round's pre-step label
-    # rides along as ``__old`` so ``changed`` is a filter-count on the
+    # rides along as ``__old`` so ``changed`` is an aggregate on the
     # round's own checkpoint — the old shape re-joined the fresh labels
     # against the previous round's frame, an extra label-sized shuffle
     # join per round that existed only to compare a value the round
-    # already had in hand. The per-round pin is also LAZY now: the
-    # changed count is what materializes it (an eager pin ran one job
-    # to cache and a second to count the same blocks).
+    # already had in hand. The per-round pin is LAZY: the convergence
+    # aggregate is what materializes it.
+    #
+    # DELTA propagation (r14, guide §2.3 shuffle fewer bytes): a node's
+    # min-label can only decrease, and a neighbor that did NOT change
+    # in round r-1 already contributed its label to this node's round-
+    # r-1 value (comp_u(r-1) = least(comp_u(r-2), min over neighbors'
+    # r-2 labels) <= label_v(r-2) = label_v(r-1) for unchanged v), so
+    # round r's neighbor-min join only needs the labels that CHANGED in
+    # round r-1 — the step join's label side shrinks from the full
+    # node set to the (rapidly vanishing) delta, per round, at any
+    # scale. Exact: least(comp, nbr_min_delta) == least(comp,
+    # nbr_min_full) row-by-row; pinned by the union-find property test
+    # and the large-regime equality test in tests/test_llm_ops.py, and
+    # checksum-verified against the r13 loop on d14's full sf0.1 pair
+    # set (tools_r14/cc_lab.py).
+    #
+    # BROADCAST gate (r14, guide §3.1): when the exact node count
+    # (read off round 1's convergence aggregate, no extra job) says the
+    # label frame fits the session's broadcast threshold, the three
+    # label-sized join sides ride as broadcast hints — zero exchanges
+    # in the step join and both compression joins, leaving ONE exchange
+    # per round (the groupBy(src) partial agg). The pins are LogicalRDDs
+    # without stats, so Catalyst could never choose this itself; past
+    # the threshold the gate stays shut and the sort-merge shape is
+    # byte-identical to the ungated plan.
+    #
+    # LARGE-graph edge re-pin (r14): when the gate is SHUT the per-round
+    # joins are sort-merge joins, and under AQE a checkpoint's
+    # LogicalRDD reports UnknownPartitioning — measured on this Spark,
+    # the r13 checkpointed edges were re-exchanged AND re-sorted by
+    # every round's step join despite arriving hash(dst)-partitioned.
+    # So once round 1 reveals the regime, the edge pin is re-pinned as a
+    # PERSIST, hash-partitioned and sorted on dst: a cached relation
+    # keeps its plan's outputPartitioning/outputOrdering
+    # (InMemoryTableScan), so rounds >= 2 stream the cache with no
+    # edge-side Exchange or Sort — one edge pass at re-pin time
+    # amortizes over every remaining round. In the small regime the
+    # broadcast-hash joins only ever STREAM the edge pin, so the
+    # checkpoint is kept as-is (the re-pin's exchange+sort measured as
+    # a pure ~0.3 s fixture tax, tools_r14/cc_lab.py).
+    from liq_stream_spark.operators.skew import broadcast_row_budget
+
+    bcast_rows = broadcast_row_budget(edges.sparkSession)
     labels = None
+    delta = None
+    n_nodes = None
     for _ in range(max_iters):
         if labels is None:
             stepped = edges.groupBy("src").agg(
@@ -1001,14 +1047,19 @@ def _cc_loop(
                 # identity labels: the pre-step label IS the node id
                 F.col("src").alias("__old"),
             )
+            small = False
         else:
+            small = n_nodes is not None and n_nodes <= bcast_rows
+            bc = F.broadcast if small else (lambda df: df)
             nbr_min = (
-                edges.join(labels, edges["dst"] == labels["node"])
+                edges.join(bc(delta), edges["dst"] == delta["d_node"])
                 .groupBy("src")
-                .agg(F.min("comp").alias("nbr_comp"))
+                .agg(F.min("d_comp").alias("nbr_comp"))
             )
             stepped = (
-                labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+                labels.join(
+                    bc(nbr_min), labels["node"] == nbr_min["src"], "left"
+                )
                 .select(
                     "node",
                     F.least(
@@ -1020,6 +1071,8 @@ def _cc_loop(
         hop = stepped.select(
             F.col("node").alias("h_node"), F.col("comp").alias("h_comp")
         )
+        if small:
+            hop = F.broadcast(hop)
         compressed = (
             stepped.join(hop, stepped["comp"] == hop["h_node"], "left")
             .select(
@@ -1033,8 +1086,26 @@ def _cc_loop(
         compressed = _pin(
             compressed, eager=False, reliable=reliable_checkpoint
         )
-        changed = compressed.filter(F.col("comp") != F.col("__old")).count()
+        # one action per round (the Pregel pattern): a single 1-row
+        # aggregate returns the changed count AND (round 1 only) the
+        # exact node count the broadcast gate needs — no extra job.
+        row = compressed.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count_if(F.col("comp") != F.col("__old")).alias("__chg"),
+        ).first()
+        if n_nodes is None:
+            n_nodes = row["__n"]
+            if n_nodes > bcast_rows and max_iters > 1:
+                edges = (
+                    edges.repartition(F.col("dst"))
+                    .sortWithinPartitions("dst")
+                    .persist()
+                )
+        changed = row["__chg"]
         labels = compressed.select("node", "comp")
+        delta = compressed.filter(F.col("comp") != F.col("__old")).select(
+            F.col("node").alias("d_node"), F.col("comp").alias("d_comp")
+        )
         if changed == 0:
             break
     if labels is None:  # max_iters == 0: identity labels, original contract

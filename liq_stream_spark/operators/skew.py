@@ -169,3 +169,34 @@ def spread_for_compute(
     if key_cols:
         return df.repartition(target, *[F.col(c) for c in key_cols])
     return df.repartition(target)
+
+
+def broadcast_row_budget(spark, bytes_per_row: int = 64) -> int:
+    """Max rows a caller may BROADCAST-hint for a frame whose plan is a
+    stats-less pin (``localCheckpoint``/``persist`` LogicalRDDs default
+    to ``defaultSizeInBytes``, so Catalyst never auto-broadcasts them)
+    when the caller knows the EXACT row count (guide §3.1).
+
+    The budget is the session's own ``autoBroadcastJoinThreshold``
+    divided by a conservative per-row estimate — i.e. the caller makes
+    exactly the decision Catalyst would make if the relation carried
+    statistics, against the same knob. Scale-adaptive by construction:
+    a corpus-sized frame at 100 TB is orders of magnitude past any
+    sane threshold, so the gate stays shut and the caller's sort-merge
+    plan is untouched; setting the threshold to ``-1`` (broadcast
+    disabled) yields a budget of 0."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                      ("b", 1)):
+        if raw.endswith(suffix):
+            raw, mult = raw[: -len(suffix)], m
+            break
+    try:
+        nbytes = int(raw) * mult
+    except ValueError:
+        nbytes = 10 * 1024 * 1024
+    return max(0, nbytes) // max(1, bytes_per_row)

@@ -871,3 +871,32 @@ def test_minhash_estimate_bar_regime():
         bar(100, n_perms=16, bands=5, rows_per_band=4)
     with pytest.raises(ValueError):
         bar(100, rows_per_band=0)
+
+
+def test_connected_components_large_graph_regime_identical(spark):
+    """r14: _cc_loop propagates only CHANGED labels per round (delta),
+    broadcast-hints the label-sized join sides when the exact node
+    count fits the session broadcast threshold, and in the LARGE
+    regime re-pins the edge list sorted+persisted after round 1.
+    Forcing the large regime (auto-broadcast disabled) must produce
+    identical components — this drives the SMJ + re-pin path the
+    fixture's small graphs never exercise."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)]
+        + [(i, i + 2) for i in range(0, 30, 3)]
+        + [(100, 101), (101, 102), (50, 50)],
+        "id_a long, id_b long",
+    )
+    want = {
+        r["node"]: r["comp"] for r in D.connected_components(pairs).collect()
+    }
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        got = {
+            r["node"]: r["comp"]
+            for r in D.connected_components(pairs).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert got == want

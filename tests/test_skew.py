@@ -172,3 +172,25 @@ def test_lsh_chunk_validated_on_every_path(spark):
     for max_bucket in (1000, None):
         with pytest.raises(ValueError, match="chunk"):
             lsh_candidate_pairs_banded(wide, max_bucket=max_bucket, chunk=0)
+
+
+def test_broadcast_row_budget_parses_threshold_forms(spark):
+    """r14: the CC/PageRank loops gate their broadcast hints and edge
+    pin style on this budget — it must honor the session knob in every
+    spelling, and -1 (broadcast disabled) must shut the gate."""
+    from liq_stream_spark.operators.skew import broadcast_row_budget
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for raw, want_bytes in (
+            ("10485760", 10 * 1024 * 1024),
+            ("10485760b", 10 * 1024 * 1024),
+            ("64MB", 64 * 1024 * 1024),
+            ("1g", 1 << 30),
+            ("-1", 0),
+        ):
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", raw)
+            assert broadcast_row_budget(spark) == want_bytes // 64, raw
+        assert broadcast_row_budget(spark, bytes_per_row=128) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
