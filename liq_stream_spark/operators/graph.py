@@ -96,22 +96,53 @@ def pagerank(
     teleport = qfloor_long(F.lit(1.0 - damping) / F.lit(float(n)), SCALE)
     r0 = qfloor_long(F.lit(1.0) / F.lit(float(n)), SCALE)
 
+    # Edge-pin style, keyed on the EXACT vertex count vs the session's
+    # broadcast threshold (r14, VERDICT r13 item 3):
+    #
+    # - SMALL graphs (the rank frame fits the broadcast threshold):
+    #   AQE's runtime SMJ->BHJ conversion broadcasts the vertex-sized
+    #   rank side of every iteration's join, so the edge side is never
+    #   exchanged at all — the r13 lazy-checkpoint pin is already the
+    #   optimal shape, and an up-front repartition+sort would be pure
+    #   added cost (measured +0.25 s on g01's 2.3 s fixture figure,
+    #   tools_r14/pr_lab.py; explicit broadcast HINTS also measured
+    #   slower than AQE's own conversion, +0.45 s, and are not used).
+    #
+    # - LARGE graphs (ranks cannot broadcast — the 100 TB regime): the
+    #   per-round join is a sort-merge join, and under AQE a
+    #   checkpoint's LogicalRDD reports UnknownPartitioning, so the r13
+    #   shape re-exchanged AND re-sorted the EDGE side every round. The
+    #   pin becomes a PERSIST, hash-partitioned and sorted on src: a
+    #   cached relation keeps its plan's outputPartitioning /
+    #   outputOrdering (InMemoryTableScan), so every round's SMJ
+    #   streams the cache with no edge-side Exchange or Sort — one
+    #   shuffle + one sort at pin time, reused by the degree
+    #   aggregation (groupBy(src) over hash(src) plans no exchange)
+    #   and all ``n_iters`` rank joins. The partition count comes from
+    #   the session's shuffle-partition setting (environment-derived
+    #   locally, cluster-tuned at scale).
+    from liq_stream_spark.operators.skew import broadcast_row_budget
+
+    small = n <= broadcast_row_budget(spark)
     e = (
         edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
         )
         .join(nd.select(F.col("node_id").alias("src")), "src", "left_semi")
         .join(nd.select(F.col("node_id").alias("dst")), "dst", "left_semi")
-        .localCheckpoint(eager=False)
     )
+    if small:
+        e = e.localCheckpoint(eager=False)
+    else:
+        e = e.repartition(F.col("src")).sortWithinPartitions("src").persist()
     # deg is joined in EVERY round plus the final projection — without
-    # the pin each consumer re-aggregates the edge checkpoint (an
-    # edge-sized pass per iteration at 100 TB). Vertex-sized (r13).
-    deg = (
-        e.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("out_deg"))
-        .localCheckpoint(eager=False)
-    )
+    # the pin each consumer re-aggregates the edge pin (an edge-sized
+    # pass per iteration at 100 TB). Vertex-sized (r13). In the large
+    # regime it is persisted rather than checkpointed (r14) so its
+    # hash(src) partitioning — inherited exchange-free from the edge
+    # pin — survives for the per-round and final joins on src.
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    deg = deg.localCheckpoint(eager=False) if small else deg.persist()
 
     ranks = nd.withColumn("r", r0)
     for _ in range(n_iters):

@@ -255,8 +255,10 @@ def _g01_sql() -> str:
     "representatives by authority instead of min-id). The iterative-"
     "algorithm showcase: each round is one ranks-to-edges equi-join + "
     "one contribution agg (the canonical distributed-PR plan, 2 "
-    "shuffles/round); edge frame lazily checkpointed once, reused by "
-    "degree + all rounds. Rank state is integer pico-ranks "
+    "shuffles/round); edge frame pinned once and reused by degree + "
+    "all rounds (lazily checkpointed while the rank frame fits the "
+    "broadcast threshold, repartitioned+sorted+persisted past it so "
+    "the per-round SMJ streams the cache). Rank state is integer pico-ranks "
     "(portable half-up floor quantization) summed as exact BIGINTs — "
     "both engines walk bit-identical rank vectors, so a 3-round "
     "unroll is fully value-oracled (CTE chain per round).",

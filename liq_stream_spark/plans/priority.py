@@ -44,58 +44,29 @@ from __future__ import annotations
 # cheap JVM-only entries lead (cold-session Arrow/daemon spin-up must
 # not land on a pandas-UDF query).
 CHANGED_SINCE_GREEN: list[str] = [
-    # r13 — the OPTIMIZATION round's plan rewrites (each entry's results
-    # are oracle-identical by the round's rules, re-driven green locally
-    # at sf0.01+sf0.1 before its commit, but the driver ledger must
-    # re-sign them; cheap JVM-only entries lead per the tier
-    # convention):
+    # r14 (optimization round 2 of 2) — CORRECTNESS_r13 re-signed the
+    # full r13 changed tier (50/50 green, led by these entries), so the
+    # r14 baseline resets to the new round's committed changes. Each
+    # entry below is oracle-identical by the round's rules (re-driven
+    # green at sf0.01 + sf0.1-parity before its commit); cheap JVM-only
+    # entries lead per the tier convention.
     #
-    # - q01/q02/q03 + t01: compute-spread guard on the serial scan
-    #   stages (a5f43fe); q47/q50: phase-1 exchange exempt from AQE
-    #   coalescing (8073e0c); t13/p10: bigram-LM level derivation
-    #   (16a7071); g01: vertex/degree frames materialized once
-    #   (8e1c767).
-    "q01_pricing_summary",
-    "q02_top_revenue_orders",
-    "q03_region_revenue",
-    # - q09: multi-distinct Expand replaced by three independent
-    #   single-distinct aggs crossJoined (1-row frames).
-    "q09_distinct_stats",
-    "q47_anomaly_zscore",
-    "q50_ewma",
-    "t01_doc_stats",
-    "t13_lm_perplexity",
-    "p10_perplexity_buckets",
+    # - g01 (+g02 per the module-change convention, graph.py): edge pin
+    #   keyed on the vertex-count-vs-broadcast-threshold regime — large
+    #   graphs get a repartition+sort+persist pin so the per-round rank
+    #   SMJ streams the cache with no edge-side Exchange/Sort.
     "g01_pagerank",
-    # - t14 (+p14's scorer front): hashed_linear_score rewritten to
-    #   model-as-literal in-row inference — zero shuffles, zero joins.
-    "t14_quality_classifier",
-    # - s01/s02: cosine_topk corpus side spread-guarded (a5f43fe);
-    #   d02/d03/d10/d12/g02/p01: minhash_sig_arrays / quality_features
-    #   scan-stage spread (a5f43fe); d06/d07/d14/p13/p14: the
-    #   connected-components loop lost two per-round jobs (7e74b23).
-    "s01_cosine_topk",
-    "s02_knn_label_vote",
-    "d02_minhash_signatures",
-    "d03_minhash_lsh_pairs",
     "g02_triangle_counts",
-    "d10_incremental_dedup",
-    "d12_minhash_jaccard_est",
-    "p01_training_prep",
+    # - d06/d07/d14/p13/p14: the connected-components loop propagates
+    #   only CHANGED labels per round (delta), broadcast-hints the
+    #   label-sized join sides below the session broadcast threshold
+    #   (exact node count from round 1's convergence aggregate), and
+    #   re-pins the edges sorted+persisted in the large regime.
     "d06_dedup_clusters",
     "d07_dedup_survivors",
     "d14_verified_dedup_clusters",
     "p13_leakage_free_split",
     "p14_quality_survivors",
-    # - round-open set: store.py lock-release registry hygiene + the
-    #   run_pipeline lock-wait default (736baea) re-queue the
-    #   store-backed consumers per the module-change convention.
-    "d15_band_index_pairs",
-    "s06_ivf_topk",
-    "s07_pq_topk",
-    "s08_ivfpq_topk",
-    "s09_ivf_topk_pruned",
-    "d11_semantic_dedup",
 ]
 
 

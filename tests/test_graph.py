@@ -136,3 +136,21 @@ def test_triangle_counts_no_triangles(spark):
 
     e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "id_a long, id_b long")
     assert triangle_counts(e).count() == 0
+
+
+def test_large_graph_regime_bit_exact(spark):
+    """r14: the edge-pin style is keyed on the vertex count vs the
+    session broadcast threshold (small -> lazy checkpoint, AQE
+    broadcasts the rank side; large -> repartition+sort+persist so the
+    per-round SMJ streams the cache exchange- and sort-free). Forcing
+    the large regime by disabling auto-broadcast must walk the exact
+    same pico-rank vector."""
+    edges = [(0, 1), (1, 0), (2, 1), (2, 0), (3, 2), (4, 0), (0, 4)]
+    want = _run(spark, 6, edges)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        got = _run(spark, 6, edges)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert got == want
