@@ -344,7 +344,9 @@ def lsh_candidate_pairs_banded(
     if min_agree is not None and max_bucket is not None:
         raise ValueError(
             "min_agree fuses verification into the uncapped expansion; "
-            "the capped path verifies via minhash_jaccard_estimates"
+            "the capped path verifies via minhash_jaccard_estimates. "
+            "Pass max_bucket=None explicitly to use min_agree (the "
+            "default cap of 1000 is otherwise in effect)."
         )
     if max_bucket is not None:
         banded = _banded_keys(sig_wide, id_col, bands, rows_per_band)

@@ -1104,8 +1104,16 @@ def hashed_linear_score(
     arr = "array(" + ",".join(str(x) for x in _qw_weights()) + ")"
     # per-token bucket: md5_bucket('lower(tok)', QW_SALT, QW_BUCKETS)
     # inlined as SQL so it runs inside the lambda — ONE rule with the
-    # md5_bucket expression (pinned byte-identical in
-    # tests/test_quality_models.py)
+    # md5_bucket expression. The end-to-end pin is
+    # tests/test_properties.py::test_hashed_linear_score_matches_python_spec
+    # (independent Python spec over the same inputs);
+    # tests/test_quality_models.py pins the weight-derivation rule.
+    # NB: the in-row aggregate assumes tokens() never emits NULL array
+    # elements (it doesn't — split+filter); a NULL element would NULL
+    # the whole doc's dot/margin/prob where the old explode+join form
+    # silently dropped the token. If tokenization ever changes, wrap
+    # the lambda bucket lookup in coalesce(..., 0L) to keep the old
+    # drop semantics.
     bkt = (
         f"CAST(conv(substring(md5(concat('{QW_SALT}', ':', lower(tok))), "
         f"1, 8), 16, 10) AS BIGINT) % {QW_BUCKETS}"
