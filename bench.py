@@ -231,7 +231,13 @@ _QUIET_QUERY_REF_S = {
     "d03_minhash_lsh_pairs": 1.38,
     "s01_cosine_topk": 0.68,
     # tracked extras (min-of-N basis, same as headline)
-    "d14_verified_dedup_clusters": 6.00,
+    # d14's plan changed in r14 (CC loop: delta propagation + gated
+    # broadcasts — the r13-ref 6.00 shape no longer exists): the r14
+    # close pair read 4.831 / 3.992 min-of-3 on clock-1.08 epochs
+    # (scaled ~4.5 / ~3.7); 4.60 = the interleaved A/B floor
+    # (front ~1.9 + loop ~2.0) plus the fresh-session overhead its
+    # ~20-job chain integrates — still the table's widest spread.
+    "d14_verified_dedup_clusters": 4.60,
     "s09_ivf_topk_pruned": 1.48,
     "q36_spend_deciles": 1.06,
     "q45_twap": 0.80,
